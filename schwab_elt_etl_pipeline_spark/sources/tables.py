@@ -1,0 +1,55 @@
+"""Canonical readers for the benchmark/test parquet tables.
+
+Replaces the reference's ``OPENROWSET(BULK …, FORMAT='PARQUET')`` staging scan
+(docs/sql_server.md:105-170) with direct ``spark.read.parquet``. Spark gets
+predicate pushdown / column pruning on these scans for free; callers should
+``select``/``filter`` on the returned DataFrame so pruning reaches the reader.
+
+Normalizations applied (and why):
+
+- ``events.ts`` is written as parquet TIMESTAMP(NANOS, isAdjustedToUTC=false),
+  which Spark rejects outright; with ``spark.sql.legacy.parquet.nanosAsLong``
+  the column arrives as nanoseconds-since-epoch LONG and is converted here to
+  microsecond TIMESTAMP_NTZ (same wall-clock values DuckDB/pyarrow report).
+- Instant-typed timestamps are cast to TIMESTAMP_NTZ under a pinned UTC
+  session so all engines agree on wall-clock values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.session import ensure_engine_confs
+
+#: All tables the harness provides at each scale-factor directory.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one benchmark table, normalized (see module docstring)."""
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos → micros; TIMESTAMP_NTZ keeps wall-clock semantics tz-free.
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view (for ``spark.sql`` pipelines)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
