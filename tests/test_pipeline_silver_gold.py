@@ -1,0 +1,125 @@
+"""Golden tests for the flagship pipeline: quotes → OPT/OPTM → VERT/VERT_TS.
+
+Fixture mirrors FIXTURES.md §1: one trading day of sparse tick records, with
+deliberate duplicates (A7 MAX dedup), out-of-session rows (P5), null marks
+(P9), a price spike (outlier flag W1/W2), and re-run idempotence (J3/J7).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.functions.symbols import make_option_symbol
+from schwab_elt_etl_pipeline_spark.plans import gold, silver
+from schwab_elt_etl_pipeline_spark.schemas import QUOTES_STREAM
+
+DAY = dt.date(2024, 6, 17)
+EXPIRY = dt.date(2024, 6, 21)
+PT = dt.timezone(dt.timedelta(hours=-7))  # PDT on 2024-06-17
+
+
+def _ms(hh: int, mm: int, ss: int = 0) -> int:
+    """Epoch-ms for a Pacific wall-clock time on DAY."""
+    return int(dt.datetime(DAY.year, DAY.month, DAY.day, hh, mm, ss, tzinfo=PT).timestamp() * 1000)
+
+
+def _sym(strike: int, cp: int) -> str:
+    yymmdd = EXPIRY.strftime("%y%m%d")
+    return f"SPXW  {yymmdd}{'C' if cp > 0 else 'P'}{strike * 1000:08d}"
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = []
+    # Underlying path ~5500 over the first 2h (sets strike range 5500±)
+    for i, (hh, mm) in enumerate([(6, 30), (7, 0), (7, 30), (8, 0)]):
+        rows.append((_ms(hh, mm), "$SPX", None, None, 5495.0 + 5 * i, _ms(hh, mm)))
+    # Option marks: strikes 5500/5505/5510 calls, minute ticks 6:30-6:49
+    for k, strike in enumerate((5500, 5505, 5510)):
+        base = 20.0 - 2.0 * k
+        for m in range(20):
+            mark = base + 0.1 * m
+            if strike == 5500 and m == 10:
+                mark = base + 0.1 * m + 5.0  # outlier spike (W1/W2 flag)
+            rows.append((_ms(6, 30 + m), _sym(strike, 1), mark, _ms(6, 30 + m), None, None))
+    # duplicate tick at same (symbol, T) with lower mark → MAX wins (A7)
+    rows.append((_ms(6, 30), _sym(5500, 1), 1.0, _ms(6, 30), None, None))
+    # out-of-session rows → excluded by P5
+    rows.append((_ms(5, 0), _sym(5500, 1), 99.0, _ms(5, 0), None, None))
+    rows.append((_ms(13, 30), _sym(5500, 1), 99.0, _ms(13, 30), None, None))
+    # null mark → dropped (P9)
+    rows.append((_ms(6, 31), _sym(5510, 1), None, _ms(6, 31), None, None))
+    return spark.createDataFrame(rows, QUOTES_STREAM)
+
+
+def test_silver_builds_opt_and_optm(spark, quotes):
+    opt, optm = silver.run_silver(quotes)
+    opt_rows = {(r["Strike"], r["CP"]): r["OPT_ID"] for r in opt.collect()}
+    assert set(opt_rows) == {(5500, 1), (5505, 1), (5510, 1)}
+
+    optm_rows = optm.collect()
+    # 20 ticks per contract in session; dup/out-of-session/null rows excluded
+    assert len(optm_rows) == 60
+    first = {
+        (r["OPT_ID"], r["T"]): r["O"]
+        for r in optm_rows
+    }
+    t0 = dt.datetime(2024, 6, 17, 6, 30)
+    # MAX-per-(OPT_ID,T): the 1.0 duplicate lost to 20.0
+    assert first[(opt_rows[(5500, 1)], t0)] == Decimal("20.00")
+
+
+def test_silver_idempotent_rerun(spark, quotes):
+    opt, optm = silver.run_silver(quotes)
+    opt2, optm2 = silver.run_silver(quotes, opt=opt, optm=optm)
+    assert opt2.count() == opt.count()
+    assert optm2.count() == optm.count()
+
+
+def test_gold_verticals(spark, quotes):
+    opt, optm = silver.run_silver(quotes)
+    underlying = silver_underlying(quotes)
+    min_time = dt.datetime(2024, 6, 17, 6, 30)
+    vert, vert_ts = gold.run_gold(
+        optm, opt, underlying, min_time=min_time, width=5, opt_range=100
+    )
+    verts = vert.collect()
+    # strikes 5500/5505/5510 calls, W=5 → (5500,5505) and (5505,5510) spreads
+    assert {(r["SS"], r["W"]) for r in verts} == {(5500, 5), (5505, 5)}
+    assert all(r["CP"] == 1 for r in verts)
+
+    ts = vert_ts.orderBy("VID", "T").collect()
+    assert len(ts) > 0
+    # clamp invariant: 0 <= O <= W
+    assert all(Decimal("0") <= r["O"] <= Decimal("5") for r in ts)
+    # spread of parallel ramps is constant 2.00 except around the spike
+    o_values = {r["O"] for r in ts}
+    assert Decimal("2.00") in o_values
+    # the spike row itself was excluded as an outlier: no O=7.00 (clamped 5.00
+    # would appear if the spike survived into the 5500/5505 spread)
+    vid_5500 = [r for r in ts if any(
+        v["VID"] == r["VID"] and v["SS"] == 5500 for v in verts)]
+    assert all(r["O"] <= Decimal("2.50") for r in vid_5500)
+
+    # idempotent re-run produces no new rows
+    vert2, vert_ts2 = gold.run_gold(
+        optm, opt, underlying, min_time=min_time, width=5, opt_range=100,
+        vert=vert, vert_ts=vert_ts,
+    )
+    assert vert2.count() == vert.count()
+    assert vert_ts2.count() == vert_ts.count()
+
+
+def silver_underlying(quotes):
+    """Underlying ($SPX) marks with Pacific wall-clock T (docs/sql_server.md:429-434)."""
+    from schwab_elt_etl_pipeline_spark.functions.timeutils import epoch_ms_to_tz_naive
+
+    return (
+        quotes.filter(F.col("symbol") == "$SPX")
+        .filter(F.col("3").isNotNull())
+        .select(epoch_ms_to_tz_naive(F.col("35")).alias("T"), F.col("3").alias("Mark"))
+    )
