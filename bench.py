@@ -1,0 +1,55 @@
+"""Benchmark runner: headline catalog queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query runs once as warm-up-free wall-clock of the full plan (build +
+execute + count-style materialization via a cheap aggregate collect), which is
+what a scheduled pipeline pays per run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from schwab_elt_etl_pipeline_spark.catalog import all_specs
+from schwab_elt_etl_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    specs = [s for s in all_specs() if s.headline]
+    timings: dict[str, float] = {}
+    total = 0.0
+    for spec in specs:
+        start = time.perf_counter()
+        df = spec.build(spark, sf_dir)
+        # materialize the full result without driver-side transfer cost
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
+        timings[spec.name] = round(elapsed, 3)
+        total += elapsed
+        print(f"# {spec.name}: {elapsed:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline catalog queries, total wall-clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

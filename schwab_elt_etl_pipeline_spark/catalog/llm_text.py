@@ -1,0 +1,187 @@
+"""LLM-training-data pipeline queries: text analysis + deduplication over the
+``documents`` table (BASELINE.json north-star: first-class at 100 TB).
+
+MinHash-LSH and SimHash have no faithful ANSI-SQL equivalent (xxhash64-based
+signatures); they run as rows-only checks. Everything else is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
+from schwab_elt_etl_pipeline_spark.operators.dedup import (
+    exact_dup_groups,
+    jaccard,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+    word_ngrams,
+)
+from schwab_elt_etl_pipeline_spark.operators.text import (
+    BPE_TOKEN_RE,
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    token_count,
+)
+from schwab_elt_etl_pipeline_spark.sources import load_table
+
+# DuckDB needs the 'g' flag for global regexp_replace; Spark is global by default.
+_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalized-text fingerprint (hash groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs)
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT {_FP_SQL} AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score components: token counts, punctuation ratio, English
+    stopword ratio — all single deterministic divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+        (F.regexp_count(F.col("text"), F.lit(LANG_MARKERS["en"])) / token_count("text")).alias(
+            "en_stop_ratio"
+        ),
+    )
+
+
+TEXT_QUALITY_SQL = rf"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_actual,
+       LEN(string_split_regex(TRIM(text), '\s+')) AS ws_tokens,
+       LEN(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bpe_tokens,
+       LEN(regexp_extract_all(text, '[^\w\s]')) / LENGTH(text) AS punct_ratio,
+       LEN(regexp_extract_all(text, '{LANG_MARKERS["en"]}')) / LEN(string_split_regex(TRIM(text), '\s+')) AS en_stop_ratio
+FROM documents
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID with deterministic tie-break cascade."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_id("text").alias("pred_lang"),
+        (lang_id("text") == F.col("lang")).cast("int").alias("is_correct"),
+    )
+
+
+def _lang_id_sql_expr() -> str:
+    langs = list(LANG_MARKERS)
+    count = {l: f"LEN(regexp_extract_all(text, '{re}'))" for l, re in LANG_MARKERS.items()}
+    expr = f"'{langs[-1]}'"
+    for lang in reversed(langs[:-1]):
+        others = ", ".join(count[o] for o in langs if o != lang)
+        expr = f"CASE WHEN {count[lang]} >= GREATEST({others}) THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id, lang,
+       {_lang_id_sql_expr()} AS pred_lang,
+       CAST({_lang_id_sql_expr()} = lang AS INT) AS is_correct
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: canonical md5 over normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id, {_FP_SQL} AS fp FROM documents
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, banded to (same source,
+    0 < doc_id delta ≤ 50) so candidate generation never goes all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", word_ngrams("text", 2).alias("grams")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("a_id"), F.col("source"), F.col("grams").alias("a_grams")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("b_id"), F.col("source"), F.col("grams").alias("b_grams")
+    )
+    return (
+        a.join(b, on="source")
+        .filter(
+            (F.col("b_id") > F.col("a_id")) & (F.col("b_id") - F.col("a_id") <= 50)
+        )
+        .select(
+            "source",
+            "a_id",
+            "b_id",
+            F.round(jaccard(F.col("a_grams"), F.col("b_grams")), 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.05)
+    )
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(LEN(string_split_regex(TRIM(LOWER(text)), '\s+')) - 1, 0)),
+           i -> string_split_regex(TRIM(LOWER(text)), '\s+')[i] || ' ' ||
+                string_split_regex(TRIM(LOWER(text)), '\s+')[i+1])) AS grams
+  FROM documents
+)
+SELECT a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+       ROUND(LEN(list_intersect(a.grams, b.grams)) /
+             LEN(list_distinct(list_concat(a.grams, b.grams))), 6) AS jac
+FROM sh a JOIN sh b
+  ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 50
+WHERE ROUND(LEN(list_intersect(a.grams, b.grams)) /
+            LEN(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.05
+"""
+
+
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (rows-only check: xxhash64 signatures have
+    no SQL-oracle equivalent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, ngram=2, k=32, bands=8).filter(
+        F.col("est_jaccard") >= 0.25
+    )
+
+
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=16, prefix_bits=8)
+
+
+SPECS = [
+    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, doc="exact dedup via hash groupBy"),
+    QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, headline=True,
+              doc="quality scoring: tokens/punct/stopwords"),
+    QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, doc="marker-lexicon language ID"),
+    QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, doc="document fingerprinting"),
+    QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL, headline=True,
+              doc="banded exact n-gram Jaccard near-dup"),
+    QuerySpec("minhash_lsh_neardup", minhash_lsh_neardup, None, doc="MinHash+LSH candidates (rows-only)"),
+    QuerySpec("simhash_neardup", simhash_neardup, None, doc="SimHash near-dup (rows-only)"),
+]

@@ -1,0 +1,123 @@
+"""Similarity-search queries over the ``embeddings`` table.
+
+Both tiers of the ANN family (brute-force exact; sign-LSH bucketed) plus a
+banded near-duplicate pair scan. Cosines are rounded to 6 digits on both
+engines so floating-point summation differences cannot move the top-k cutoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
+from schwab_elt_etl_pipeline_spark.operators.similarity import (
+    as_double,
+    brute_force_topk,
+    bucketed_ann_topk,
+    cosine,
+)
+from schwab_elt_etl_pipeline_spark.sources import load_table
+
+_N_QUERIES = 3
+
+# DuckDB-side cosine between DOUBLE[] lists (sqrt of self-dot for norms).
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for the first 3 vectors as queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=10
+    )
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < {_N_QUERIES}
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS c_vec FROM embeddings
+), scored AS (
+  SELECT q_id, vec_id,
+         ROUND({_COS_SQL.format(a="q_vec", b="c_vec")}, 6) AS cos
+  FROM c, q WHERE vec_id <> q_id
+)
+SELECT q_id, vec_id, cos FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) <= 10
+"""
+
+
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (IVF shape): search only the query's bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bucketed_ann_topk(
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=10, bits=4
+    )
+
+
+_BUCKET_SQL = (
+    "(CASE WHEN {v}[1] >= 0 THEN 1 ELSE 0 END"
+    " | CASE WHEN {v}[2] >= 0 THEN 2 ELSE 0 END"
+    " | CASE WHEN {v}[3] >= 0 THEN 4 ELSE 0 END"
+    " | CASE WHEN {v}[4] >= 0 THEN 8 ELSE 0 END)"
+)
+
+ANN_BUCKETED_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec,
+         {_BUCKET_SQL.format(v="(embedding::DOUBLE[])")} AS bucket
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS c_vec,
+         {_BUCKET_SQL.format(v="(embedding::DOUBLE[])")} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q_id, vec_id,
+         ROUND({_COS_SQL.format(a="q_vec", b="c_vec")}, 6) AS cos
+  FROM c JOIN q USING (bucket) WHERE vec_id <> q_id
+)
+SELECT q_id, vec_id, cos FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) <= 10
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, banded by id delta ≤ 20."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), as_double("embedding").alias("a_vec"))
+    b = emb.select(F.col("vec_id").alias("b_id"), as_double("embedding").alias("b_vec"))
+    return (
+        a.join(
+            b,
+            (F.col("b_id") > F.col("a_id")) & (F.col("b_id") - F.col("a_id") <= 20),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND({_COS_SQL.format(a="a.v", b="b.v")}, 6) AS cos
+FROM e a JOIN e b ON b.vec_id > a.vec_id AND b.vec_id - a.vec_id <= 20
+WHERE ROUND({_COS_SQL.format(a="a.v", b="b.v")}, 6) >= 0.3
+"""
+
+
+SPECS = [
+    QuerySpec("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_SQL, headline=True,
+              doc="brute-force cosine top-k (exact baseline)"),
+    QuerySpec("ann_bucketed_topk", ann_bucketed_topk, ANN_BUCKETED_SQL,
+              doc="sign-LSH bucketed ANN (scale path)"),
+    QuerySpec("embedding_near_dup", embedding_near_dup, EMBEDDING_NEAR_DUP_SQL,
+              doc="banded embedding-cosine near-dup pairs"),
+]

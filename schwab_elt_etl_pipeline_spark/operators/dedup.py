@@ -1,0 +1,178 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Designed for the 100 TB regime:
+
+- exact: one hash-shuffle on the fingerprint — embarrassingly scalable.
+- n-gram Jaccard: exact pairwise similarity, restricted to candidate pairs
+  (banded or LSH-bucketed) — never all-pairs.
+- MinHash+LSH: signatures are per-row map work; candidate generation is a
+  groupBy on (band, band-hash) buckets — the only shuffle — followed by
+  within-bucket pairing. All-pairs never materializes.
+- SimHash: 64-bit signature per row; near-dup = small Hamming distance,
+  bucketed by signature prefix.
+
+Everything is built-in expressions (xxhash64 / array lambdas); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.operators.text import fingerprint
+
+
+def word_ngrams(text_col: str, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of casefolded text (SQL expr so the
+    token array is named once and sliced per index)."""
+    toks = f"split(trim(lower({text_col})), '\\\\s+')"
+    # guard: sequence(0, negative) counts DOWN in Spark — short docs get no shingles
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(0, size({toks}) - {n}), "
+            f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) "
+            f"ELSE array() END"
+        )
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint: one row per
+    group with the kept (minimum) id and the duplicate count."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two distinct-element arrays as a single
+    deterministic double division."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / union
+
+
+def minhash_signature(shingles: Column, k: int = 32) -> Column:
+    """k-permutation MinHash signature: per hash seed i, the min of
+    ``xxhash64(i, shingle)`` over the row's shingle set."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Rows whose signatures agree on ALL rows of any band land in the same
+    bucket; within-bucket self-join emits (a_id, b_id, est_jaccard) with
+    est_jaccard = fraction of agreeing signature positions. a_id < b_id.
+    """
+    rows_per_band = k // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_ngrams(text_col, ngram), k).alias("sig"),
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.lit(k)
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return pairs
+
+
+def simhash64(text_col: str) -> Column:
+    """64-bit SimHash over whitespace tokens: bit b is set when the sum of
+    ±1 votes (token-hash bit b) is positive."""
+    toks = f"split(trim(lower({text_col})), '\\\\s+')"
+    votes = (
+        f"aggregate({toks}, "
+        f"array_repeat(0, 64), "
+        f"(acc, t) -> zip_with(acc, transform(sequence(0, 63), "
+        f"b -> CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1 ELSE -1 END), "
+        f"(x, y) -> x + y))"
+    )
+    bits = (
+        f"aggregate(zip_with({votes}, sequence(0, 63), "
+        f"(v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        f"0L, (acc, x) -> acc | x)"
+    )
+    return F.expr(bits)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: bucket on the signature's top
+    ``prefix_bits`` (scale path — identical prefixes shuffle together), then
+    exact Hamming distance within buckets."""
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(text_col).alias("sig"),
+    ).withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, as a 100 TB pipeline needs:
+
+- **Brute-force cosine top-k** — exact baseline. Queries broadcast (they are
+  few); the corpus streams through one projection + per-partition top-k via
+  window rank. O(Q×N) but embarrassingly parallel, no shuffle of the corpus.
+- **Bucketed ANN (sign-LSH / IVF-style)** — the scale path. Each vector gets a
+  deterministic bucket from the sign pattern of its leading components
+  (a random-hyperplane LSH with axis-aligned planes); search only touches the
+  query's bucket, turning O(N) per query into O(N/2^bits) with a recall
+  trade-off. The same shape holds for a trained-centroid IVF; centroids would
+  come from an offline k-means job.
+
+Dot products run as JVM array lambdas (``zip_with`` + ``aggregate``) — exact
+left-to-right summation, deterministic across engines, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec: Column | str) -> Column:
+    col = F.col(vec) if isinstance(vec, str) else vec
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential (deterministic) dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` rows per ``queries`` row.
+
+    Output: (q_id, vec_id, cos) — ``cos`` rounded so the top-k cutoff is
+    stable across engines; ties broken by corpus id. Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 4) -> Column:
+    """Deterministic sign-LSH bucket: bit i set iff component i >= 0.
+
+    (2^i is built arithmetically — ``shiftleft`` needs a literal bit count.)
+    """
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec, 1, bits),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.pow(F.lit(2.0), i).cast("long"),
+            ),
+            lambda x, p: F.when(x >= 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def bucketed_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k restricted to the query's sign-LSH bucket (the IVF shape:
+    probe 1 of 2^bits partitions). Join on bucket replaces the cross join —
+    at scale this is a co-partitioned equi-join, not a broadcast of N×Q work."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        as_double(vec_col).alias("q_vec"),
+    ).withColumn("bucket", sign_bucket(F.col("q_vec"), bits))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(vec_col).alias("c_vec"),
+    ).withColumn("bucket", sign_bucket(F.col("c_vec"), bits))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos")
+    )

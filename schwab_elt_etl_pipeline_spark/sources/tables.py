@@ -42,9 +42,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → micros; TIMESTAMP_NTZ keeps wall-clock semantics tz-free.
+        # nanos → micros with INTEGER division ("/" would round-trip through
+        # double and lose precision above 2^53 ns); TIMESTAMP_NTZ keeps
+        # wall-clock semantics tz-free.
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz")
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
     return df
 

@@ -1,0 +1,81 @@
+"""Streaming tick ingestion (SURVEY T1-T3, T8).
+
+Reference behavior re-expressed on Structured Streaming:
+
+- T1 micro-batching: the reference buffers 1000 records per flush
+  (tools/parquet_writer.py:14,26-27); here ``trigger(processingTime=...)``
+  micro-batches — and the sink appends files instead of the reference's
+  read-concat-rewrite of the daily file (O(n²)/day, BASELINE.md).
+- T2 daily rotation: one file per day becomes ``partitionBy("date")``.
+- T3 latest-per-key with TTL: Redis ``SET key val EX 600``
+  (tools/redis_cache.py:19-27) becomes a latest-per-key aggregation in
+  update mode; TTL is a watermark-age filter at read time.
+- T8 dedup: batch-side idempotence stays anti-join based (operators.merge);
+  streaming dedup uses ``dropDuplicates`` within the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
+
+from schwab_elt_etl_pipeline_spark.schemas import QUOTES_STREAM
+
+
+def read_quote_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-based tick stream (tests feed files; production would swap in a
+    socket/Kafka source — the downstream plan is identical)."""
+    return (
+        spark.readStream.schema(QUOTES_STREAM)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def write_bronze_stream(
+    quotes: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Bronze sink: append-mode parquet partitioned by event date (T1/T2)."""
+    with_date = quotes.withColumn(
+        "date", F.to_date(F.timestamp_millis(F.col("received_at")))
+    )
+    writer = (
+        with_date.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("date")
+        .outputMode("append")
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def latest_per_key(quotes: DataFrame, ttl_seconds: int = 600) -> DataFrame:
+    """T3: latest quote per symbol (the Redis-cache view).
+
+    On a stream, run with ``outputMode("update")`` + ``foreachBatch`` to a KV
+    sink; on a batch DataFrame it is the same expression. TTL: rows older than
+    ``ttl_seconds`` relative to the max received_at are expired, mirroring
+    Redis ``EX 600`` (config.yaml:64).
+    """
+    latest = quotes.groupBy("symbol").agg(
+        F.max_by(F.struct("received_at", "37", "38", "3", "35"), "received_at").alias("q"),
+        F.max("received_at").alias("received_at"),
+    )
+    # global horizon over the already-aggregated (small) symbol universe
+    horizon = F.max("received_at").over(Window.partitionBy())
+    return (
+        latest.withColumn("_horizon", horizon)
+        .filter((F.col("_horizon") - F.col("received_at")) / 1000 <= ttl_seconds)
+        .select("symbol", "received_at", "q.*")
+    )

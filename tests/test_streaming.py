@@ -1,0 +1,90 @@
+"""Streaming tests (SURVEY §5.4): T1-T3 micro-batch sink, daily partitioning,
+latest-per-key, freshness metrics, 2-strike alerting."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.schemas import QUOTES_STREAM
+from schwab_elt_etl_pipeline_spark.streaming import (
+    latest_per_key,
+    read_quote_stream,
+    write_bronze_stream,
+)
+from schwab_elt_etl_pipeline_spark.streaming.freshness import (
+    TwoStrikeMonitor,
+    freshness_metrics,
+)
+
+
+def _ms(day: int, hh: int, mm: int) -> int:
+    return int(
+        dt.datetime(2024, 6, day, hh, mm, tzinfo=dt.timezone.utc).timestamp() * 1000
+    )
+
+
+@pytest.fixture()
+def tick_rows():
+    return [
+        (_ms(17, 14, 0), "SPXW  240621C05500000", 20.0, _ms(17, 14, 0), None, None),
+        (_ms(17, 14, 1), "SPXW  240621C05500000", 21.0, _ms(17, 14, 1), None, None),
+        (_ms(18, 14, 0), "SPXW  240621C05505000", 18.0, _ms(18, 14, 0), None, None),
+        (_ms(18, 14, 2), "$SPX", None, None, 5502.0, _ms(18, 14, 2)),
+    ]
+
+
+def test_bronze_stream_partitions_by_date(spark, tick_rows):
+    src = tempfile.mkdtemp(prefix="ticks_src_")
+    sink = tempfile.mkdtemp(prefix="ticks_sink_")
+    ckpt = tempfile.mkdtemp(prefix="ticks_ckpt_")
+    try:
+        spark.createDataFrame(tick_rows, QUOTES_STREAM).write.mode("append").parquet(src)
+        stream = read_quote_stream(spark, src)
+        assert stream.isStreaming
+        q = write_bronze_stream(stream, sink, ckpt)
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(sink)
+        assert out.count() == 4
+        days = {r["date"] for r in out.select("date").distinct().collect()}
+        assert days == {dt.date(2024, 6, 17), dt.date(2024, 6, 18)}  # T2 rotation
+    finally:
+        for d in (src, sink, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_latest_per_key_with_ttl(spark, tick_rows):
+    quotes = spark.createDataFrame(tick_rows, QUOTES_STREAM)
+    latest = latest_per_key(quotes, ttl_seconds=600)
+    rows = {r["symbol"]: r for r in latest.collect()}
+    # only symbols within 600s of the horizon (day-18 records) survive
+    assert set(rows) == {"SPXW  240621C05505000", "$SPX"}
+    # latest wins per key
+    assert rows["$SPX"]["3"] == 5502.0
+
+    # TTL large enough → day-17 symbols reappear, and the 21.0 (latest) tick wins
+    latest_all = latest_per_key(quotes, ttl_seconds=10 * 24 * 3600)
+    rows_all = {r["symbol"]: r for r in latest_all.collect()}
+    assert rows_all["SPXW  240621C05500000"]["37"] == 21.0
+
+
+def test_freshness_metrics_and_two_strike(spark, tick_rows):
+    quotes = spark.createDataFrame(tick_rows, QUOTES_STREAM)
+    now = _ms(18, 14, 2)
+    m = freshness_metrics(quotes, now_ms=now, fresh_seconds=150).first()
+    # SPXW symbols only: 5500 (day 17 → stale) and 5505 (120s old → fresh)
+    assert m["n_symbols"] == 2 and m["n_fresh"] == 1 and m["n_stale"] == 1
+
+    mon = TwoStrikeMonitor()
+    assert mon.observe(True) is False  # strike 1
+    assert mon.observe(True) is True  # strike 2 → alert
+    assert mon.observe(True) is False  # counter reset after alert
+    mon2 = TwoStrikeMonitor()
+    assert mon2.observe(True) is False
+    assert mon2.observe(False) is False  # healthy poll resets
+    assert mon2.observe(True) is False  # needs 2 consecutive again
