@@ -30,7 +30,11 @@ def flagship_vertical_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gold-layer pipeline on events: per user_id ("contract"),
     A7 latest-per-hour → T9 LOCF grid → W1/W2 outlier flag → exclusion +
     [0,100] clamp (F10) → W3 rolling avg → A10 MAX-pair dedup."""
-    ev = load_table(spark, sf_dir, "events")
+    # One exchange up front: hash(user_id) satisfies the grouped agg (subset
+    # of (user_id, h)), the gapfill join, and every window below — the whole
+    # pipeline then runs shuffle-free after this single repartition.
+    n_part = spark.sparkContext.defaultParallelism
+    ev = load_table(spark, sf_dir, "events").repartition(n_part, "user_id")
     hourly = (
         ev.withColumn("h", F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz"))
         .groupBy("user_id", "h")

@@ -16,7 +16,7 @@ from schwab_elt_etl_pipeline_spark.operators.dedup import (
     jaccard,
     minhash_lsh_candidates,
     simhash_near_dups,
-    word_ngrams,
+    with_shingles,
 )
 from schwab_elt_etl_pipeline_spark.operators.text import (
     BPE_TOKEN_RE,
@@ -112,23 +112,45 @@ SELECT doc_id, {_FP_SQL} AS fp FROM documents
 """
 
 
+_BAND = 50
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs, banded to (same source,
-    0 < doc_id delta ≤ 50) so candidate generation never goes all-pairs."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "source", word_ngrams("text", 2).alias("grams")
+    0 < doc_id delta ≤ 50).
+
+    The band predicate is turned into an equi-join key: ids bucket by the band
+    width, the left side probes its own and the next bucket, so the join never
+    materializes the per-source cross product (at 100 TB a source-only key
+    would be quadratic; bucketed candidates stay linear in the band width).
+    """
+    # repartition BEFORE shingling: the source is one small file (1 scan
+    # task), and shingle construction is the per-row-heavy step — spread it
+    # across the cluster first, then compute.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
+    sh = with_shingles(docs, "text", 2).select("doc_id", "source", "grams")
     a = sh.select(
-        F.col("doc_id").alias("a_id"), F.col("source"), F.col("grams").alias("a_grams")
+        F.col("doc_id").alias("a_id"),
+        "source",
+        F.col("grams").alias("a_grams"),
+        F.explode(
+            F.array(
+                F.floor(F.col("doc_id") / _BAND), F.floor(F.col("doc_id") / _BAND) + 1
+            )
+        ).alias("bucket"),
     )
     b = sh.select(
-        F.col("doc_id").alias("b_id"), F.col("source"), F.col("grams").alias("b_grams")
+        F.col("doc_id").alias("b_id"),
+        "source",
+        F.col("grams").alias("b_grams"),
+        F.floor(F.col("doc_id") / _BAND).alias("bucket"),
     )
     return (
-        a.join(b, on="source")
+        a.join(b, on=["source", "bucket"])
         .filter(
-            (F.col("b_id") > F.col("a_id")) & (F.col("b_id") - F.col("a_id") <= 50)
+            (F.col("b_id") > F.col("a_id")) & (F.col("b_id") - F.col("a_id") <= _BAND)
         )
         .select(
             "source",
@@ -162,7 +184,9 @@ WHERE ROUND(LEN(list_intersect(a.grams, b.grams)) /
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (rows-only check: xxhash64 signatures have
     no SQL-oracle equivalent)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return minhash_lsh_candidates(docs, ngram=2, k=32, bands=8).filter(
         F.col("est_jaccard") >= 0.25
     )
@@ -170,7 +194,9 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only check)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return simhash_near_dups(docs, max_hamming=16, prefix_bits=8)
 
 

@@ -22,18 +22,37 @@ from pyspark.sql import functions as F
 from schwab_elt_etl_pipeline_spark.operators.text import fingerprint
 
 
-def word_ngrams(text_col: str, n: int = 2) -> Column:
-    """Distinct word n-gram shingles of casefolded text (SQL expr so the
-    token array is named once and sliced per index)."""
-    toks = f"split(trim(lower({text_col})), '\\\\s+')"
-    # guard: sequence(0, negative) counts DOWN in Spark — short docs get no shingles
+def ngrams_over_tokens(toks: Column, n: int) -> Column:
+    """Distinct n-gram shingles over an ALREADY-MATERIALIZED token array
+    column. ``toks`` must be a bound attribute (e.g. added via
+    ``withColumn``), not a raw ``split(...)`` expression — Spark does not
+    hoist invariant sub-expressions out of higher-order-function lambdas, so
+    an inline split would re-tokenize per element: O(tokens²) per document.
+
+    Guard: ``sequence(0, negative)`` counts DOWN in Spark, so short docs
+    explicitly get an empty shingle set.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
     return F.array_distinct(
-        F.expr(
-            f"CASE WHEN size({toks}) >= {n} THEN "
-            f"transform(sequence(0, size({toks}) - {n}), "
-            f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) "
-            f"ELSE array() END"
-        )
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 2, out: str = "grams"
+) -> DataFrame:
+    """Attach distinct word n-gram shingles of casefolded text as ``out``.
+
+    Two projection steps so the regex tokenization runs exactly once per row.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn(out, ngrams_over_tokens(F.col("_toks"), n))
+        .drop("_toks")
     )
 
 
@@ -81,9 +100,9 @@ def minhash_lsh_candidates(
     est_jaccard = fraction of agreeing signature positions. a_id < b_id.
     """
     rows_per_band = k // bands
-    sigs = df.select(
+    sigs = with_shingles(df, text_col, ngram, out="_grams").select(
         F.col(id_col).alias("id"),
-        minhash_signature(word_ngrams(text_col, ngram), k).alias("sig"),
+        minhash_signature(F.col("_grams"), k).alias("sig"),
     )
     banded = sigs.select(
         "id",

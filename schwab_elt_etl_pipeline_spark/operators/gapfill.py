@@ -52,7 +52,14 @@ def gapfill_locf(
     start_expr = F.expr(grid_start) if grid_start else F.col("_min_ts")
     end_expr = F.expr(grid_end) if grid_end else F.col("_max_ts")
 
-    grid = bounds.select(
+    # Re-spread bounds across entity hash partitions BEFORE the explode: AQE
+    # coalesces the tiny bounds aggregate to few partitions, and exploding the
+    # grid (rows × span/step) inside them serializes the fan-out. The explicit
+    # partition count is required — an expression-only repartition is itself
+    # AQE-coalesced by byte size, which is misleading ahead of a row explosion.
+    # Hashing by entity also pre-satisfies the join/window distributions below.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    grid = bounds.repartition(n_part, *entity_cols).select(
         *entity_cols,
         F.explode(F.sequence(start_expr, end_expr, F.expr(step))).alias(ts),
     )

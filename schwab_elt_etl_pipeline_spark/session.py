@@ -34,6 +34,16 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Keep AQE from coalescing compute-heavy stages to 1 partition: byte-size
+    # heuristics underestimate CPU-bound work (windows over exploded grids,
+    # shingle arrays). 8 MB advisory / 512 KB floor keeps local[32] saturated
+    # and still coalesces genuinely tiny outputs.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "512k",
+    # Local test files are single small parquet files; the 128 MB default
+    # makes every scan a single task. 16 MB splits keep local[32] busy and is
+    # harmless on a cluster (where inputs are many files anyway).
+    "spark.sql.files.maxPartitionBytes": "16m",
 }
 
 
@@ -71,7 +81,7 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)
