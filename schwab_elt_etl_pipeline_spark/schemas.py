@@ -97,6 +97,38 @@ SPX_CHAIN = T.StructType(
 )
 
 # ---------------------------------------------------------------------------
+# Raw chain document (Bronze): expiry→strike→[option] nested maps
+# (services/schwab_chains_service.py:75-107). Kept as native MapType/ArrayType
+# per SURVEY §1.2; Silver explodes to SPX_CHAIN.
+# ---------------------------------------------------------------------------
+_CHAIN_OPTION = T.StructType(
+    [
+        T.StructField("bid", T.DoubleType()),
+        T.StructField("ask", T.DoubleType()),
+        T.StructField("totalVolume", T.LongType()),
+        T.StructField("quoteTimeInLong", T.LongType()),
+        T.StructField("volatility", T.DoubleType()),
+        T.StructField("delta", T.DoubleType()),
+        T.StructField("gamma", T.DoubleType()),
+        T.StructField("theta", T.DoubleType()),
+        T.StructField("vega", T.DoubleType()),
+        T.StructField("rho", T.DoubleType()),
+        T.StructField("openInterest", T.LongType()),
+        T.StructField("optionRoot", T.StringType()),
+        T.StructField("daysToExpiration", T.LongType()),
+    ]
+)
+
+_EXP_DATE_MAP = T.MapType(T.StringType(), T.MapType(T.StringType(), T.ArrayType(_CHAIN_OPTION)))
+
+CHAIN_DOC = T.StructType(
+    [
+        T.StructField("callExpDateMap", _EXP_DATE_MAP),
+        T.StructField("putExpDateMap", _EXP_DATE_MAP),
+    ]
+)
+
+# ---------------------------------------------------------------------------
 # OHLC staging + historic (sql/opt.sql:13-38,44-56,83-94; FIXTURES.md §3)
 # ---------------------------------------------------------------------------
 OHLC_STAGE = T.StructType(
