@@ -1,0 +1,212 @@
+"""Second analytics wave: correlated-subquery, HAVING, conditional-CASE, and
+percent-of-total shapes (TPC-H Q2/Q4/Q12/Q14/Q18 analogs on the available
+columns). These stress Catalyst's subquery decorrelation and conditional
+aggregation — surfaces the first wave doesn't touch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
+from schwab_elt_etl_pipeline_spark.sources import load_table
+
+_DEC = "decimal(18,4)"
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: per-part minimum-price supplier via a groupBy-rejoin
+    (Catalyst's decorrelated form of the correlated MIN subquery)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cheapest = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    ).withColumnRenamed("l_partkey", "pk")
+    return (
+        li.join(
+            cheapest,
+            (F.col("l_partkey") == F.col("pk"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select(F.col("l_partkey").alias("p_key"), "l_suppkey", "min_price")
+        .groupBy("p_key", "min_price")
+        .agg(F.min("l_suppkey").alias("supp"))  # deterministic on price ties
+    )
+
+
+Q2_SQL = """
+SELECT l_partkey AS p_key, min_price, MIN(l_suppkey) AS supp
+FROM lineitem l
+JOIN (SELECT l_partkey AS pk, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey) m
+  ON l.l_partkey = m.pk AND l.l_extendedprice = m.min_price
+GROUP BY l_partkey, min_price
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS semi-join + count per priority."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    # semi-join on any lineitem with quantity >= 30 (commit/receipt dates
+    # aren't in this dataset, so quantity stands in for the lateness predicate)
+    big = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    return (
+        orders.join(
+            big.select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+            on="o_orderkey",
+            how="left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 30)
+GROUP BY o_orderpriority
+"""
+
+
+def q12_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional CASE sums per group (high/low priority split)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: percentage-of-total with conditional numerator, exact
+    decimal sums, one deterministic division at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                F.lit(0).cast("decimal(17,4)")
+            )).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                 ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING over a grouped sum, re-joined for enrichment."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+Q18_SQL = """
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, b.total_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+) b
+JOIN orders   ON b.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_daily_user_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (row_number/rank family — absent from the reference but
+    table stakes for an engine): top event per (user, day) by value."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("rk", F.row_number().over(
+            Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+                F.desc("value"), F.asc("event_id")
+            )
+        ))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.to_date("ts").alias("d"), "event_id", "value")
+    )
+
+
+Q_RANK_SQL = """
+SELECT user_id, CAST(ts AS DATE) AS d, event_id, value
+FROM (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY value DESC, event_id ASC) AS rk
+  FROM events
+) WHERE rk = 1
+"""
+
+
+SPECS = [
+    QuerySpec("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL,
+              doc="decorrelated MIN subquery rejoin"),
+    QuerySpec("q4_order_priority", q4_order_priority, Q4_SQL,
+              doc="EXISTS semi-join + grouped count"),
+    QuerySpec("q12_shipmode_buckets", q12_shipmode_buckets, Q12_SQL,
+              doc="conditional CASE sums"),
+    QuerySpec("q14_promo_share", q14_promo_share, Q14_SQL, headline=True,
+              doc="percent-of-total, exact decimal"),
+    QuerySpec("q18_large_orders", q18_large_orders, Q18_SQL,
+              doc="HAVING + enrichment joins"),
+    QuerySpec("q_daily_user_rank", q_daily_user_rank, Q_RANK_SQL,
+              doc="row_number ranking window"),
+]

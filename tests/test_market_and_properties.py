@@ -1,0 +1,115 @@
+"""Market-hours plan tests + property tests (SURVEY §5.3): idempotence,
+clamp bounds, key uniqueness, anti-join monotonicity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.plans.market import (
+    next_session,
+    upsert_market_hours,
+)
+from schwab_elt_etl_pipeline_spark.schemas import MARKET_HOURS
+
+
+def _cal_rows():
+    mk = lambda d, open_: (
+        dt.datetime(2024, 6, 10, 3, 0),
+        d,
+        "EQUITY",
+        "06:30:00",
+        "13:00:00",
+        open_,
+    )
+    return [
+        mk(dt.date(2024, 6, 17), True),   # Monday
+        mk(dt.date(2024, 6, 18), True),
+        mk(dt.date(2024, 6, 19), False),  # holiday
+        mk(dt.date(2024, 6, 20), True),
+        mk(dt.date(2024, 6, 22), False),  # Saturday
+    ]
+
+
+def test_next_session_lookup(spark):
+    cal = spark.createDataFrame(_cal_rows(), MARKET_HOURS)
+    # mid-session on the 17th → the 17th still qualifies (not yet ended)
+    r = next_session(cal, dt.datetime(2024, 6, 17, 10, 0)).first()
+    assert r["market_date"] == dt.date(2024, 6, 17)
+    # after close on the 18th → skips the closed 19th to the 20th
+    r = next_session(cal, dt.datetime(2024, 6, 18, 14, 0)).first()
+    assert r["market_date"] == dt.date(2024, 6, 20)
+    # after the final open session → empty result, not an error
+    assert next_session(cal, dt.datetime(2024, 6, 21, 0, 0)).count() == 0
+
+
+def test_market_hours_merge_by_date(spark):
+    cal = spark.createDataFrame(_cal_rows(), MARKET_HOURS)
+    # re-snapshot of the 19th flips it open; new date appended
+    snap = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 6, 19, 3, 0), dt.date(2024, 6, 19), "EQUITY",
+             "06:30:00", "13:00:00", True),
+            (dt.datetime(2024, 6, 19, 3, 0), dt.date(2024, 6, 21), "EQUITY",
+             "06:30:00", "13:00:00", True),
+        ],
+        MARKET_HOURS,
+    )
+    merged = upsert_market_hours(snap, cal)
+    assert merged.count() == 6  # 5 dates + 1 new
+    assert merged.filter(
+        (F.col("market_date") == "2024-06-19") & F.col("is_open")
+    ).count() == 1  # updated in place
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    values=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False), min_size=1, max_size=30
+    ),
+    width=st.integers(min_value=1, max_value=50),
+)
+def test_clamp_bounds_property(spark, values, width):
+    from schwab_elt_etl_pipeline_spark.functions.scalars import clamp
+
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    out = [r[0] for r in df.select(clamp(F.col("x"), 0.0, float(width))).collect()]
+    assert all(0.0 <= v <= width for v in out)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=40),
+)
+def test_insert_new_idempotent_and_monotonic(spark, keys):
+    from schwab_elt_etl_pipeline_spark.operators.merge import insert_new
+
+    schema = "k long, v string"
+    src = spark.createDataFrame([(k, f"v{k}") for k in keys], schema)
+    # targets are unique-keyed by construction (the invariant insert_new
+    # maintains; hypothesis correctly flagged that a dup-keyed target stays dup)
+    target = spark.createDataFrame(
+        [(k, f"t{k}") for k in keys[: len(keys) // 2]], schema
+    ).dropDuplicates(["k"])
+
+    new = insert_new(src, target, keys=["k"])
+    merged = target.unionByName(new)
+    # uniqueness: one row per key after merge
+    assert merged.groupBy("k").count().filter("count > 1").count() == 0
+    # idempotence: second pass adds nothing
+    assert insert_new(src, merged, keys=["k"]).count() == 0
+    # monotonicity: target rows never lost
+    assert merged.count() >= target.count()
+
+
+def test_surrogate_key_no_collisions(spark):
+    from schwab_elt_etl_pipeline_spark.operators.merge import surrogate_key
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 997).alias("a"), (F.col("id") / 997).cast("int").alias("b")
+    )
+    keys = df.select(surrogate_key("a", "b").alias("sk"))
+    assert keys.distinct().count() == df.distinct().count()

@@ -1,0 +1,92 @@
+"""Physical-plan regression tests: the scale properties SURVEY §4 commits to.
+
+These pin the *plan shape*, not results: filters/projections reach the parquet
+scan, small dims broadcast, relational paths contain no Python UDFs, and
+codegen covers the scalar pipelines. A regression here is a 100×-scale
+performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.catalog import all_specs
+from schwab_elt_etl_pipeline_spark.sources import load_table
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 10).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _executed_plan(li)
+    assert "PushedFilters: [" in plan and "LessThan(l_quantity" in plan
+    # column pruning: the 11-column table reads only the 2 referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    from schwab_elt_etl_pipeline_spark.catalog.analytics import q5_region_revenue
+
+    plan = _executed_plan(q5_region_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # region⋈nation dim side broadcast
+
+
+def test_silver_optm_join_broadcasts(spark):
+    import datetime as dt
+
+    from schwab_elt_etl_pipeline_spark.plans import silver
+    from schwab_elt_etl_pipeline_spark.schemas import QUOTES_STREAM
+
+    ms = int(dt.datetime(2024, 6, 17, 13, 40, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    quotes = spark.createDataFrame(
+        [(ms, "SPXW  240621C05500000", 20.0, ms, None, None)], QUOTES_STREAM
+    )
+    opt, optm = silver.run_silver(quotes)
+    assert "BroadcastHashJoin" in _executed_plan(optm)
+
+
+def test_no_python_udfs_in_relational_catalog(spark, sf_dir):
+    """Every catalog query except the explicitly Python-backed multimodal path
+    must stay JVM-side (no BatchEvalPython / ArrowEvalPython / mapInPandas)."""
+    for spec in all_specs():
+        plan = _optimized_plan(spec.build(spark, sf_dir))
+        assert "PythonUDF" not in plan and "MapInPandas" not in plan, spec.name
+
+
+def test_symbol_parse_single_codegen_stage(spark, sf_dir):
+    from schwab_elt_etl_pipeline_spark.functions.symbols import parse_option_symbol
+
+    df = (
+        load_table(spark, sf_dir, "part")
+        .select(F.concat(F.lit("SPXW  260813C0600000"), (F.col("p_partkey") % 10).cast("string")).alias("symbol"))
+        .select(parse_option_symbol("symbol").alias("o"))
+    )
+    plan = _executed_plan(df)
+    # toString marks codegen stages with "*(n)"; one span covers the projection
+    assert plan.startswith("*(1) Project")
+
+
+def test_anti_join_is_join_not_filter_loop(spark, sf_dir):
+    from schwab_elt_etl_pipeline_spark.catalog.operators_demo import j3_anti_join
+
+    plan = _executed_plan(j3_anti_join(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+@pytest.mark.parametrize("name", ["t9_gapfill_locf", "flagship_vertical_analytics"])
+def test_gapfill_partitions_explode(spark, sf_dir, name):
+    """The grid explode must sit above a hash repartition on the entity —
+    otherwise a coalesced single partition serializes the fan-out."""
+    spec = next(s for s in all_specs() if s.name == name)
+    plan = _executed_plan(spec.build(spark, sf_dir))
+    assert "Exchange hashpartitioning(user_id" in plan
+    assert "Generate explode" in plan
