@@ -47,6 +47,7 @@ def all_specs() -> list[QuerySpec]:
     from schwab_elt_etl_pipeline_spark.catalog import (
         analytics,
         analytics2,
+        analytics3,
         domain,
         llm_text,
         operators_demo,
@@ -54,7 +55,15 @@ def all_specs() -> list[QuerySpec]:
     )
 
     specs: list[QuerySpec] = []
-    for mod in (analytics, analytics2, operators_demo, domain, llm_text, similarity):
+    for mod in (
+        analytics,
+        analytics2,
+        analytics3,
+        operators_demo,
+        domain,
+        llm_text,
+        similarity,
+    ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in catalog"

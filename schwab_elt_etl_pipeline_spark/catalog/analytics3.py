@@ -1,0 +1,139 @@
+"""Third analytics wave: multi-level aggregation (ROLLUP/CUBE), distinct
+counting (exact + sketch), and as-of-style enrichment.
+
+SURVEY §2.4 notes the reference has no grouping sets or approximate
+aggregates — Spark provides them natively, so the engine exposes them as
+first-class queries (the "free wins" a reference user gains by switching).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
+from schwab_elt_etl_pipeline_spark.sources import load_table
+
+
+def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation): per-nation, per-region subtotal, and
+    grand total in one pass (partial aggregation handles all levels)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name", "r_name"
+        )
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(dims, cust.c_nationkey == dims.n_nationkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+A_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting per group (the expensive baseline the sketch
+    below approximates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+A_COUNT_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch counting — the 100 TB path (one pass, fixed
+    memory, no distinct shuffle). Sketch values are engine-specific →
+    rows-only check; the exact twin above is the oracle-checked baseline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supps_approx"),
+    )
+
+
+def t_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3 notes the reference lacks one; the gap-fill
+    proc implies it): attach to each 'purchase' event the most recent prior
+    'view' value of the same user. Implemented as union + LOCF window —
+    shuffle-once, no range-join explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value"), F.lit(0).alias("is_probe"),
+        F.col("event_id"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("double").alias("view_value"),
+        F.lit(1).alias("is_probe"), F.col("event_id"),
+    )
+    merged = views.unionByName(buys)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn("last_view_value", F.last("view_value", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select("user_id", "ts", "event_id", "last_view_value")
+    )
+
+
+T_ASOF_SQL = """
+WITH merged AS (
+  SELECT user_id, ts, value AS view_value, 0 AS is_probe, event_id
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, NULL AS view_value, 1 AS is_probe, event_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, ts, event_id, last_view_value
+FROM (
+  SELECT user_id, ts, event_id, is_probe,
+         LAST_VALUE(view_value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_probe, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+  FROM merged
+)
+WHERE is_probe = 1
+"""
+
+
+SPECS = [
+    QuerySpec("a_rollup_revenue", a_rollup_revenue, A_ROLLUP_SQL,
+              doc="ROLLUP multi-level aggregation"),
+    QuerySpec("a_count_distinct", a_count_distinct, A_COUNT_DISTINCT_SQL,
+              doc="exact distinct counts per group"),
+    QuerySpec("a_approx_distinct", a_approx_distinct, None,
+              doc="HLL++ sketch counts (rows-only; engine-specific values)"),
+    QuerySpec("t_asof_enrich", t_asof_enrich, T_ASOF_SQL,
+              doc="as-of join via union + LOCF window"),
+]

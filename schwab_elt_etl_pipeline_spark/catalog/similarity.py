@@ -16,6 +16,7 @@ from schwab_elt_etl_pipeline_spark.operators.similarity import (
     brute_force_topk,
     bucketed_ann_topk,
     cosine,
+    ivf_kmeans_topk,
 )
 from schwab_elt_etl_pipeline_spark.sources import load_table
 
@@ -85,6 +86,16 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) <= 1
 """
 
 
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-centroid IVF ANN (k-means cells, 2-probe). Rows-only check:
+    the clustering is not SQL-expressible; recall is asserted against the
+    brute-force baseline in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_kmeans_topk(
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=10, n_centroids=16, n_probe=2
+    )
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, banded by id delta ≤ 20."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -118,6 +129,8 @@ SPECS = [
               doc="brute-force cosine top-k (exact baseline)"),
     QuerySpec("ann_bucketed_topk", ann_bucketed_topk, ANN_BUCKETED_SQL,
               doc="sign-LSH bucketed ANN (scale path)"),
+    QuerySpec("ann_ivf_kmeans", ann_ivf_kmeans, None,
+              doc="k-means IVF ANN, 2-probe (rows-only)"),
     QuerySpec("embedding_near_dup", embedding_near_dup, EMBEDDING_NEAR_DUP_SQL,
               doc="banded embedding-cosine near-dup pairs"),
 ]

@@ -1,0 +1,110 @@
+"""Plain-parquet warehouse tables with idempotent writes.
+
+The reference's warehouse is SQL Server tables with IF-NOT-EXISTS / MERGE
+semantics (SURVEY §2.3). On a data lake without a table format, this module
+provides the same guarantees over plain parquet:
+
+- ``append``: partition-aware append (the cheap path — use for Bronze).
+- ``overwrite_versioned``: writes to a fresh ``_v{n}`` directory, then flips a
+  tiny ``_CURRENT`` pointer file — readers never observe a half-written table
+  and a crashed writer leaves the previous version intact (poor-man's
+  atomicity; a real deployment swaps in Delta/Iceberg whose MERGE/commit
+  protocol this interface mirrors 1:1).
+- ``merge``: anti-join/upsert via :mod:`operators.merge`, materialized through
+  ``overwrite_versioned``.
+
+Scale notes: merge rewrites the table, so keep tables **partitioned by a
+date-derived column** and merge per partition (pass ``partition_filter``) —
+that bounds each merge to the touched partitions, which is exactly how the
+reference's daily re-imports behave (docs/sql_server.md:91-96).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from schwab_elt_etl_pipeline_spark.operators.merge import insert_new, merge_upsert
+
+_POINTER = "_CURRENT"
+
+
+class ParquetTable:
+    """A named parquet table rooted at ``path`` with versioned overwrites."""
+
+    def __init__(self, spark: SparkSession, path: str, partition_by: Sequence[str] = ()):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.partition_by = list(partition_by)
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- version pointer ----------------------------------------------------
+    def _pointer_file(self) -> str:
+        return os.path.join(self.path, _POINTER)
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer_file()) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.path, f"_v{version}")
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    # -- read/write ---------------------------------------------------------
+    def read(self) -> DataFrame:
+        version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"table has no committed version: {self.path}")
+        return self.spark.read.parquet(self._version_dir(version))
+
+    def overwrite_versioned(self, df: DataFrame) -> int:
+        """Write a new version directory, then atomically flip the pointer."""
+        version = (self.current_version() or 0) + 1
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self._version_dir(version))
+        tmp = self._pointer_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._pointer_file())  # atomic on POSIX
+        return version
+
+    def append(self, df: DataFrame) -> None:
+        """Append into the CURRENT version dir (Bronze-style append log)."""
+        version = self.current_version()
+        if version is None:
+            self.overwrite_versioned(df)
+            return
+        writer = df.write.mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self._version_dir(version))
+
+    # -- idempotent loads ---------------------------------------------------
+    def insert_new(self, batch: DataFrame, keys: Sequence[str]) -> int:
+        """IF-NOT-EXISTS semantics (J3/J9): append only unseen keys.
+        Returns the number of rows inserted."""
+        if not self.exists():
+            deduped = batch.dropDuplicates(list(keys))
+            self.overwrite_versioned(deduped)
+            return deduped.count()
+        fresh = insert_new(batch, self.read(), keys=keys)
+        n = fresh.count()
+        if n:
+            self.append(fresh)
+        return n
+
+    def merge(self, batch: DataFrame, keys: Sequence[str], insert_only: bool = False) -> int:
+        """MERGE semantics (J7/J8) materialized as a new version."""
+        if not self.exists():
+            return self.overwrite_versioned(batch.dropDuplicates(list(keys)))
+        merged = merge_upsert(batch, self.read(), keys=keys, insert_only=insert_only)
+        return self.overwrite_versioned(merged)

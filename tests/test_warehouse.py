@@ -1,0 +1,70 @@
+"""Warehouse table tests: versioned overwrite atomicity, idempotent
+insert_new, MERGE, partitioned layout (SURVEY §2.1 S5/S6/S8, §2.3 J7/J8)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
+
+
+@pytest.fixture()
+def table_dir():
+    d = tempfile.mkdtemp(prefix="wh_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_versioned_overwrite_and_read(spark, table_dir):
+    t = ParquetTable(spark, table_dir)
+    assert not t.exists()
+    with pytest.raises(FileNotFoundError):
+        t.read()
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    v1 = t.overwrite_versioned(df)
+    assert v1 == 1 and t.read().count() == 2
+
+    v2 = t.overwrite_versioned(df.withColumn("v", F.upper("v")))
+    assert v2 == 2
+    assert {r["v"] for r in t.read().collect()} == {"A", "B"}
+
+
+def test_insert_new_idempotent(spark, table_dir):
+    t = ParquetTable(spark, table_dir)
+    batch = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b2")], "k long, v string")
+    assert t.insert_new(batch, keys=["k"]) == 2  # in-batch dup collapsed
+    assert t.insert_new(batch, keys=["k"]) == 0  # re-run inserts nothing
+    batch2 = spark.createDataFrame([(2, "x"), (3, "c")], "k long, v string")
+    assert t.insert_new(batch2, keys=["k"]) == 1  # only the new key
+    assert t.read().count() == 3
+
+
+def test_merge_upsert(spark, table_dir):
+    t = ParquetTable(spark, table_dir)
+    t.overwrite_versioned(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.merge(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"), keys=["k"])
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}  # update + insert + retain
+
+    t.merge(spark.createDataFrame([(3, "IGNORED"), (4, "d")], "k long, v string"),
+            keys=["k"], insert_only=True)
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows[3] == "c" and rows[4] == "d"  # insert-only keeps target row
+
+
+def test_partitioned_layout_prunes(spark, table_dir):
+    t = ParquetTable(spark, table_dir, partition_by=["d"])
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("d")
+    )
+    t.overwrite_versioned(df)
+    scan = t.read().filter(F.col("d") == 2)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert scan.count() == 25
+    # partition pruning: the partition filter reaches the scan
+    assert "PartitionFilters: [isnotnull(d" in plan
