@@ -1,0 +1,48 @@
+"""Operational entities: balances snapshots, account-hash upsert, log sink
+(SURVEY §1.5 tail: sql/opt.sql:215-231,237-244,176-192).
+
+Small tables with big invariants:
+
+- BALANCES: append-only snapshots, PK (ApiCallTime, accountId) — re-polling
+  the same instant must not duplicate (tools/db.py insert guards).
+- HASH: MERGE on Name, latest hash wins (tools/db.py:302-314).
+- PYTHON_LOGS: plain append sink with a retention filter (the reference
+  prunes by date; here a filter + overwrite or partition drop).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.operators.merge import insert_new, merge_upsert
+
+
+def append_balances(snapshot: DataFrame, balances: DataFrame | None = None) -> DataFrame:
+    """New snapshot rows keyed by PK (ApiCallTime, accountId)
+    (sql/opt.sql:225-229)."""
+    if balances is None:
+        return snapshot.dropDuplicates(["ApiCallTime", "accountId"])
+    return insert_new(snapshot, balances, keys=["ApiCallTime", "accountId"])
+
+
+def upsert_account_hash(snapshot: DataFrame, hashes: DataFrame | None = None) -> DataFrame:
+    """J8: MERGE on Name — the account-hash lookup table
+    (tools/db.py:302-314). Latest snapshot wins per Name."""
+    if hashes is None:
+        return snapshot.dropDuplicates(["Name"])
+    return merge_upsert(snapshot, hashes, keys=["Name"])
+
+
+def latest_account_hash(hashes: DataFrame) -> DataFrame:
+    """O3: ``TOP 1 ORDER BY update_time DESC`` (tools/db.py:140-145)."""
+    return hashes.orderBy(F.desc("update_time"), F.asc("Name")).limit(1)
+
+
+def prune_logs(logs: DataFrame, keep_days: int, now: dt.datetime) -> DataFrame:
+    """Retention: drop log rows older than ``keep_days`` (the reference's
+    maintenance delete; on partitioned storage this is a partition drop)."""
+    cutoff = now - dt.timedelta(days=keep_days)
+    return logs.filter(F.col("log_time") >= F.lit(cutoff))
