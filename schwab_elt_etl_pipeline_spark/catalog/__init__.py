@@ -49,6 +49,7 @@ def all_specs() -> list[QuerySpec]:
         analytics2,
         analytics3,
         domain,
+        domain_pipeline,
         llm_text,
         operators_demo,
         similarity,
@@ -61,6 +62,7 @@ def all_specs() -> list[QuerySpec]:
         analytics3,
         operators_demo,
         domain,
+        domain_pipeline,
         llm_text,
         similarity,
     ):

@@ -90,8 +90,8 @@ def densify_legs(
         ts="T",
         values=["O"],
         step=step,
-        grid_start=f"date_trunc('minute', _min_ts)",
-        grid_end=f"timestamp'{end_ts.isoformat(sep=' ')}'",
+        grid_start="date_trunc('minute', _min_ts)",
+        grid_end=f"timestamp_ntz'{end_ts.isoformat(sep=' ')}'",
     )
 
 
