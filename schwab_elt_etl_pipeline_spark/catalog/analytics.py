@@ -40,6 +40,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = price12 * disc_f * tax_f
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        # NOTE: no repartition before the agg — partial aggregation collapses
+        # 600k rows to 4 groups pre-shuffle, so a row-spreading exchange costs
+        # more than the single-task decimal math it would parallelize
+        # (measured 1.8s -> 5-7s with an RR repartition here)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec("l_quantity")).alias("_sq"),

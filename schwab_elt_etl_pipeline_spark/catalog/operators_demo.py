@@ -587,8 +587,32 @@ FROM joined
 """
 
 
+# --------------------------------------------------------------------------
+# F16: semi-structured JSON columns — parse, extract, re-serialize
+# (tools/db.py:741 keeps raw JSON; services/schwab_stream.py:281 parses it).
+# events.props carries JSON documents like {"k": 87}.
+# --------------------------------------------------------------------------
+def f16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        F.to_json(F.struct(F.col("event_id"), parsed["k"].alias("k"))).alias("audit_json"),
+    )
+
+
+F16_SQL = """
+SELECT event_id,
+       CAST(props->>'$.k' AS INT) AS k,
+       '{"event_id":' || event_id || ',"k":' || CAST(props->>'$.k' AS INT) || '}' AS audit_json
+FROM events
+"""
+
+
 SPECS = [
     QuerySpec("s1_scan_projection", s1_scan_projection, S1_SQL, doc="P1/P2 projection+rename+filter"),
+    QuerySpec("f16_json_extract", f16_json_extract, F16_SQL, doc="F16 JSON parse/extract/serialize"),
     QuerySpec("p_predicates", p_predicates, P_PREDICATES_SQL, doc="P3/P4/P7/P8 predicates"),
     QuerySpec("p5_time_of_day", p5_time_of_day, P5_SQL, doc="P5/P6 time-of-day + date filters"),
     QuerySpec("j1_left_join", j1_left_join, J1_SQL, doc="J1 left equi-join"),

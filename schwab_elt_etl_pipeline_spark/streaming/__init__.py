@@ -3,9 +3,10 @@
 with TTL, freshness monitoring with a 2-strike alert."""
 
 from schwab_elt_etl_pipeline_spark.streaming.quotes import (
+    dedup_stream,
     latest_per_key,
     read_quote_stream,
     write_bronze_stream,
 )
 
-__all__ = ["latest_per_key", "read_quote_stream", "write_bronze_stream"]
+__all__ = ["dedup_stream", "latest_per_key", "read_quote_stream", "write_bronze_stream"]

@@ -60,6 +60,25 @@ def write_bronze_stream(
     return writer.start()
 
 
+def dedup_stream(quotes: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T8 streaming dedup: drop duplicate ticks keyed (symbol, quote-time)
+    within a watermark.
+
+    The reference dedups against the ENTIRE target at insert time (J9) —
+    correct for batch, unbounded state for a stream. The streaming form bounds
+    state with an event-time watermark: duplicates arriving within
+    ``watermark`` of the max seen event time are dropped; anything later falls
+    through to the batch anti-join downstream (foreachBatch → insert_new),
+    which stays the source of truth for idempotence.
+    """
+    with_event_time = quotes.withColumn(
+        "event_time", F.timestamp_millis(F.col("received_at"))
+    )
+    return with_event_time.withWatermark("event_time", watermark).dropDuplicates(
+        ["symbol", "38"]
+    )
+
+
 def latest_per_key(quotes: DataFrame, ttl_seconds: int = 600) -> DataFrame:
     """T3: latest quote per symbol (the Redis-cache view).
 

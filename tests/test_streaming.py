@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.schemas import QUOTES_STREAM
 from schwab_elt_etl_pipeline_spark.streaming import (
+    dedup_stream,
     latest_per_key,
     read_quote_stream,
     write_bronze_stream,
@@ -71,6 +72,34 @@ def test_latest_per_key_with_ttl(spark, tick_rows):
     latest_all = latest_per_key(quotes, ttl_seconds=10 * 24 * 3600)
     rows_all = {r["symbol"]: r for r in latest_all.collect()}
     assert rows_all["SPXW  240621C05500000"]["37"] == 21.0
+
+
+def test_watermarked_stream_dedup(spark, tick_rows):
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="dd_src_")
+    ckpt = tempfile.mkdtemp(prefix="dd_ck_")
+    try:
+        # duplicate every tick (same symbol + quote time, later arrival)
+        dups = [(r[0] + 1000, r[1], r[2], r[3], r[4], r[5]) for r in tick_rows]
+        spark.createDataFrame(tick_rows + dups, QUOTES_STREAM).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = dedup_stream(read_quote_stream(spark, src), watermark="1 hour")
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("dd_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT symbol, `38` FROM dd_out").collect()
+        assert len(out) == len(tick_rows)  # each (symbol, quote-time) once
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def test_freshness_metrics_and_two_strike(spark, tick_rows):
