@@ -30,7 +30,7 @@ def main() -> None:
     specs = [s for s in all_specs() if s.headline]
     timings: dict[str, float] = {}
     total = 0.0
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for spec in specs:
         best = float("inf")
         for _ in range(runs):
@@ -39,6 +39,9 @@ def main() -> None:
             # materialize the full result without driver-side transfer cost
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
+            # drop caches/persists a query may have created so later queries
+            # aren't taxed by leaked executor memory
+            spark.catalog.clearCache()
         timings[spec.name] = round(best, 3)
         total += best
         print(f"# {spec.name}: {best:.3f}s (best of {runs})", file=sys.stderr)

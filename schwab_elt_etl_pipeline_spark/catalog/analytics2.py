@@ -196,9 +196,82 @@ FROM (
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: revenue lost to returns per customer, 4-way join + top-k."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("_r"))
+        .select("c_custkey", "c_name", "n_name", F.col("_r").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: join with disjunctive (OR-of-conjunction) residual
+    predicates — the optimizer must still extract the equi-key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+    ) | (
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 SPECS = [
     QuerySpec("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL,
               doc="decorrelated MIN subquery rejoin"),
+    QuerySpec("q10_returned_items", q10_returned_items, Q10_SQL,
+              doc="4-way join + grouped top-k"),
+    QuerySpec("q19_disjunctive_join", q19_disjunctive_join, Q19_SQL,
+              doc="OR-of-conjunctions join residual"),
     QuerySpec("q4_order_priority", q4_order_priority, Q4_SQL,
               doc="EXISTS semi-join + grouped count"),
     QuerySpec("q12_shipmode_buckets", q12_shipmode_buckets, Q12_SQL,

@@ -108,3 +108,25 @@ class ParquetTable:
             return self.overwrite_versioned(batch.dropDuplicates(list(keys)))
         merged = merge_upsert(batch, self.read(), keys=keys, insert_only=insert_only)
         return self.overwrite_versioned(merged)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist as a BUCKETED catalog table (SURVEY §4: the replacement for the
+    reference's B-tree join indexes).
+
+    Two tables bucketed on the same keys with the same bucket count join
+    WITHOUT a shuffle — the hash partitioning is baked into the file layout at
+    write time, which is the big-join co-location strategy at 100 TB (pay the
+    shuffle once at load, never at query time). ``sortBy`` additionally makes
+    the join a merge of pre-sorted buckets.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(table)

@@ -82,6 +82,33 @@ def test_anti_join_is_join_not_filter_loop(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
+def test_bucketed_join_elides_shuffle(spark, sf_dir):
+    """SURVEY §4: bucketing replaces the reference's join indexes — two
+    tables bucketed on the join key must sort-merge-join with NO exchange."""
+    from pyspark.sql import functions as F
+
+    from schwab_elt_etl_pipeline_spark.sources.warehouse import save_bucketed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders")
+        save_bucketed(li.select("l_orderkey", "l_quantity"), "t_li_b", ["l_orderkey"], 8)
+        save_bucketed(o.select("o_orderkey", "o_totalprice"), "t_o_b", ["o_orderkey"], 8)
+        j = spark.table("t_li_b").join(
+            spark.table("t_o_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = _executed_plan(j)
+        assert j.count() > 0
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located buckets: zero shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_o_b")
+
+
 @pytest.mark.parametrize("name", ["t9_gapfill_locf", "flagship_vertical_analytics"])
 def test_gapfill_partitions_explode(spark, sf_dir, name):
     """The grid explode must sit above a hash repartition on the entity —
