@@ -265,9 +265,112 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of customers by order count — left join
+    preserving zero-order customers, then a count-of-counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("5")
+    )
+    per_cust = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left"
+    ).groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '5%'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated AVG subquery — lines below 20% of their part's
+    average quantity (decorrelated as a groupBy-rejoin)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+            / F.count("l_quantity")
+        ).alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "pk")
+    return (
+        li.join(avg_qty, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_qty_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN (SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) a
+  ON l.l_partkey = a.pk
+WHERE l.l_quantity < 0.2 * a.avg_qty
+"""
+
+
+def q22_global_avg_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar-average filter + anti-join — customers with
+    above-average balance and no orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("a")
+        )
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    no_orders = rich.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_anti"
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_bal"),
+    )
+
+
+Q22_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(c_acctbal) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
 SPECS = [
     QuerySpec("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL,
               doc="decorrelated MIN subquery rejoin"),
+    QuerySpec("q13_customer_distribution", q13_customer_distribution, Q13_SQL,
+              doc="left join + count-of-counts"),
+    QuerySpec("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL,
+              doc="correlated AVG subquery, decorrelated"),
+    QuerySpec("q22_global_avg_anti", q22_global_avg_anti, Q22_SQL,
+              doc="scalar-avg filter + anti-join"),
     QuerySpec("q10_returned_items", q10_returned_items, Q10_SQL,
               doc="4-way join + grouped top-k"),
     QuerySpec("q19_disjunctive_join", q19_disjunctive_join, Q19_SQL,

@@ -127,9 +127,50 @@ WHERE is_probe = 1
 """
 
 
+def t_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation (30-min inactivity gap) — the streaming-
+    native sessionization operator, demonstrated in batch. The oracle is the
+    classic gaps-and-islands rewrite (lag + cumulative boundary flags)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "last_ts",
+        )
+    )
+
+
+T_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, MAX(ts) AS last_ts
+FROM islands GROUP BY user_id, sid
+"""
+
+
 SPECS = [
     QuerySpec("a_rollup_revenue", a_rollup_revenue, A_ROLLUP_SQL,
               doc="ROLLUP multi-level aggregation"),
+    QuerySpec("t_session_window", t_session_window, T_SESSION_SQL,
+              doc="session-window aggregation (30-min gap)"),
     QuerySpec("a_count_distinct", a_count_distinct, A_COUNT_DISTINCT_SQL,
               doc="exact distinct counts per group"),
     QuerySpec("a_approx_distinct", a_approx_distinct, None,

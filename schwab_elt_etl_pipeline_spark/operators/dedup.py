@@ -74,12 +74,18 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
-def minhash_signature(shingles: Column, k: int = 32) -> Column:
+def minhash_signature(shingles_col: str, k: int = 32) -> Column:
     """k-permutation MinHash signature: per hash seed i, the min of
-    ``xxhash64(i, shingle)`` over the row's shingle set."""
+    ``xxhash64(i, shingle)`` over the row's shingle set.
+
+    Built as SQL expressions on a NAMED column: the Python-lambda HOF API
+    collapses structurally-similar lambdas that differ only in an embedded
+    literal (all k seeds evaluated as one — degenerate signatures; caught by
+    tests/test_minhash_accuracy.py). SQL-parsed lambdas keep each seed.
+    """
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            F.expr(f"array_min(transform({shingles_col}, s -> xxhash64({i}, s)))")
             for i in range(k)
         ]
     )
@@ -102,7 +108,7 @@ def minhash_lsh_candidates(
     rows_per_band = k // bands
     sigs = with_shingles(df, text_col, ngram, out="_grams").select(
         F.col(id_col).alias("id"),
-        minhash_signature(F.col("_grams"), k).alias("sig"),
+        minhash_signature("_grams", k).alias("sig"),
     )
     banded = sigs.select(
         "id",

@@ -1,0 +1,65 @@
+"""MinHash estimator quality: on documents with KNOWN shingle overlap, the
+signature-agreement estimate must track true Jaccard (the evidence behind the
+rows-only minhash catalog entry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.operators.dedup import (
+    jaccard,
+    minhash_lsh_candidates,
+    with_shingles,
+)
+
+
+def _doc(words: list[str]) -> str:
+    return " ".join(words)
+
+
+def test_minhash_estimates_track_true_jaccard(spark):
+    vocab = [f"w{i}" for i in range(120)]
+    # pairs engineered at high/medium/low overlap (unigram-ish via 2-gram chain)
+    docs = [
+        (1, _doc(vocab[0:100])),
+        (2, _doc(vocab[0:95] + vocab[100:105])),   # ~high overlap with 1
+        (3, _doc(vocab[0:50] + vocab[60:110])),    # ~medium overlap with 1
+        (4, _doc(vocab[60:120] + vocab[0:5])),     # low overlap with 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # true pairwise bigram jaccard
+    sh = with_shingles(df, "text", 2)
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("a"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("b"))
+    truth = {
+        (r["a_id"], r["b_id"]): r["jac"]
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", jaccard(F.col("a"), F.col("b")).alias("jac"))
+        .collect()
+    }
+
+    # high-k minhash so the estimator variance is tight; bands=k makes every
+    # band a single signature row, so any agreement yields a candidate pair —
+    # we're testing estimation here, not LSH selectivity
+    cands = minhash_lsh_candidates(df, ngram=2, k=128, bands=128)
+    est = {(r["a_id"], r["b_id"]): r["est_jaccard"] for r in cands.collect()}
+
+    pair_hi, pair_lo = (1, 2), (1, 4)
+    assert abs(est[pair_hi] - truth[pair_hi]) < 0.15
+    assert abs(est[pair_lo] - truth[pair_lo]) < 0.15
+    # ordering preserved: the estimator ranks high-overlap above low-overlap
+    assert est[pair_hi] > est[(1, 3)] > est[pair_lo]
+
+
+def test_lsh_banding_finds_near_duplicates(spark):
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = " ".join(f"tok{i}" for i in range(198)) + " tokX tokY"  # ~99% same
+    far = " ".join(f"other{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    cands = minhash_lsh_candidates(df, ngram=2, k=32, bands=8)
+    pairs = {(r["a_id"], r["b_id"]): r["est_jaccard"] for r in cands.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8  # near-dup surfaces
+    assert (1, 3) not in pairs  # unrelated doc never shares a band bucket
