@@ -21,12 +21,13 @@ from schwab_elt_etl_pipeline_spark import catalog
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the Gold-layer analytics
-    shape (dedup → LOCF grid → outlier windows → clamp → rolling average)
-    over the events tick table."""
-    from schwab_elt_etl_pipeline_spark.catalog.domain import flagship_vertical_analytics
+    """Flagship on /root/testdata/sf0.001: the reference's complete pipeline
+    — tick records → Silver (symbol parse, tz convert, session filter,
+    MAX-per-(contract,T) dedup) → Gold (minute-grid LOCF, width-5 leg
+    pairing, outlier windows, clamp, rolling average) → VERT_TS series."""
+    from schwab_elt_etl_pipeline_spark.catalog.domain_pipeline import pipeline_verts_e2e
 
-    return flagship_vertical_analytics(spark, "/root/testdata/sf0.001")
+    return pipeline_verts_e2e(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

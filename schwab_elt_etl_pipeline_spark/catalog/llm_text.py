@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
 from schwab_elt_etl_pipeline_spark.operators.dedup import (
@@ -200,8 +201,65 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, max_hamming=16, prefix_bits=8)
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data curation pass: per document, compute
+    quality metrics + language prediction + exact-dup status, then a
+    keep/drop verdict with the reject reason — the shape a 100 TB corpus
+    cleaning job takes (filter thresholds are illustrative)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint("text")
+    w_dup = F.min("doc_id").over(Window.partitionBy("fp"))
+    scored = (
+        docs.withColumn("fp", fp)
+        .withColumn("keep_id", w_dup)
+        .withColumn("ws_tokens", token_count("text"))
+        .withColumn("punct_ratio", punct_ratio("text"))
+        .withColumn("pred_lang", lang_id("text"))
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_id"), "duplicate")
+        .when(F.col("ws_tokens") < 20, "too_short")
+        .when(F.col("punct_ratio") > 0.1, "too_punctuated")
+        .otherwise("keep")
+    )
+    return scored.select(
+        "doc_id",
+        "pred_lang",
+        "ws_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        reason.alias("verdict"),
+        (reason == "keep").cast("int").alias("kept"),
+    )
+
+
+CURATION_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id,
+         {_FP_SQL} AS fp,
+         MIN(doc_id) OVER (PARTITION BY {_FP_SQL}) AS keep_id,
+         LEN(string_split_regex(TRIM(text), '\s+')) AS ws_tokens,
+         LEN(regexp_extract_all(text, '[^\w\s]')) / LENGTH(text) AS punct_ratio,
+         {_lang_id_sql_expr()} AS pred_lang
+  FROM documents
+)
+SELECT doc_id, pred_lang, ws_tokens,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       CASE WHEN doc_id <> keep_id THEN 'duplicate'
+            WHEN ws_tokens < 20 THEN 'too_short'
+            WHEN punct_ratio > 0.1 THEN 'too_punctuated'
+            ELSE 'keep' END AS verdict,
+       CAST((CASE WHEN doc_id <> keep_id THEN 'duplicate'
+                  WHEN ws_tokens < 20 THEN 'too_short'
+                  WHEN punct_ratio > 0.1 THEN 'too_punctuated'
+                  ELSE 'keep' END) = 'keep' AS INT) AS kept
+FROM scored
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, doc="exact dedup via hash groupBy"),
+    QuerySpec("curation_pipeline", curation_pipeline, CURATION_SQL, headline=True,
+              doc="composite curation: dedup + quality + lang → keep/drop verdicts"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, headline=True,
               doc="quality scoring: tokens/punct/stopwords"),
     QuerySpec("lang_id_heuristic", lang_id_heuristic, LANG_ID_SQL, doc="marker-lexicon language ID"),

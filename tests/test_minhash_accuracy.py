@@ -52,6 +52,26 @@ def test_minhash_estimates_track_true_jaccard(spark):
     assert est[pair_hi] > est[(1, 3)] > est[pair_lo]
 
 
+def test_simhash_separates_near_from_far(spark):
+    from schwab_elt_etl_pipeline_spark.operators.dedup import simhash_near_dups
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = " ".join(f"tok{i}" for i in range(197)) + " tokA tokB tokC"
+    far = " ".join(f"zzz{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    # wide bucket (prefix 1 bit) so candidate generation can't mask distance
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_near_dups(df, max_hamming=64, prefix_bits=1).collect()
+    }
+    near_d = pairs.get((1, 2), 64)
+    far_d = pairs.get((1, 3), pairs.get((2, 3), 64))
+    assert near_d <= 8, f"near-dup hamming too high: {near_d}"
+    assert near_d < far_d, f"simhash failed to separate: near={near_d} far={far_d}"
+
+
 def test_lsh_banding_finds_near_duplicates(spark):
     base = " ".join(f"tok{i}" for i in range(200))
     near = " ".join(f"tok{i}" for i in range(198)) + " tokX tokY"  # ~99% same
