@@ -322,6 +322,64 @@ SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem
 
 
 # --------------------------------------------------------------------------
+# A2: distinct-entities extraction (docs/sql_server.md:244-253: unique
+# contracts from parsed symbols)
+# --------------------------------------------------------------------------
+def a2_distinct_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_partkey", "l_suppkey").distinct()
+
+
+A2_SQL = """
+SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# J9: batch-level natural-key dedup with a DETERMINISTIC survivor (the
+# set-based form of the per-row IF NOT EXISTS guards, tools/db.py:707-1028;
+# dropDuplicates keeps an arbitrary row, so the engine uses max_by/ROW_NUMBER
+# when the surviving row matters)
+# --------------------------------------------------------------------------
+def j9_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max_by(F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")).alias("r")
+    ).select("user_id", "event_type", "r.event_id", "r.ts", "r.value")
+
+
+J9_SQL = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# P9: stream content filter — drop records with missing payload fields
+# (services/schwab_stream.py:294-304,316-324)
+# --------------------------------------------------------------------------
+def p9_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("value").isNotNull()
+        & F.col("props").isNotNull()
+        & (F.col("event_type") != "error")
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+P9_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE value IS NOT NULL AND props IS NOT NULL AND event_type <> 'error'
+"""
+
+
+# --------------------------------------------------------------------------
 # A3-A6: the transactions aggregation shape (sql/opt.sql:282-332): inner
 # leg-level group with signed avg + MAX-as-pivot fill, outer re-aggregation.
 # l_returnflag='R' plays BUY (negated price); partkey plays the symbol.
@@ -624,7 +682,10 @@ SPECS = [
     QuerySpec("j7_merge_insert_only", j7_merge_insert_only, J7_SQL, doc="J7 MERGE insert-only"),
     QuerySpec("j8_merge_upsert", j8_merge_upsert, J8_SQL, doc="J8 MERGE update+insert"),
     QuerySpec("j10_join_aggregate", j10_join_aggregate, J10_SQL, doc="J10 join to aggregate"),
-    QuerySpec("a1_dedup_distinct", a1_dedup_distinct, A1_SQL, doc="A1/A2 distinct dedup"),
+    QuerySpec("a1_dedup_distinct", a1_dedup_distinct, A1_SQL, doc="A1 distinct dedup"),
+    QuerySpec("a2_distinct_entities", a2_distinct_entities, A2_SQL, doc="A2 distinct entities"),
+    QuerySpec("j9_batch_dedup", j9_batch_dedup, J9_SQL, doc="J9 deterministic natural-key dedup"),
+    QuerySpec("p9_content_filter", p9_content_filter, P9_SQL, doc="P9 stream content filter"),
     QuerySpec("a3a6_two_level_signed", a3a6_two_level_signed, A3A6_SQL, doc="A3-A6 two-level signed agg"),
     QuerySpec("a7_max_per_entity_ts", a7_max_per_entity_ts, A7_SQL, doc="A7 MAX per (entity,T)"),
     QuerySpec("a8_bucket_minmax", a8_bucket_minmax, A8_SQL, doc="A8/F11/F20 bucketed scalar range"),
