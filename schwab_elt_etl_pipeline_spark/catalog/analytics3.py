@@ -166,9 +166,35 @@ FROM islands GROUP BY user_id, sid
 """
 
 
+def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets (absent from the reference — SURVEY §2.5 notes no
+    lag/lead appear — but table stakes for an engine): per-user tick-to-tick
+    value delta and the next event's type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value") - F.lag("value", 1).over(w)).alias("delta_prev"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+W_LAG_SQL = """
+SELECT user_id, event_id, ts,
+       value - LAG(value, 1) OVER w AS delta_prev,
+       LEAD(event_type, 1) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 SPECS = [
     QuerySpec("a_rollup_revenue", a_rollup_revenue, A_ROLLUP_SQL,
               doc="ROLLUP multi-level aggregation"),
+    QuerySpec("w_lag_delta", w_lag_delta, W_LAG_SQL,
+              doc="lag/lead offset windows"),
     QuerySpec("t_session_window", t_session_window, T_SESSION_SQL,
               doc="session-window aggregation (30-min gap)"),
     QuerySpec("a_count_distinct", a_count_distinct, A_COUNT_DISTINCT_SQL,

@@ -58,11 +58,34 @@ class ParquetTable:
         return self.current_version() is not None
 
     # -- read/write ---------------------------------------------------------
-    def read(self) -> DataFrame:
-        version = self.current_version()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the current version, or time-travel to an earlier one (older
+        ``_v{n}`` dirs stay on disk until :meth:`vacuum`)."""
+        if version is None:
+            version = self.current_version()
         if version is None:
             raise FileNotFoundError(f"table has no committed version: {self.path}")
-        return self.spark.read.parquet(self._version_dir(version))
+        vdir = self._version_dir(version)
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(f"version {version} not found (vacuumed?): {vdir}")
+        return self.spark.read.parquet(vdir)
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Delete all but the newest ``keep_last`` versions (never the
+        current one). Returns the versions removed."""
+        import shutil
+
+        current = self.current_version()
+        if current is None:
+            return []
+        keep_from = max(1, current - max(keep_last, 1) + 1)
+        removed = []
+        for v in range(1, keep_from):
+            vdir = self._version_dir(v)
+            if os.path.isdir(vdir):
+                shutil.rmtree(vdir)
+                removed.append(v)
+        return removed
 
     def overwrite_versioned(self, df: DataFrame) -> int:
         """Write a new version directory, then atomically flip the pointer."""

@@ -57,6 +57,23 @@ def test_merge_upsert(spark, table_dir):
     assert rows[3] == "c" and rows[4] == "d"  # insert-only keeps target row
 
 
+def test_time_travel_and_vacuum(spark, table_dir):
+    t = ParquetTable(spark, table_dir)
+    for i in range(3):
+        t.overwrite_versioned(
+            spark.createDataFrame([(1, f"v{i + 1}")], "k long, v string")
+        )
+    assert t.current_version() == 3
+    assert t.read(version=1).first()["v"] == "v1"  # time travel
+    assert t.read().first()["v"] == "v3"
+
+    removed = t.vacuum(keep_last=1)
+    assert removed == [1, 2]
+    assert t.read().first()["v"] == "v3"  # current untouched
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)
+
+
 def test_partitioned_layout_prunes(spark, table_dir):
     t = ParquetTable(spark, table_dir, partition_by=["d"])
     df = spark.range(100).select(
