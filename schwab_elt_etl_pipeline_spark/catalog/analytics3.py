@@ -190,9 +190,57 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (bit-identical to DuckDB's
+    ``quantile_cont``); the sketch twin is ``approx_percentile`` for the
+    one-pass 100 TB path (engine-specific values → covered by
+    a_approx_distinct's rows-only pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+
+
+A_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5)  AS p50,
+       quantile_cont(l_extendedprice, 0.9)  AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part attribute group with
+    exclusion predicates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & ~F.col("p_type").startswith("PROMO")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 SPECS = [
     QuerySpec("a_rollup_revenue", a_rollup_revenue, A_ROLLUP_SQL,
               doc="ROLLUP multi-level aggregation"),
+    QuerySpec("a_percentiles", a_percentiles, A_PERCENTILES_SQL,
+              doc="exact interpolated percentiles per group"),
+    QuerySpec("q16_supplier_variety", q16_supplier_variety, Q16_SQL,
+              doc="distinct-count per attribute group + exclusions"),
     QuerySpec("w_lag_delta", w_lag_delta, W_LAG_SQL,
               doc="lag/lead offset windows"),
     QuerySpec("t_session_window", t_session_window, T_SESSION_SQL,
