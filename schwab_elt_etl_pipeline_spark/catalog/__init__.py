@@ -55,16 +55,21 @@ def all_specs() -> list[QuerySpec]:
         similarity,
     )
 
+    # Registry order matters: the driver's correctness gate checks the FIRST
+    # 50 queries per round. Round 1 verified the analytics/operators families
+    # (49/50 hash-match); round 2 front-loads the domain-pipeline and
+    # LLM-data-pipeline families so every query gets an oracle verdict across
+    # the two rounds.
     specs: list[QuerySpec] = []
     for mod in (
-        analytics,
-        analytics2,
-        analytics3,
-        operators_demo,
         domain,
         domain_pipeline,
         llm_text,
         similarity,
+        analytics,
+        analytics2,
+        analytics3,
+        operators_demo,
     ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]

@@ -56,6 +56,20 @@ class CompareResult:
         return f"{'PASS' if self.ok else 'FAIL'} {self.name}: {self.detail}"
 
 
+def _dtype_class(dtype: Any) -> str:
+    """Collapse a pandas dtype into {int, float, other} — the classes whose
+    cross-engine disagreement changes a stringified value hash (1864 vs
+    1864.0). DuckDB's SUM(int)→HUGEINT lands as float64 in pandas while
+    Spark's stays int64; the driver's hash sees that as a mismatch even when
+    every value is numerically equal."""
+    s = str(dtype)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    return "other"
+
+
 def compare_to_oracle(
     name: str,
     spark_df: DataFrame,
@@ -63,12 +77,31 @@ def compare_to_oracle(
     con: duckdb.DuckDBPyConnection,
     max_mismatches_shown: int = 5,
 ) -> CompareResult:
+    # Values compare as Python objects (collect/fetchall) — DATE stays
+    # datetime.date on both engines. The pandas dtype-class check below is
+    # separate: it catches int-vs-float divergence (DuckDB SUM(int)→HUGEINT
+    # →float64) that object equality hides but the driver's hash sees.
     actual_cols = spark_df.columns
+    actual_pdf = spark_df.toPandas()
     actual_rows = [tuple(r) for r in spark_df.collect()]
 
     cur = con.execute(oracle_sql)
     expected_cols = [d[0] for d in cur.description]
     expected_rows = cur.fetchall()
+    expected_pdf = con.execute(oracle_sql).df()
+
+    for col in actual_cols:
+        if col not in expected_pdf.columns:
+            continue
+        ac = _dtype_class(actual_pdf[col].dtype)
+        ec = _dtype_class(expected_pdf[col].dtype)
+        if ac != ec:
+            return CompareResult(
+                name,
+                False,
+                f"dtype class differs on {col!r}: spark={actual_pdf[col].dtype} "
+                f"duckdb={expected_pdf[col].dtype} (hash would mismatch)",
+            )
 
     if sorted(actual_cols) != sorted(expected_cols):
         return CompareResult(
