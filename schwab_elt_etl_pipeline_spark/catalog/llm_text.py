@@ -13,6 +13,7 @@ from pyspark.sql.window import Window
 
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
 from schwab_elt_etl_pipeline_spark.operators.dedup import (
+    connected_components,
     exact_dup_groups,
     jaccard,
     minhash_lsh_candidates,
@@ -182,6 +183,80 @@ WHERE ROUND(LEN(list_intersect(a.grams, b.grams)) /
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment for the whole corpus: Jaccard pairs
+    (jac ≥ 0.3) → connected components → every document labeled with its
+    cluster's minimum doc_id (singletons label themselves). The canonical-doc
+    selection step of a dedup pass — pairs alone under-delete transitive
+    chains (A~B, B~C keeps both A and C)."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jac") >= 0.3)
+    comp = connected_components(pairs, src="a_id", dst="b_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id", F.coalesce("comp", F.col("doc_id")).alias("component")
+    )
+
+
+DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(LEN(string_split_regex(TRIM(LOWER(text)), '\s+')) - 1, 0)),
+           i -> string_split_regex(TRIM(LOWER(text)), '\s+')[i] || ' ' ||
+                string_split_regex(TRIM(LOWER(text)), '\s+')[i+1])) AS grams
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 50
+  WHERE ROUND(LEN(list_intersect(a.grams, b.grams)) /
+              LEN(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.3
+), und AS (
+  SELECT a_id AS s, b_id AS t FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+), reach(s, t) AS (
+  SELECT s, t FROM und
+  UNION
+  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s WHERE u.t <> r.s
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.t), d.doc_id)) AS component
+FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+def token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-500 whitespace tokens by frequency. The
+    classic heavy-shuffle corpus statistic — partial (map-side) aggregation
+    does the combining, then a global TakeOrdered picks the top k; the full
+    sorted vocabulary never materializes on one node. Tie-break on the token
+    string keeps the top-k set deterministic."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(500)
+    )
+
+
+TOKEN_VOCAB_SQL = r"""
+SELECT token, COUNT(*) AS freq
+FROM (SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 500
+"""
+
+
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (rows-only check: xxhash64 signatures have
     no SQL-oracle equivalent)."""
@@ -266,6 +341,10 @@ SPECS = [
     QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, doc="document fingerprinting"),
     QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL, headline=True,
               doc="banded exact n-gram Jaccard near-dup"),
+    QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL,
+              doc="near-dup clusters: pairs → connected components → canonical id"),
+    QuerySpec("token_vocab_topk", token_vocab_topk, TOKEN_VOCAB_SQL,
+              doc="corpus vocabulary top-k by frequency"),
     QuerySpec("minhash_lsh_neardup", minhash_lsh_neardup, None, doc="MinHash+LSH candidates (rows-only)"),
     QuerySpec("simhash_neardup", simhash_neardup, None, doc="SimHash near-dup (rows-only)"),
 ]

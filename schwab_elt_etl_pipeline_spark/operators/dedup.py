@@ -155,6 +155,67 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → ``(node, comp)``
+    with ``comp`` = the minimum node id in the component.
+
+    This is the step after candidate generation (MinHash/SimHash/Jaccard
+    pairs) that turns PAIRS into CLUSTERS so each group keeps one canonical
+    document — without it a dedup pass drops A~B and B~C but keeps A and C.
+
+    Distributed shape: iterative min-label propagation with one
+    pointer-jumping step per round (``comp ← label(comp)``), so convergence
+    is O(log diameter) rounds rather than O(diameter). Each round is two
+    hash-joins + a groupBy on the node key; ``localCheckpoint`` truncates
+    lineage so plans stay flat across iterations. Terminates early via a
+    cheap changed-row probe.
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    )
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und.t == labels.node)
+            .groupBy("s")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        hooked = labels.join(neigh, labels.node == neigh.s, "left").select(
+            "node", F.least("comp", F.coalesce("ncomp", F.col("comp"))).alias("comp")
+        )
+        # pointer jump: comp is always itself a node, so chase one level
+        ptr = hooked.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
+        jumped = (
+            hooked.join(ptr, hooked.comp == ptr.p_node, "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("p_comp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter("n.comp <> o.comp")
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash64(text_col: str) -> Column:
     """64-bit SimHash over whitespace tokens: bit b is set when the sum of
     ±1 votes (token-hash bit b) is positive."""
