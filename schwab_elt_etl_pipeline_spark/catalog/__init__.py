@@ -48,6 +48,7 @@ def all_specs() -> list[QuerySpec]:
         analytics,
         analytics2,
         analytics3,
+        analytics4,
         domain,
         domain_pipeline,
         llm_text,
@@ -57,15 +58,16 @@ def all_specs() -> list[QuerySpec]:
 
     # Registry order matters: the driver's correctness gate checks the FIRST
     # 50 queries per round. Round 1 verified the analytics/operators families
-    # (49/50 hash-match); round 2 front-loads the domain-pipeline and
-    # LLM-data-pipeline families so every query gets an oracle verdict across
-    # the two rounds.
+    # (49/50 hash-match); round 2 front-loads the domain-pipeline,
+    # LLM-data-pipeline, and analytics-wave-3 families (never verified by the
+    # driver yet) so every query gets an oracle verdict across rounds.
     specs: list[QuerySpec] = []
     for mod in (
         domain,
         domain_pipeline,
         llm_text,
         similarity,
+        analytics4,
         analytics,
         analytics2,
         analytics3,
