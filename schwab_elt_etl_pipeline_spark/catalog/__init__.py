@@ -52,6 +52,7 @@ def all_specs() -> list[QuerySpec]:
         domain,
         domain_pipeline,
         llm_text,
+        multimodal_q,
         operators_demo,
         similarity,
     )
@@ -68,6 +69,7 @@ def all_specs() -> list[QuerySpec]:
         llm_text,
         similarity,
         analytics4,
+        multimodal_q,
         analytics,
         analytics2,
         analytics3,

@@ -88,6 +88,65 @@ def decode_stub_features(media: DataFrame, batch_hint_rows: int = 1024) -> DataF
     return media.mapInPandas(decode_batches, schema=_FEATURES_SCHEMA)
 
 
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Binary→binary transform plumbing (image resize shape): ``mapInPandas``
+    stage that rewrites the payload and the typed metadata in one pass.
+
+    STUB kernel: the "resized" payload is the original bytes truncated in
+    proportion to the pixel-count change (deterministic; production swaps in
+    PIL). What this pins down for real: output schema keeps the binary
+    column + meta struct contract, payloads stay executor-side, and the
+    stage preserves row count and partitioning."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def shrink(row):
+                payload = row["payload"] or b""
+                meta = row["meta"]
+                old_px = max((meta["width"] or 1) * (meta["height"] or 1), 1)
+                keep = max(1, int(len(payload) * min(1.0, width * height / old_px)))
+                return payload[:keep]
+
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf.apply(shrink, axis=1),
+                    "meta": pdf["meta"].map(
+                        lambda m: {
+                            "width": width,
+                            "height": height,
+                            "duration_ms": m["duration_ms"],
+                            "sample_rate": m["sample_rate"],
+                        }
+                    ),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(resize_batches, schema=_RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: the sample timestamps are a
     native ``sequence`` explode (pure Spark); only the per-frame decode would

@@ -208,3 +208,27 @@ def test_multimodal_stub_pipeline(spark):
     frames = frame_sample_plan(media, every_ms=1000)
     got_frames = [r["frame_at_ms"] for r in frames.orderBy("frame_at_ms").collect()]
     assert got_frames == [0, 1000, 2000, 3000]  # only the video row, 3.5s span
+
+
+def test_multimodal_resize_stub(spark):
+    from schwab_elt_etl_pipeline_spark.operators.multimodal import MEDIA_SCHEMA, resize_stub
+
+    rows = [
+        (1, "image", "image/png", b"x" * 1000, (100, 100, None, None)),
+        (2, "image", "image/png", b"y" * 50, (4, 4, None, None)),  # upscale → no growth
+        (3, "audio", "audio/wav", None, (None, None, 2000, 16000)),  # null payload
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_stub(media, 10, 10).collect()}
+    assert set(out) == {1, 2, 3}
+    # payload shrinks in proportion to the pixel-count change: 10k→100 px = 1%
+    assert len(out[1]["payload"]) == 10
+    # never grows past the original
+    assert len(out[2]["payload"]) == 50
+    # meta struct rewritten, non-spatial fields carried through
+    assert (out[1]["meta"]["width"], out[1]["meta"]["height"]) == (10, 10)
+    assert out[3]["meta"]["sample_rate"] == 16000
+    assert out[3]["payload"] == b""  # null payload → empty bytes, not None
+    # row-for-row deterministic
+    again = {r["media_id"]: r["payload"] for r in resize_stub(media, 10, 10).collect()}
+    assert again == {k: v["payload"] for k, v in out.items()}
