@@ -55,11 +55,49 @@ def test_silver_optm_join_broadcasts(spark):
 
 
 def test_no_python_udfs_in_relational_catalog(spark, sf_dir):
-    """Every catalog query except the explicitly Python-backed multimodal path
-    must stay JVM-side (no BatchEvalPython / ArrowEvalPython / mapInPandas)."""
+    """Every catalog query except the explicitly Python-backed multimodal
+    decode must stay JVM-side (no BatchEvalPython / ArrowEvalPython /
+    mapInPandas)."""
     for spec in all_specs():
         plan = _optimized_plan(spec.build(spark, sf_dir))
+        if spec.name == "multimodal_decode":
+            # the one sanctioned Python stage: Arrow-batched, irreducible
+            assert "MapInPandas" in plan
+            continue
         assert "PythonUDF" not in plan and "MapInPandas" not in plan, spec.name
+
+
+def test_new_analytics_broadcast_dims(spark, sf_dir):
+    """q7/q8/q9: every nation/supplier/part dim side must broadcast — the
+    fact table is the only shuffle participant."""
+    from schwab_elt_etl_pipeline_spark.catalog.analytics4 import (
+        q7_volume_shipping,
+        q8_market_share,
+        q9_product_profit,
+    )
+
+    for fn, n_bcast in ((q7_volume_shipping, 2), (q8_market_share, 3), (q9_product_profit, 2)):
+        plan = _executed_plan(fn(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= n_bcast, fn.__name__
+
+
+def test_cube_single_shuffle(spark, sf_dir):
+    """CUBE expands grouping sets map-side: one Exchange total."""
+    from schwab_elt_etl_pipeline_spark.catalog.analytics4 import a_cube_revenue
+
+    plan = _executed_plan(a_cube_revenue(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sample_filter_stays_in_scan_stage(spark, sf_dir):
+    """Deterministic hash-mod sampling is a plain integer predicate — it must
+    evaluate inside the first codegen stage (no exchange below it), so the
+    sampled-out 95 % never reaches a shuffle."""
+    from schwab_elt_etl_pipeline_spark.catalog.analytics4 import sample_hash_mod
+
+    plan = _executed_plan(sample_hash_mod(spark, sf_dir))
+    scan_stage = plan.split("Exchange")[-1]  # text below the last Exchange
+    assert "Filter" in scan_stage and "Scan parquet" in scan_stage
 
 
 def test_symbol_parse_single_codegen_stage(spark, sf_dir):
