@@ -523,6 +523,55 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Tumbling-window candles (batch form of streaming.windowed_candles)
+# --------------------------------------------------------------------------
+
+
+def t_tumbling_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows via ``F.window``: per (event_type, hour)
+    OHLC candle over the events stream table. Same expression runs on a
+    stream with a watermark (``streaming.windowed_candles``); open/close are
+    deterministic via a (ts, event_id) tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    tie = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by("value", tie).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", tie).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").cast("timestamp_ntz").alias("h"),
+            "open", "high", "low", "close", "n_ticks",
+        )
+    )
+
+
+T_CANDLES_SQL = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_z
+  FROM events
+)
+SELECT event_type, h,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+       COUNT(*) AS n_ticks
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic hash-mod sampling
 # --------------------------------------------------------------------------
 
@@ -579,6 +628,8 @@ SPECS = [
               doc="PIVOT with explicit value list"),
     QuerySpec("a_stats_moments", a_stats_moments, A_STATS_SQL,
               doc="moment stats via exact power sums"),
+    QuerySpec("t_tumbling_candles", t_tumbling_candles, T_CANDLES_SQL,
+              doc="tumbling event-time OHLC candles (batch twin of the stream op)"),
     QuerySpec("sample_hash_mod", sample_hash_mod, SAMPLE_SQL,
               doc="deterministic hash-mod sampling"),
 ]

@@ -6,7 +6,14 @@ from schwab_elt_etl_pipeline_spark.streaming.quotes import (
     dedup_stream,
     latest_per_key,
     read_quote_stream,
+    windowed_candles,
     write_bronze_stream,
 )
 
-__all__ = ["dedup_stream", "latest_per_key", "read_quote_stream", "write_bronze_stream"]
+__all__ = [
+    "dedup_stream",
+    "latest_per_key",
+    "read_quote_stream",
+    "windowed_candles",
+    "write_bronze_stream",
+]

@@ -98,3 +98,47 @@ def latest_per_key(quotes: DataFrame, ttl_seconds: int = 600) -> DataFrame:
         .filter((F.col("_horizon") - F.col("received_at")) / 1000 <= ttl_seconds)
         .select("symbol", "received_at", "q.*")
     )
+
+
+def windowed_candles(
+    quotes: DataFrame, window: str = "1 minute", watermark: str = "5 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window OHLC candles from the tick stream.
+
+    The reference ingests pre-built candles over REST
+    (tools/schwab.py:870-934); a streaming engine can derive them from the
+    tick stream directly: event-time tumbling windows with a watermark, so
+    state is bounded and ticks later than ``watermark`` are dropped (the
+    batch re-import path remains the source of truth for stragglers, same
+    contract as :func:`dedup_stream`). Note Spark's two-watermark semantics
+    (SPARK-40925): late ticks are filtered against the PREVIOUS batch's
+    watermark, so the drop takes effect one micro-batch after the watermark
+    advances past them.
+
+    Works identically on a batch DataFrame (window() is the same expression);
+    on a stream use append mode — windows emit once finalized.
+
+    Scale: per-window partial aggregation happens map-side; state per key is
+    one (open-by, high, low, close-by, count) tuple — no per-tick retention.
+    """
+    ticks = quotes.filter(F.col("37").isNotNull()).select(
+        "symbol",
+        F.timestamp_millis(F.col("38")).alias("event_time"),
+        F.col("37").alias("mark"),
+    )
+    return (
+        ticks.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), "symbol")
+        .agg(
+            F.min_by("mark", "event_time").alias("O"),
+            F.max("mark").alias("H"),
+            F.min("mark").alias("L"),
+            F.max_by("mark", "event_time").alias("C"),
+            F.count(F.lit(1)).alias("V"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("window_start"),
+            "O", "H", "L", "C", "V",
+        )
+    )

@@ -117,3 +117,92 @@ def test_freshness_metrics_and_two_strike(spark, tick_rows):
     assert mon2.observe(True) is False
     assert mon2.observe(False) is False  # healthy poll resets
     assert mon2.observe(True) is False  # needs 2 consecutive again
+
+
+def test_windowed_candles_batch_semantics(spark):
+    from schwab_elt_etl_pipeline_spark.streaming import windowed_candles
+
+    rows = [
+        (_ms(17, 14, 0), "SPXW  240621C05500000", 20.0, _ms(17, 14, 0), None, None),
+        (_ms(17, 14, 0) + 30_000, "SPXW  240621C05500000", 22.0, _ms(17, 14, 0) + 30_000, None, None),
+        (_ms(17, 14, 0) + 45_000, "SPXW  240621C05500000", 19.0, _ms(17, 14, 0) + 45_000, None, None),
+        (_ms(17, 14, 1), "SPXW  240621C05500000", 21.0, _ms(17, 14, 1), None, None),
+        (_ms(17, 14, 0), "$SPX", None, None, 5500.0, _ms(17, 14, 0)),  # no mark → dropped
+    ]
+    quotes = spark.createDataFrame(rows, QUOTES_STREAM)
+    candles = {
+        (r["symbol"], r["window_start"]): r
+    for r in windowed_candles(quotes, "1 minute").collect()}
+    first = candles[("SPXW  240621C05500000", dt.datetime(2024, 6, 17, 14, 0))]
+    assert (first["O"], first["H"], first["L"], first["C"], first["V"]) == (20.0, 22.0, 19.0, 19.0, 3)
+    second = candles[("SPXW  240621C05500000", dt.datetime(2024, 6, 17, 14, 1))]
+    assert (second["O"], second["C"], second["V"]) == (21.0, 21.0, 1)
+    assert len(candles) == 2  # markless equity row contributed nothing
+
+
+def test_windowed_candles_stream_drops_late_ticks(spark):
+    """Micro-batched file stream (maxFilesPerTrigger=1): a tick arriving two
+    batches after the watermark passed it must be dropped, not resurrect its
+    window. Two-watermark semantics (SPARK-40925): late-event FILTERING uses
+    the previous batch's watermark while EVICTION uses the current one, so
+    the drop takes effect one batch after the watermark advances — hence
+    three batches here."""
+    import time
+
+    from schwab_elt_etl_pipeline_spark.streaming import windowed_candles
+
+    src = tempfile.mkdtemp(prefix="wc_src_")
+    ckpt = tempfile.mkdtemp(prefix="wc_ckpt_")
+    try:
+        batches = [
+            # batch 0: establishes max event time 14:30 → watermark 14:25
+            [
+                (_ms(17, 14, 0), "SPXW  240621C05500000", 20.0, _ms(17, 14, 0), None, None),
+                (_ms(17, 14, 30), "SPXW  240621C05500000", 25.0, _ms(17, 14, 30), None, None),
+            ],
+            # batch 1: watermark 14:25 now active for eviction
+            [(_ms(17, 14, 31), "SPXW  240621C05500000", 26.0, _ms(17, 14, 31), None, None)],
+            # batch 2: 14:05 tick is now late for FILTERING too → dropped
+            [
+                (_ms(17, 14, 5), "SPXW  240621C05500000", 99.0, _ms(17, 14, 5), None, None),
+                (_ms(17, 14, 32), "SPXW  240621C05500000", 27.0, _ms(17, 14, 32), None, None),
+            ],
+        ]
+        for b in batches:
+            spark.createDataFrame(b, QUOTES_STREAM).coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+        stream = (
+            spark.readStream.schema(QUOTES_STREAM)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        q = (
+            windowed_candles(stream, "1 minute", "5 minutes")
+            .writeStream.format("memory")
+            .queryName("wc_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        dropped = sum(
+            (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+            for p in q.recentProgress
+        )
+        assert dropped == 1  # exactly the 99.0 straggler
+        got = {
+            r["window_start"]: r for r in spark.sql("SELECT * FROM wc_out").collect()
+        }
+        # finalized + emitted: only the 14:00 window (end 14:01 ≤ final wm 14:27)
+        assert dt.datetime(2024, 6, 17, 14, 0) in got
+        assert got[dt.datetime(2024, 6, 17, 14, 0)]["V"] == 1
+        # the late 99.0 tick must not have produced a candle
+        assert dt.datetime(2024, 6, 17, 14, 5) not in got
+        # 14:3x windows not finalized (watermark < window end) → absent
+        assert dt.datetime(2024, 6, 17, 14, 30) not in got
+    finally:
+        for d in (src, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
