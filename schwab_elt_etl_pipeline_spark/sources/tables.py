@@ -55,3 +55,34 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register each table as a temp view (for ``spark.sql`` pipelines)."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def conform_to_schema(df: DataFrame, schema) -> DataFrame:
+    """Normalize a drifting-schema DataFrame onto an explicit StructType:
+    missing columns appear as typed nulls, extra columns are dropped, and
+    every column is cast to the declared type, in declared order.
+
+    This is the engine's answer to the reference's drop-and-recreate staging
+    "to handle schema changes" (docs/sql_server.md:124-126): Bronze accepts
+    whatever columns accumulated, Silver conforms to the contract. Pure
+    projection — no shuffle, stays in the scan's codegen stage."""
+    present = {f.name for f in df.schema.fields}
+    return df.select(
+        *[
+            (F.col(f.name) if f.name in present else F.lit(None)).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
+def read_bronze_quotes(spark: SparkSession, path: str) -> DataFrame:
+    """Read a Bronze quotes directory whose daily files have drifted schemas
+    (the stream writes whatever sparse field ids accumulated per day,
+    services/schwab_stream.py:308-313 / tools/parquet_writer.py:39-43):
+    ``mergeSchema`` unions the per-file schemas, then the result is conformed
+    to the canonical QUOTES_STREAM contract."""
+    from schwab_elt_etl_pipeline_spark.schemas import QUOTES_STREAM
+
+    ensure_engine_confs(spark)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return conform_to_schema(df, QUOTES_STREAM)

@@ -206,3 +206,53 @@ def test_windowed_candles_stream_drops_late_ticks(spark):
     finally:
         for d in (src, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bronze_schema_drift_conforms(spark):
+    """SURVEY §1.3: daily stream files are a ragged union of record shapes
+    (options carry fields 37/38, equities 3/35, plus whatever else
+    accumulated). mergeSchema + conform_to_schema normalizes them onto the
+    QUOTES_STREAM contract with typed nulls for absent fields."""
+    from pyspark.sql import types as T
+
+    from schwab_elt_etl_pipeline_spark.sources import read_bronze_quotes
+
+    src = tempfile.mkdtemp(prefix="drift_src_")
+    try:
+        day1 = T.StructType(
+            [
+                T.StructField("received_at", T.LongType()),
+                T.StructField("symbol", T.StringType()),
+                T.StructField("37", T.DoubleType()),
+                T.StructField("38", T.LongType()),
+            ]
+        )
+        day2 = T.StructType(
+            [
+                T.StructField("received_at", T.LongType()),
+                T.StructField("symbol", T.StringType()),
+                T.StructField("3", T.DoubleType()),
+                T.StructField("35", T.LongType()),
+                T.StructField("debug_tag", T.StringType()),  # stray extra col
+            ]
+        )
+        spark.createDataFrame(
+            [(_ms(17, 14, 0), "SPXW  240621C05500000", 20.0, _ms(17, 14, 0))], day1
+        ).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(_ms(18, 14, 0), "$SPX", 5500.0, _ms(18, 14, 0), "x")], day2
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        out = read_bronze_quotes(spark, src)
+        assert [f.name for f in out.schema.fields] == list(QUOTES_STREAM.fieldNames())
+        assert [f.dataType for f in out.schema.fields] == [
+            f.dataType for f in QUOTES_STREAM.fields
+        ]
+        rows = {r["symbol"]: r for r in out.collect()}
+        assert rows["SPXW  240621C05500000"]["37"] == 20.0
+        assert rows["SPXW  240621C05500000"]["3"] is None  # typed null fill
+        assert rows["$SPX"]["3"] == 5500.0
+        assert rows["$SPX"]["37"] is None
+        assert "debug_tag" not in out.columns  # extras dropped
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
