@@ -612,7 +612,7 @@ SPECS = [
               doc="Q7 shape: nation-pair volume by year"),
     QuerySpec("q8_market_share", q8_market_share, Q8_SQL,
               doc="Q8 shape: conditional-share ratio per year"),
-    QuerySpec("q9_product_profit", q9_product_profit, Q9_SQL,
+    QuerySpec("q9_product_profit", q9_product_profit, Q9_SQL, headline=True,
               doc="Q9 shape: profit by nation/year (retail-price cost model)"),
     QuerySpec("q11_important_suppliers", q11_important_suppliers, Q11_SQL,
               doc="Q11 shape: HAVING vs scalar-subquery share threshold"),
@@ -628,7 +628,7 @@ SPECS = [
               doc="PIVOT with explicit value list"),
     QuerySpec("a_stats_moments", a_stats_moments, A_STATS_SQL,
               doc="moment stats via exact power sums"),
-    QuerySpec("t_tumbling_candles", t_tumbling_candles, T_CANDLES_SQL,
+    QuerySpec("t_tumbling_candles", t_tumbling_candles, T_CANDLES_SQL, headline=True,
               doc="tumbling event-time OHLC candles (batch twin of the stream op)"),
     QuerySpec("sample_hash_mod", sample_hash_mod, SAMPLE_SQL,
               doc="deterministic hash-mod sampling"),

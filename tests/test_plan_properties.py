@@ -67,6 +67,28 @@ def test_no_python_udfs_in_relational_catalog(spark, sf_dir):
         assert "PythonUDF" not in plan and "MapInPandas" not in plan, spec.name
 
 
+#: Queries allowed to contain BroadcastNestedLoopJoin: each one broadcasts a
+#: provably tiny side (a 1-row scalar aggregate, or the ANN query vector set).
+_SANCTIONED_BNLJ = {
+    "ann_cosine_topk",       # brute-force baseline: corpus × broadcast queries
+    "ann_ivf_kmeans",        # centroid assignment: corpus × broadcast centroids
+    "embedding_near_dup",    # pairwise baseline over broadcast sample
+    "q11_important_suppliers",  # 1-row global-total broadcast
+    "q22_global_avg_anti",   # 1-row scalar-average broadcast
+}
+
+
+def test_no_unbounded_cross_products(spark, sf_dir):
+    """No catalog plan may contain a CartesianProduct (both sides shuffled =
+    quadratic at scale); BroadcastNestedLoopJoin only where the broadcast
+    side is a scalar/tiny relation (allowlist above)."""
+    for spec in all_specs():
+        plan = _executed_plan(spec.build(spark, sf_dir))
+        assert "CartesianProduct" not in plan, spec.name
+        if spec.name not in _SANCTIONED_BNLJ:
+            assert "BroadcastNestedLoopJoin" not in plan, spec.name
+
+
 def test_new_analytics_broadcast_dims(spark, sf_dir):
     """q7/q8/q9: every nation/supplier/part dim side must broadcast — the
     fact table is the only shuffle participant."""
