@@ -113,3 +113,50 @@ def test_surrogate_key_no_collisions(spark):
     )
     keys = df.select(surrogate_key("a", "b").alias("sk"))
     assert keys.distinct().count() == df.distinct().count()
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    obs=st.dictionaries(
+        st.integers(min_value=1, max_value=3),  # entity id
+        st.dictionaries(
+            st.integers(min_value=0, max_value=30),  # minute offset
+            st.floats(min_value=0, max_value=100, allow_nan=False, width=32),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_gapfill_locf_properties(spark, obs):
+    """T9 invariants for arbitrary sparse series: dense minute grid from each
+    entity's first to last observation; LOCF equals the latest observation at
+    or before each grid point; observed points keep their exact value."""
+    import datetime as dt
+
+    from schwab_elt_etl_pipeline_spark.operators.gapfill import gapfill_locf
+
+    base = dt.datetime(2024, 6, 17, 9, 0)
+    rows = [
+        (e, base + dt.timedelta(minutes=m), float(v))
+        for e, series in obs.items()
+        for m, v in series.items()
+    ]
+    df = spark.createDataFrame(rows, "entity int, t timestamp_ntz, v double")
+    out = gapfill_locf(df, entity=["entity"], ts="t", values=["v"], step="interval 1 minute")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["entity"], {})[r["t"]] = r["v"]
+
+    for e, series in obs.items():
+        lo, hi = min(series), max(series)
+        grid = got[e]
+        # dense grid, exactly first..last observation
+        assert len(grid) == hi - lo + 1
+        carried = None
+        for m in range(lo, hi + 1):
+            t = base + dt.timedelta(minutes=m)
+            if m in series:
+                carried = float(series[m])
+            assert grid[t] == carried  # LOCF

@@ -256,3 +256,33 @@ def test_bronze_schema_drift_conforms(spark):
         assert "debug_tag" not in out.columns  # extras dropped
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tick_rows):
+    """T10: a restarted query resumes from the checkpoint — files already
+    committed are not reprocessed, new files are, and the sink stays
+    duplicate-free. (The reference's reconnect/backoff loop becomes this.)"""
+    src = tempfile.mkdtemp(prefix="rs_src_")
+    sink = tempfile.mkdtemp(prefix="rs_sink_")
+    ckpt = tempfile.mkdtemp(prefix="rs_ckpt_")
+    try:
+        day17 = [r for r in tick_rows if r[0] < _ms(18, 0, 0)]
+        day18 = [r for r in tick_rows if r[0] >= _ms(18, 0, 0)]
+        spark.createDataFrame(day17, QUOTES_STREAM).coalesce(1).write.mode("append").parquet(src)
+
+        q1 = write_bronze_stream(read_quote_stream(spark, src), sink, ckpt)
+        q1.awaitTermination(120)
+        assert spark.read.parquet(sink).count() == len(day17)
+
+        # second run, same checkpoint: only the new file is picked up
+        spark.createDataFrame(day18, QUOTES_STREAM).coalesce(1).write.mode("append").parquet(src)
+        q2 = write_bronze_stream(read_quote_stream(spark, src), sink, ckpt)
+        q2.awaitTermination(120)
+
+        out = spark.read.parquet(sink)
+        assert out.count() == len(tick_rows)  # no reprocessing, no gaps
+        # every (symbol, received_at) exactly once
+        assert out.select("symbol", "received_at").distinct().count() == len(tick_rows)
+    finally:
+        for d in (src, sink, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
