@@ -54,6 +54,7 @@ def all_specs() -> list[QuerySpec]:
         llm_text,
         multimodal_q,
         operators_demo,
+        resolution,
         similarity,
     )
 
@@ -70,6 +71,7 @@ def all_specs() -> list[QuerySpec]:
         similarity,
         analytics4,
         multimodal_q,
+        resolution,
         analytics,
         analytics2,
         analytics3,

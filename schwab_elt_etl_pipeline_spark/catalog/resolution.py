@@ -1,0 +1,96 @@
+"""Interval-join and entity-resolution catalog queries.
+
+Two scale-aware operators the reference lacks, differentially tested: the
+point-in-interval join (bucketed — the oracle states the same semantics as a
+plain BETWEEN join) and blocked fuzzy matching by edit distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
+from schwab_elt_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs
+from schwab_elt_etl_pipeline_spark.operators.interval import point_in_interval_join
+from schwab_elt_etl_pipeline_spark.sources import load_table
+
+
+def j_interval_views_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views within one hour after each purchase, per purchase event — the
+    bucketed interval join; the oracle is the naive BETWEEN join, proving the
+    bucket+residual rewrite is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    hits = point_in_interval_join(
+        views,
+        purchases,
+        point_ts="v_ts",
+        start_ts="p_start",
+        end_ts="p_end",
+        on=["user_id"],
+        max_interval_seconds=3600,
+    )
+    return hits.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_views"))
+
+
+J_INTERVAL_SQL = """
+SELECT p.event_id AS purchase_id, COUNT(*) AS n_views
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND v.ts BETWEEN p.ts AND p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer names within 1 edit of each other, blocked on the 16-char
+    prefix (names are 'Customer#NNNNNNNNN'; the block fixes all but the last
+    two digits, so candidate groups stay ≤ 100 rows at any scale)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_pairs(
+        cust,
+        id_col="c_custkey",
+        text_col="c_name",
+        block_exprs=[F.substring("c_name", 1, 16)],
+        max_dist=1,
+    )
+
+
+FUZZY_SQL = """
+SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+       a.c_name AS a_text, b.c_name AS b_text,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a
+JOIN customer b
+  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "j_interval_views_after_purchase",
+        j_interval_views_after_purchase,
+        J_INTERVAL_SQL,
+        doc="bucketed point-in-interval join vs naive BETWEEN oracle",
+    ),
+    QuerySpec(
+        "fuzzy_name_pairs",
+        fuzzy_name_pairs,
+        FUZZY_SQL,
+        doc="blocked Levenshtein entity resolution",
+    ),
+]

@@ -39,3 +39,61 @@ def test_salted_join_equals_plain(spark):
     plain = left.join(right, on=["k"])
     assert salted.count() == plain.count() == 10_000
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_point_in_interval_join_boundaries(spark):
+    """Bucket rewrite exactness at the edges: inclusive endpoints, intervals
+    crossing a bucket boundary, and over-length intervals rejected."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from schwab_elt_etl_pipeline_spark.operators.interval import point_in_interval_join
+
+    t0 = dt.datetime(2024, 6, 17, 0, 59, 30)  # 30s before the hour bucket edge
+    intervals = spark.createDataFrame(
+        [
+            (1, 101, t0, t0 + dt.timedelta(seconds=60)),   # crosses bucket edge
+            (1, 102, t0, t0 + dt.timedelta(seconds=7200)), # too long → rejected
+        ],
+        "k int, iid int, s timestamp_ntz, e timestamp_ntz",
+    )
+    points = spark.createDataFrame(
+        [
+            (1, 201, t0),                                  # == start (inclusive)
+            (1, 202, t0 + dt.timedelta(seconds=60)),       # == end (inclusive)
+            (1, 203, t0 + dt.timedelta(seconds=45)),       # inside, next bucket
+            (1, 204, t0 + dt.timedelta(seconds=61)),       # just outside
+            (2, 205, t0),                                  # wrong key
+        ],
+        "k int, pid int, p timestamp_ntz",
+    )
+    got = point_in_interval_join(
+        points, intervals, point_ts="p", start_ts="s", end_ts="e",
+        on=["k"], max_interval_seconds=3600,
+    )
+    pairs = {(r["pid"], r["iid"]) for r in got.collect()}
+    assert pairs == {(201, 101), (202, 101), (203, 101)}
+    # each match exactly once despite the 2-bucket explode
+    assert got.count() == 3
+
+
+def test_fuzzy_pairs_blocking_and_threshold(spark):
+    from pyspark.sql import functions as F
+
+    from schwab_elt_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha-001"),
+            (2, "alpha-002"),   # dist 1 from #1, same block
+            (3, "alpha-900"),   # dist 2 from #1 → over threshold
+            (4, "betaa-001"),   # different block: never compared with #1
+        ],
+        "id long, name string",
+    )
+    got = fuzzy_pairs(
+        df, "id", "name", block_exprs=[F.substring("name", 1, 6)], max_dist=1
+    )
+    pairs = {(r["a_id"], r["b_id"], r["dist"]) for r in got.collect()}
+    assert pairs == {(1, 2, 1)}
