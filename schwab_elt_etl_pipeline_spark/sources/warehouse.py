@@ -132,6 +132,42 @@ class ParquetTable:
         merged = merge_upsert(batch, self.read(), keys=keys, insert_only=insert_only)
         return self.overwrite_versioned(merged)
 
+    # -- maintenance ---------------------------------------------------------
+    def data_files(self, version: int | None = None) -> list[str]:
+        """Parquet data files of a version (for size/compaction accounting)."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return []
+        out = []
+        for root, _dirs, files in os.walk(self._version_dir(version)):
+            out.extend(
+                os.path.join(root, f) for f in files if f.endswith(".parquet")
+            )
+        return out
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Rewrite the current version into right-sized files (OPTIMIZE).
+
+        Streaming/micro-batch appends accumulate one small file per trigger —
+        at scale the file-listing and per-file open costs dominate scans long
+        before the data does. Compaction bins the current bytes into
+        ``target_file_bytes`` files (per partition-key when partitioned: each
+        output partition is written by one task → one file) and commits as a
+        NEW version via the same atomic pointer flip, so readers never see a
+        half-compacted table and time travel to the pre-compaction version
+        still works until :meth:`vacuum`. Returns the new version number.
+        """
+        files = self.data_files()
+        total = sum(os.path.getsize(f) for f in files)
+        df = self.read()
+        if self.partition_by:
+            compacted = df.repartition(*self.partition_by)
+        else:
+            n_files = max(1, -(-total // max(target_file_bytes, 1)))
+            compacted = df.repartition(int(n_files))
+        return self.overwrite_versioned(compacted)
+
 
 def save_bucketed(
     df: DataFrame,

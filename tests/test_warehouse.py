@@ -85,3 +85,37 @@ def test_partitioned_layout_prunes(spark, table_dir):
     assert scan.count() == 25
     # partition pruning: the partition filter reaches the scan
     assert "PartitionFilters: [isnotnull(d" in plan
+
+
+def test_compact_merges_small_files(spark, table_dir):
+    """Many micro-batch appends → many small files; compact() rewrites them
+    into few files as a new version, identical data, old version intact."""
+    t = ParquetTable(spark, table_dir)
+    for i in range(6):  # six appends = at least six data files
+        t.overwrite_versioned(spark.range(10).withColumn("b", F.lit(i))) if i == 0 else t.append(
+            spark.range(i * 10, i * 10 + 10).withColumn("b", F.lit(i))
+        )
+    pre_files = t.data_files()
+    assert len(pre_files) >= 6
+    pre_version = t.current_version()
+    pre_rows = sorted(r["id"] for r in t.read().collect())
+
+    new_version = t.compact(target_file_bytes=1 << 30)  # everything into 1 file
+    assert new_version == pre_version + 1
+    assert len(t.data_files()) == 1
+    assert sorted(r["id"] for r in t.read().collect()) == pre_rows
+    # pre-compaction version still time-travelable until vacuum
+    assert t.read(version=pre_version).count() == len(pre_rows)
+
+
+def test_compact_partitioned_one_file_per_partition(spark, table_dir):
+    t = ParquetTable(spark, table_dir, partition_by=["d"])
+    t.overwrite_versioned(
+        spark.range(20).withColumn("d", (F.col("id") % 2).cast("int")).repartition(4)
+    )
+    t.append(spark.range(20, 40).withColumn("d", (F.col("id") % 2).cast("int")).repartition(4))
+    assert len(t.data_files()) > 2
+    t.compact()
+    files = t.data_files()
+    assert len(files) == 2  # one per partition value
+    assert t.read().count() == 40
