@@ -72,3 +72,69 @@ def gap_watchdog(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T6 drift watchdog
+# ---------------------------------------------------------------------------
+
+#: output: one row per drift-triggered resubscription
+DRIFT_SCHEMA = "symbol string, at_ms long, price double, baseline double, drift double"
+#: state: the price the current subscription was built around
+_DRIFT_STATE_SCHEMA = "baseline double"
+
+
+def drift_watchdog(quotes_stream: DataFrame, threshold: float = 30.0) -> DataFrame:
+    """T6 drift-triggered resubscription as a stateful stream operator.
+
+    The reference regenerates its strike universe when the underlying moves
+    ≥ 30 points from the price it subscribed at
+    (services/schwab_stream.py:126-131,190-201). Here the same trigger is
+    per-symbol state (``applyInPandasWithState``): the state holds the
+    subscription baseline; a tick drifting ≥ ``threshold`` from it emits a
+    resubscribe event and re-baselines at that tick. State survives
+    micro-batch boundaries and restarts via the checkpoint.
+
+    (A ``transformWithStateInPandas``/StatefulProcessor form would be the
+    Spark 4-native spelling, but its Python side requires protobuf, absent
+    from this runtime; the GroupState form below is semantically identical.)
+
+    Input rows need ``symbol``, ``received_at`` (epoch ms), and the
+    underlying price in field ``3``. Rows without a price are ignored.
+    """
+
+    def track_drift(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        (baseline,) = state.get if state.exists else (None,)
+
+        ticks: list[tuple[int, float]] = []
+        for pdf in pdfs:
+            sub = pdf[["received_at", "3"]].dropna()
+            ticks.extend(
+                (int(ms), float(px)) for ms, px in zip(sub["received_at"], sub["3"])
+            )
+        out: list[tuple[str, int, float, float, float]] = []
+        for ms, px in sorted(ticks):
+            if baseline is None:
+                baseline = px
+            elif abs(px - baseline) >= threshold:
+                out.append((symbol, ms, px, baseline, px - baseline))
+                baseline = px
+        if baseline is not None:
+            state.update((baseline,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["symbol", "at_ms", "price", "baseline", "drift"]
+            )
+
+    return quotes_stream.groupBy("symbol").applyInPandasWithState(
+        track_drift,
+        outputStructType=DRIFT_SCHEMA,
+        stateStructType=_DRIFT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -50,3 +50,64 @@ def test_gap_watchdog_two_strikes_across_batches(spark):
     finally:
         for d in (src, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_drift_watchdog_rebaselines_across_batches(spark):
+    """T6: baseline set in batch 1 persists in state; a batch-2 tick drifting
+    ≥ threshold emits one resubscribe event and re-baselines, so the next
+    tick (within threshold of the NEW baseline) stays quiet."""
+    import datetime as dt
+    import tempfile
+    import time
+    import shutil
+
+    from schwab_elt_etl_pipeline_spark.schemas import QUOTES_STREAM
+    from schwab_elt_etl_pipeline_spark.streaming.stateful import drift_watchdog
+
+    def _ms(mm):
+        return int(
+            dt.datetime(2024, 6, 17, 14, mm, tzinfo=dt.timezone.utc).timestamp() * 1000
+        )
+
+    src = tempfile.mkdtemp(prefix="dr_src_")
+    ckpt = tempfile.mkdtemp(prefix="dr_ckpt_")
+    try:
+        batches = [
+            # batch 1: baseline 5500; +20 move stays under the 30-pt threshold
+            [
+                (_ms(0), "$SPX", None, None, 5500.0, _ms(0)),
+                (_ms(1), "$SPX", None, None, 5520.0, _ms(1)),
+                (_ms(1), "SPXW  240621C05500000", 20.0, _ms(1), None, None),  # no "3" → ignored
+            ],
+            # batch 2: 5535 is 35 from the baseline → resubscribe, re-baseline;
+            # 5540 is only 5 from the new baseline → quiet
+            [
+                (_ms(2), "$SPX", None, None, 5535.0, _ms(2)),
+                (_ms(3), "$SPX", None, None, 5540.0, _ms(3)),
+            ],
+        ]
+        for b in batches:
+            spark.createDataFrame(b, QUOTES_STREAM).coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(QUOTES_STREAM)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            drift_watchdog(stream, threshold=30.0)
+            .writeStream.format("memory")
+            .queryName("drift_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM drift_out").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["price"], r["baseline"], r["drift"]) == (5535.0, 5500.0, 35.0)
+    finally:
+        for d in (src, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
