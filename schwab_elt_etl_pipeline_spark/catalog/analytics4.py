@@ -607,6 +607,67 @@ GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# Ranking-function family beyond row_number
+# --------------------------------------------------------------------------
+
+
+def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over customers by account balance
+    within each market segment (c_custkey tiebreak keeps every rank
+    deterministic)."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+W_RANK_SQL = """
+SELECT c_custkey, c_mktsegment,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation
+# --------------------------------------------------------------------------
+
+
+def a_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: per order priority, the sorted
+    distinct set of ship modes… (schema has none) — statuses, joined. Spark
+    has no ordered LISTAGG, so sort the collected array before joining
+    (collect order is partition-dependent; array_sort fixes it)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.collect_set("o_orderstatus").alias("_s"))
+        .select(
+            "o_orderpriority",
+            F.array_join(F.array_sort("_s"), ",").alias("statuses"),
+        )
+    )
+
+
+A_COLLECT_SQL = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 SPECS = [
     QuerySpec("q7_volume_shipping", q7_volume_shipping, Q7_SQL,
               doc="Q7 shape: nation-pair volume by year"),
@@ -632,4 +693,8 @@ SPECS = [
               doc="tumbling event-time OHLC candles (batch twin of the stream op)"),
     QuerySpec("sample_hash_mod", sample_hash_mod, SAMPLE_SQL,
               doc="deterministic hash-mod sampling"),
+    QuerySpec("w_rank_family", w_rank_family, W_RANK_SQL,
+              doc="ntile/percent_rank/cume_dist with deterministic tiebreak"),
+    QuerySpec("a_collect_sorted", a_collect_sorted, A_COLLECT_SQL,
+              doc="ordered string aggregation (sorted collect_set)"),
 ]

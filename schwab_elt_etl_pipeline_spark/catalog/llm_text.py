@@ -331,8 +331,47 @@ FROM scored
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation form of exact dedup: within each fingerprint group keep the
+    BEST document (longest text, doc_id tiebreak) — max_by over the dup
+    group, the reference's MAX-on-collision pattern (A7/A10) applied to
+    corpus curation."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    return (
+        docs.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.length("text").alias("l"), (-F.col("doc_id")).alias("i"))
+            ).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max(F.length("text")).alias("best_len"),
+        )
+        .select(F.col("_fp").alias("fp"), "keep_id", "n_dups", "best_len")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH ranked AS (
+  SELECT {_FP_SQL} AS fp, doc_id, length(text) AS len,
+         ROW_NUMBER() OVER (PARTITION BY {_FP_SQL}
+                            ORDER BY length(text) DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT fp,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+       COUNT(*) AS n_dups,
+       MAX(len) AS best_len
+FROM ranked
+GROUP BY fp
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, doc="exact dedup via hash groupBy"),
+    QuerySpec("dedup_keep_best", dedup_keep_best, DEDUP_KEEP_BEST_SQL,
+              doc="exact dedup keeping the best doc per group"),
     QuerySpec("curation_pipeline", curation_pipeline, CURATION_SQL, headline=True,
               doc="composite curation: dedup + quality + lang → keep/drop verdicts"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, headline=True,
