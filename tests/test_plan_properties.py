@@ -103,6 +103,30 @@ def test_new_analytics_broadcast_dims(spark, sf_dir):
         assert plan.count("BroadcastHashJoin") >= n_bcast, fn.__name__
 
 
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("q1_pricing_summary", 1),   # single partial→final aggregate
+        ("a_cube_revenue", 1),       # grouping sets expand map-side
+        ("sample_hash_mod", 1),      # sampling predicate below the agg
+        ("w_rank_family", 1),        # one window sort
+        ("a_collect_sorted", 1),
+        ("fuzzy_name_pairs", 0),     # blocked self-join broadcasts
+        ("t_tumbling_candles", 1),
+    ],
+)
+def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
+    """ARCHITECTURE.md's shuffle-budget claims, executable: these plan shapes
+    are scale-invariant (no broadcast-threshold dependence), so their shuffle
+    Exchange count is a hard budget."""
+    import re
+
+    spec = next(s for s in all_specs() if s.name == name)
+    plan = _executed_plan(spec.build(spark, sf_dir))
+    n = len(re.findall(r"^\s*[:+\-\* ]*Exchange", plan, re.M))
+    assert n <= max_exchanges, f"{name}: {n} shuffle exchanges (budget {max_exchanges})"
+
+
 def test_cube_single_shuffle(spark, sf_dir):
     """CUBE expands grouping sets map-side: one Exchange total."""
     from schwab_elt_etl_pipeline_spark.catalog.analytics4 import a_cube_revenue
