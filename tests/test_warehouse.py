@@ -119,3 +119,24 @@ def test_compact_partitioned_one_file_per_partition(spark, table_dir):
     files = t.data_files()
     assert len(files) == 2  # one per partition value
     assert t.read().count() == 40
+
+
+def test_dynamic_partition_pruning_on_partitioned_table(spark, table_dir):
+    """At 100 TB the fact table is date-partitioned; joining through a
+    filtered dim must prune partitions at RUNTIME (DPP), not scan all of
+    them. The partitioned warehouse layout + a broadcastable filtered dim is
+    exactly the shape Spark's dynamicpruningexpression needs."""
+    fact = ParquetTable(spark, table_dir + "/fact", partition_by=["d"])
+    fact.overwrite_versioned(
+        spark.range(10_000).select(
+            F.col("id"), (F.col("id") % 30).cast("int").alias("d"), (F.col("id") * 2).alias("v")
+        )
+    )
+    dim = spark.range(30).select(
+        F.col("id").alias("d_key"),
+        F.when(F.col("id") < 3, "hot").otherwise("cold").alias("cls"),
+    )
+    j = fact.read().join(dim.filter(F.col("cls") == "hot"), F.col("d") == F.col("d_key"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    assert j.count() == 3 * 334  # 3 of 30 partitions survive (334 rows each)
