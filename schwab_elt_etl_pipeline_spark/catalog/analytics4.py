@@ -572,6 +572,33 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Approximate quantiles (sketch; no SQL oracle — accuracy pinned in tests)
+# --------------------------------------------------------------------------
+
+
+def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style mergeable sketch) per event_type — the
+    scale path for quantiles: one pass, map-side mergeable partial sketches,
+    error bounded by 1/accuracy in RANK (not value), vs the exact
+    percentile's full sort. Cross-engine sketch internals differ, so this is
+    a rows-only check; tests/test_sketch_accuracy.py pins the rank error
+    against the exact quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.expr(
+        "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+    ).alias("qs")
+    return ev.groupBy("event_type").agg(
+        q, F.count(F.lit(1)).alias("n")
+    ).select(
+        "event_type",
+        F.col("qs")[0].alias("p50"),
+        F.col("qs")[1].alias("p90"),
+        F.col("qs")[2].alias("p99"),
+        "n",
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic hash-mod sampling
 # --------------------------------------------------------------------------
 
@@ -695,6 +722,8 @@ SPECS = [
               doc="deterministic hash-mod sampling"),
     QuerySpec("w_rank_family", w_rank_family, W_RANK_SQL,
               doc="ntile/percent_rank/cume_dist with deterministic tiebreak"),
+    QuerySpec("a_approx_quantiles", a_approx_quantiles, None,
+              doc="approx_percentile sketch (mergeable; accuracy pinned in tests)"),
     QuerySpec("a_collect_sorted", a_collect_sorted, A_COLLECT_SQL,
               doc="ordered string aggregation (sorted collect_set)"),
 ]
