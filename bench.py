@@ -28,23 +28,25 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
     specs = [s for s in all_specs() if s.headline]
-    timings: dict[str, float] = {}
-    total = 0.0
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for spec in specs:
-        best = float("inf")
-        for _ in range(runs):
+    # Interleaved rounds (all queries per round, best across rounds): a host
+    # noise burst then taxes one ROUND, not every attempt of one query —
+    # strictly better minima than per-query repeats under bursty load.
+    best: dict[str, float] = {s.name: float("inf") for s in specs}
+    for _ in range(runs):
+        for spec in specs:
             start = time.perf_counter()
             df = spec.build(spark, sf_dir)
             # materialize the full result without driver-side transfer cost
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
+            best[spec.name] = min(best[spec.name], time.perf_counter() - start)
             # drop caches/persists a query may have created so later queries
             # aren't taxed by leaked executor memory
             spark.catalog.clearCache()
-        timings[spec.name] = round(best, 3)
-        total += best
-        print(f"# {spec.name}: {best:.3f}s (best of {runs})", file=sys.stderr)
+    timings = {name: round(t, 3) for name, t in best.items()}
+    total = sum(best.values())
+    for name, t in best.items():
+        print(f"# {name}: {t:.3f}s (best of {runs})", file=sys.stderr)
 
     print(
         json.dumps(
