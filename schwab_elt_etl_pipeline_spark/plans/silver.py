@@ -61,6 +61,19 @@ def parse_quotes(quotes: DataFrame) -> DataFrame:
     return parsed
 
 
+def parse_underlying(quotes: DataFrame) -> DataFrame:
+    """Underlying ($SPX) marks with wall-clock T — the strike-range input
+    (docs/sql_server.md:429-434). Output: (T timestamp_ntz, Mark double)."""
+    return (
+        quotes.filter(F.col("symbol") == "$SPX")
+        .filter(F.col("3").isNotNull() & F.col("35").isNotNull())
+        .select(
+            epoch_ms_to_tz_naive(F.col("35")).alias("T"),
+            F.col("3").alias("Mark"),
+        )
+    )
+
+
 def build_opt(parsed: DataFrame, opt: DataFrame | None = None) -> DataFrame:
     """Step 3: contract master upsert — returns the NEW rows to append.
 

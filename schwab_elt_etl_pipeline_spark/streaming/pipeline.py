@@ -58,3 +58,85 @@ def run_streaming_silver(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_medallion(
+    quotes_stream: DataFrame,
+    opt_table: ParquetTable,
+    optm_table: ParquetTable,
+    underlying_table: ParquetTable,
+    vert_table: ParquetTable,
+    vert_ts_table: ParquetTable,
+    checkpoint_dir: str,
+    width: int = 5,
+    opt_range: int = 100,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Bronze→Silver→Gold maintained incrementally from the tick stream.
+
+    Silver per micro-batch as :func:`run_streaming_silver` (plus the $SPX
+    underlying marks). Gold's windows need a day's full series, so its
+    incremental unit is the TOUCHED DAY: for each day present in the batch,
+    re-run the Gold build over that day's OPTM slice and ``insert_new`` the
+    results — VERT keyed (SID, LID), VERT_TS keyed (VID, T), both
+    insert-only, mirroring the reference's anti-join inserts
+    (docs/sql_server.md:511-520,553-575), so replays and late data never
+    duplicate and a crashed batch resumes exactly-once-effective.
+    """
+    import pyspark.sql.functions as F
+
+    from schwab_elt_etl_pipeline_spark.plans.gold import run_gold
+    from schwab_elt_etl_pipeline_spark.plans.silver import parse_underlying
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        und = parse_underlying(batch)
+        if not und.isEmpty():
+            underlying_table.insert_new(und, keys=["T"])
+        parsed = parse_quotes(batch)
+        if parsed.isEmpty():
+            return
+        if opt_table.exists():
+            opt_table.insert_new(build_opt(parsed, opt_table.read()), keys=["Strike", "CP", "Expiry"])
+        else:
+            opt_table.overwrite_versioned(build_opt(parsed))
+        optm_table.insert_new(
+            build_optm_increment(parsed, opt_table.read()), keys=["OPT_ID", "T"]
+        )
+
+        if not underlying_table.exists():
+            return  # no $SPX marks yet → strike range undefined, Gold waits
+        days = [
+            r["d"] for r in parsed.select(F.to_date("T").alias("d")).distinct().collect()
+        ]
+        opt_all = opt_table.read()
+        optm_all = optm_table.read()
+        und_all = underlying_table.read()
+        for day in sorted(days):
+            day_optm = optm_all.filter(F.to_date("T") == F.lit(day))
+            day_und = und_all.filter(F.to_date("T") == F.lit(day))
+            if day_und.isEmpty():
+                continue
+            min_time = day_optm.agg(F.min("T")).first()[0]
+            vert_prev = vert_table.read() if vert_table.exists() else None
+            ts_prev = vert_ts_table.read() if vert_ts_table.exists() else None
+            vert_all, ts_all = run_gold(
+                day_optm, opt_all, day_und, min_time=min_time, width=width,
+                opt_range=opt_range, vert=vert_prev, vert_ts=ts_prev,
+            )
+            if vert_prev is None:
+                vert_table.overwrite_versioned(vert_all)
+            else:
+                vert_table.insert_new(vert_all, keys=["SID", "LID"])
+            if ts_prev is None:
+                vert_ts_table.overwrite_versioned(ts_all)
+            else:
+                vert_ts_table.insert_new(ts_all, keys=["VID", "T"])
+
+    writer = quotes_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

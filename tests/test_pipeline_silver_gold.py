@@ -115,11 +115,6 @@ def test_gold_verticals(spark, quotes):
 
 
 def silver_underlying(quotes):
-    """Underlying ($SPX) marks with Pacific wall-clock T (docs/sql_server.md:429-434)."""
-    from schwab_elt_etl_pipeline_spark.functions.timeutils import epoch_ms_to_tz_naive
+    from schwab_elt_etl_pipeline_spark.plans.silver import parse_underlying
 
-    return (
-        quotes.filter(F.col("symbol") == "$SPX")
-        .filter(F.col("3").isNotNull())
-        .select(epoch_ms_to_tz_naive(F.col("35")).alias("T"), F.col("3").alias("Mark"))
-    )
+    return parse_underlying(quotes)

@@ -65,3 +65,68 @@ def test_streaming_silver_incremental(spark):
     finally:
         for d in (src, wh, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_medallion_incremental_gold(spark):
+    """Bronze→Silver→Gold from the stream: batch 1 builds spreads for the
+    day; batch 2 (replay + new strike) adds only new VERT/VERT_TS rows; a
+    third run with no new files changes nothing (exactly-once-effective)."""
+    import time
+
+    from schwab_elt_etl_pipeline_spark.streaming.pipeline import run_streaming_medallion
+
+    src = tempfile.mkdtemp(prefix="smsrc_")
+    wh = tempfile.mkdtemp(prefix="smwh_")
+    ckpt = tempfile.mkdtemp(prefix="smck_")
+    try:
+        # strikes 5500..5515 step 5: pairs at width 5 exist at every T
+        def ticks(minute, strikes, base):
+            rows = [
+                (_ms(6, minute), _sym(s), base + i, _ms(6, minute), None, None)
+                for i, s in enumerate(strikes)
+            ]
+            rows.append((_ms(6, minute), "$SPX", None, None, 5505.0, _ms(6, minute)))
+            return rows
+
+        rows1 = ticks(30, [5500, 5505, 5510], 20.0) + ticks(31, [5500, 5505, 5510], 21.0)
+        spark.createDataFrame(rows1, QUOTES_STREAM).coalesce(1).write.mode("append").parquet(src)
+
+        tables = {
+            n: ParquetTable(spark, f"{wh}/{n}")
+            for n in ("opt", "optm", "und", "vert", "vert_ts")
+        }
+
+        def run():
+            q = run_streaming_medallion(
+                read_quote_stream(spark, src),
+                tables["opt"], tables["optm"], tables["und"],
+                tables["vert"], tables["vert_ts"], ckpt, width=5,
+            )
+            q.awaitTermination(240)
+
+        run()
+        n_vert1 = tables["vert"].read().count()
+        n_ts1 = tables["vert_ts"].read().count()
+        assert n_vert1 >= 2  # (5500,5505) and (5505,5510) call spreads
+        assert n_ts1 >= n_vert1  # ≥ one priced row per spread
+        # keys unique
+        assert tables["vert_ts"].read().select("VID", "T").distinct().count() == n_ts1
+
+        # batch 2: replayed tick + a new strike extends the chain
+        time.sleep(1.1)
+        rows2 = ticks(31, [5500], 21.0) + ticks(32, [5515], 24.0)
+        spark.createDataFrame(rows2, QUOTES_STREAM).coalesce(1).write.mode("append").parquet(src)
+        run()
+        n_vert2 = tables["vert"].read().count()
+        n_ts2 = tables["vert_ts"].read().count()
+        assert n_vert2 > n_vert1  # (5510,5515) spread appears
+        assert n_ts2 > n_ts1
+        assert tables["vert_ts"].read().select("VID", "T").distinct().count() == n_ts2
+
+        # replay with nothing new: no growth
+        run()
+        assert tables["vert"].read().count() == n_vert2
+        assert tables["vert_ts"].read().count() == n_ts2
+    finally:
+        for d in (src, wh, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
