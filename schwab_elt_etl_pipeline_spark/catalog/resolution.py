@@ -80,6 +80,59 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 over the customer dimension: initial load effective
+    1995-01-01, then an update snapshot (every third customer moves segment)
+    effective 2000-01-01 — output is the full versioned dimension with
+    validity intervals. Mirrored by a pure-SQL oracle building the same
+    three row groups (closed v1, untouched v1, new v2)."""
+    from schwab_elt_etl_pipeline_spark.operators.scd import scd2_apply, scd2_init
+
+    cust = load_table(spark, sf_dir, "customer")
+    t1 = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    dim = scd2_init(
+        cust.select("c_custkey", "c_mktsegment", t1.alias("effective_at")),
+        keys=["c_custkey"],
+        attrs=["c_mktsegment"],
+    )
+    updates = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        t2.alias("effective_at"),
+    )
+    out = scd2_apply(
+        dim, updates, keys=["c_custkey"], attrs=["c_mktsegment"]
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+        "is_current",
+    )
+
+
+SCD2_SQL = """
+WITH changed AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+SELECT c_custkey, c_mktsegment,
+       TIMESTAMP '1995-01-01' AS valid_from,
+       TIMESTAMP '2000-01-01' AS valid_to,
+       FALSE AS is_current
+FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, c_mktsegment,
+       TIMESTAMP '1995-01-01', CAST(NULL AS TIMESTAMP), TRUE
+FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, 'MOVED',
+       TIMESTAMP '2000-01-01', CAST(NULL AS TIMESTAMP), TRUE
+FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
+"""
+
+
 SPECS = [
     QuerySpec(
         "j_interval_views_after_purchase",
@@ -92,5 +145,11 @@ SPECS = [
         fuzzy_name_pairs,
         FUZZY_SQL,
         doc="blocked Levenshtein entity resolution",
+    ),
+    QuerySpec(
+        "scd2_customer_versions",
+        scd2_customer_versions,
+        SCD2_SQL,
+        doc="SCD Type 2 versioned dimension (validity intervals)",
     ),
 ]

@@ -140,3 +140,65 @@ def test_dynamic_partition_pruning_on_partitioned_table(spark, table_dir):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
     assert j.count() == 3 * 334  # 3 of 30 partitions survive (334 rows each)
+
+
+def test_scd2_versions_and_idempotence(spark):
+    from schwab_elt_etl_pipeline_spark.operators.scd import scd2_apply, scd2_init
+
+    t1 = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    snap = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, None)], "k long, seg string"
+    ).withColumn("effective_at", t1)
+    dim = scd2_init(snap, keys=["k"], attrs=["seg"])
+
+    upd = spark.createDataFrame(
+        [(1, "A"), (2, "X"), (3, None), (4, "N")], "k long, seg string"
+    ).withColumn("effective_at", t2)
+    out = scd2_apply(dim, upd, keys=["k"], attrs=["seg"])
+    rows = {(r["k"], r["is_current"]): r for r in out.collect()}
+
+    # unchanged key keeps its open v1 (null-safe compare: 3 with NULL seg too)
+    assert rows[(1, True)]["valid_from"].year == 1995
+    assert rows[(3, True)]["valid_from"].year == 1995
+    # changed key: closed v1 + open v2
+    assert rows[(2, False)]["valid_to"].year == 2000 and rows[(2, False)]["seg"] == "B"
+    assert rows[(2, True)]["seg"] == "X" and rows[(2, True)]["valid_to"] is None
+    # brand-new key inserted open
+    assert rows[(4, True)]["seg"] == "N"
+    assert out.count() == 5
+
+    # idempotence: re-applying the same snapshot changes nothing
+    again = scd2_apply(out, upd, keys=["k"], attrs=["seg"])
+    assert again.count() == out.count()
+    assert again.filter(~F.col("is_current")).count() == 1
+
+
+def test_scd2_asof_lookup(spark):
+    """The point of SCD2: facts join the dimension AS OF their event time via
+    the validity interval."""
+    from schwab_elt_etl_pipeline_spark.operators.scd import scd2_apply, scd2_init
+
+    t1 = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    dim = scd2_init(
+        spark.createDataFrame([(1, "OLD")], "k long, seg string").withColumn("effective_at", t1),
+        keys=["k"], attrs=["seg"],
+    )
+    dim = scd2_apply(
+        dim,
+        spark.createDataFrame([(1, "NEW")], "k long, seg string").withColumn("effective_at", t2),
+        keys=["k"], attrs=["seg"],
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, "1997-06-01 00:00:00"), (11, 1, "2003-06-01 00:00:00")],
+        "fid long, k long, at string",
+    ).withColumn("at", F.col("at").cast("timestamp_ntz"))
+    enriched = facts.join(
+        dim,
+        (facts.k == dim.k)
+        & (facts.at >= dim.valid_from)
+        & (facts.at < F.coalesce(dim.valid_to, F.lit("9999-01-01").cast("timestamp_ntz"))),
+    )
+    got = {r["fid"]: r["seg"] for r in enriched.collect()}
+    assert got == {10: "OLD", 11: "NEW"}
