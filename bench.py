@@ -33,19 +33,25 @@ def main() -> None:
     # noise burst then taxes one ROUND, not every attempt of one query —
     # strictly better minima than per-query repeats under bursty load.
     best: dict[str, float] = {s.name: float("inf") for s in specs}
+    errors: dict[str, str] = {}
     for _ in range(runs):
         for spec in specs:
-            start = time.perf_counter()
-            df = spec.build(spark, sf_dir)
-            # materialize the full result without driver-side transfer cost
-            df.write.format("noop").mode("overwrite").save()
-            best[spec.name] = min(best[spec.name], time.perf_counter() - start)
-            # drop caches/persists a query may have created so later queries
-            # aren't taxed by leaked executor memory
-            spark.catalog.clearCache()
-    timings = {name: round(t, 3) for name, t in best.items()}
-    total = sum(best.values())
-    for name, t in best.items():
+            try:
+                start = time.perf_counter()
+                df = spec.build(spark, sf_dir)
+                # materialize the full result without driver-side transfer cost
+                df.write.format("noop").mode("overwrite").save()
+                best[spec.name] = min(best[spec.name], time.perf_counter() - start)
+            except Exception as exc:  # one broken query must not kill the bench
+                errors[spec.name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"# {spec.name}: ERROR {errors[spec.name]}", file=sys.stderr)
+            finally:
+                # drop caches/persists a query may have created so later
+                # queries aren't taxed by leaked executor memory
+                spark.catalog.clearCache()
+    timings = {n: round(t, 3) for n, t in best.items() if t != float("inf")}
+    total = sum(timings.values())
+    for name, t in timings.items():
         print(f"# {name}: {t:.3f}s (best of {runs})", file=sys.stderr)
 
     print(
@@ -56,6 +62,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
