@@ -363,6 +363,8 @@ GROUP BY c_mktsegment
 
 
 SPECS = [
+    QuerySpec("q12_shipmode_buckets", q12_shipmode_buckets, Q12_SQL,
+              doc="conditional CASE sums"),
     QuerySpec("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL,
               doc="decorrelated MIN subquery rejoin"),
     QuerySpec("q13_customer_distribution", q13_customer_distribution, Q13_SQL,
@@ -377,8 +379,6 @@ SPECS = [
               doc="OR-of-conjunctions join residual"),
     QuerySpec("q4_order_priority", q4_order_priority, Q4_SQL,
               doc="EXISTS semi-join + grouped count"),
-    QuerySpec("q12_shipmode_buckets", q12_shipmode_buckets, Q12_SQL,
-              doc="conditional CASE sums"),
     QuerySpec("q14_promo_share", q14_promo_share, Q14_SQL, headline=True,
               doc="percent-of-total, exact decimal"),
     QuerySpec("q18_large_orders", q18_large_orders, Q18_SQL,
