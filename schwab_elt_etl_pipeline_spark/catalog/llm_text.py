@@ -368,10 +368,43 @@ GROUP BY fp
 """
 
 
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: per-source sampling rates (the
+    training-data "10 % of web, 50 % of books" mix), decided by a key hash so
+    reruns/backfills/oracles agree on the exact row set. Output: per-source
+    kept counts + total chars (the mixing report)."""
+    from schwab_elt_etl_pipeline_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs,
+        key="doc_id",
+        strata_col="source",
+        fractions={"src0": 0.5, "src1": 0.2, "src2": 0.1},
+        default_fraction=0.05,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+CORPUS_MIX_SQL = """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE ((doc_id % 1000003) * 2654435761) % 1000 <
+      CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 200
+                  WHEN 'src2' THEN 100 ELSE 50 END
+GROUP BY source
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, doc="exact dedup via hash groupBy"),
     QuerySpec("dedup_keep_best", dedup_keep_best, DEDUP_KEEP_BEST_SQL,
               doc="exact dedup keeping the best doc per group"),
+    QuerySpec("corpus_mix_sample", corpus_mix_sample, CORPUS_MIX_SQL,
+              doc="deterministic per-source corpus mixing"),
     QuerySpec("curation_pipeline", curation_pipeline, CURATION_SQL, headline=True,
               doc="composite curation: dedup + quality + lang → keep/drop verdicts"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, headline=True,

@@ -1,0 +1,49 @@
+"""Deterministic sampling for corpus mixing.
+
+Training-data pipelines mix sources at prescribed rates ("10 % of web, 50 %
+of books"). ``df.sampleBy`` draws per-row randoms — irreproducible across
+runs/engines and un-auditable. Hash-mod sampling makes the decision a pure
+function of the row KEY: reruns, backfills, and a differential oracle all
+agree on exactly which rows are in.
+
+The key is reduced mod a prime before the multiply so the arithmetic stays
+in int64 at any key range (100 TB-safe), same recipe as the catalog's
+``sample_hash_mod``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PRIME = 1_000_003
+_MIX = 2_654_435_761  # Knuth multiplicative hash constant
+
+
+def hash_bucket(key: Column | str, buckets: int = 1000, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer key column."""
+    k = F.col(key) if isinstance(key, str) else key
+    return ((k % _PRIME) * F.lit(_MIX) + F.lit(salt)) % buckets
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Keep a deterministic ``fractions[stratum]`` share of each stratum.
+
+    Fractions are resolved to a per-mill threshold (granularity 1/1000).
+    Rows in strata absent from ``fractions`` keep ``default_fraction``.
+    """
+    expr = F.lit(int(round(default_fraction * 1000)))
+    for stratum, frac in fractions.items():
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(frac * 1000)))
+        ).otherwise(expr)
+    return df.filter(hash_bucket(key, 1000, salt) < expr)
