@@ -133,6 +133,35 @@ FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
 """
 
 
+def dq_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ rules over lineitem (the reference's embedded guards,
+    lifted into one conditional-aggregation pass)."""
+    from schwab_elt_etl_pipeline_spark.operators.quality import dq_summary
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return dq_summary(
+        li,
+        {
+            "qty_positive": F.col("l_quantity") > 0,
+            "price_nonneg": F.col("l_extendedprice") >= 0,
+            "discount_unit_range": F.col("l_discount").between(0, 1),
+            "shipdate_present": F.col("l_shipdate").isNotNull(),
+            "flag_known": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
+DQ_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN COALESCE(l_quantity > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS viol_qty_positive,
+       CAST(SUM(CASE WHEN COALESCE(l_extendedprice >= 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS viol_price_nonneg,
+       CAST(SUM(CASE WHEN COALESCE(l_discount BETWEEN 0 AND 1, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS viol_discount_unit_range,
+       CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS viol_shipdate_present,
+       CAST(SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS viol_flag_known
+FROM lineitem
+"""
+
+
 SPECS = [
     QuerySpec(
         "j_interval_views_after_purchase",
@@ -151,5 +180,11 @@ SPECS = [
         scd2_customer_versions,
         SCD2_SQL,
         doc="SCD Type 2 versioned dimension (validity intervals)",
+    ),
+    QuerySpec(
+        "dq_summary_lineitem",
+        dq_summary_lineitem,
+        DQ_SQL,
+        doc="declarative data-quality rule summary, one pass",
     ),
 ]

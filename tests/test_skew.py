@@ -97,3 +97,29 @@ def test_fuzzy_pairs_blocking_and_threshold(spark):
     )
     pairs = {(r["a_id"], r["b_id"], r["dist"]) for r in got.collect()}
     assert pairs == {(1, 2, 1)}
+
+
+def test_quarantine_splits_and_reasons(spark):
+    from pyspark.sql import functions as F
+
+    from schwab_elt_etl_pipeline_spark.operators.quality import dq_summary, quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -3.0, "A"), (3, 5.0, None), (4, -1.0, None)],
+        "id long, amount double, tag string",
+    )
+    rules = {
+        "amount_pos": F.col("amount") > 0,
+        "tag_present": F.col("tag").isNotNull(),
+    }
+    clean, bad = quarantine(df, rules)
+    assert {r["id"] for r in clean.collect()} == {1}
+    reasons = {r["id"]: set(r["_failed_rules"]) for r in bad.collect()}
+    assert reasons == {
+        2: {"amount_pos"},
+        3: {"tag_present"},
+        4: {"amount_pos", "tag_present"},
+    }
+    summary = dq_summary(df, rules).first()
+    assert summary["n_rows"] == 4
+    assert summary["viol_amount_pos"] == 2 and summary["viol_tag_present"] == 2
