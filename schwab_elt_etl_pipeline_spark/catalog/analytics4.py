@@ -599,6 +599,33 @@ def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# UNPIVOT / melt (inverse of the pivot above)
+# --------------------------------------------------------------------------
+
+
+def p_unpivot_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via native ``unpivot``: the hourly OHLC candles from
+    ``t_tumbling_candles`` unpivoted to (field, value) rows — one narrow
+    projection, no shuffle beyond the candle build itself."""
+    candles = t_tumbling_candles(spark, sf_dir)
+    return candles.unpivot(
+        ids=["event_type", "h"],
+        values=["open", "high", "low", "close"],
+        variableColumnName="field",
+        valueColumnName="value",
+    )
+
+
+P_UNPIVOT_SQL = f"""
+WITH candles AS ({T_CANDLES_SQL.replace("GROUP BY 1, 2", "GROUP BY 1, 2")})
+SELECT event_type, h, f.field, f.value
+FROM candles,
+LATERAL (VALUES ('open', open), ('high', high), ('low', low), ('close', close))
+        AS f(field, value)
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic hash-mod sampling
 # --------------------------------------------------------------------------
 
@@ -726,4 +753,6 @@ SPECS = [
               doc="approx_percentile sketch (mergeable; accuracy pinned in tests)"),
     QuerySpec("a_collect_sorted", a_collect_sorted, A_COLLECT_SQL,
               doc="ordered string aggregation (sorted collect_set)"),
+    QuerySpec("p_unpivot_candles", p_unpivot_candles, P_UNPIVOT_SQL,
+              doc="UNPIVOT/melt, inverse of the pivot shape"),
 ]
