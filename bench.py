@@ -51,6 +51,12 @@ def main() -> None:
                 spark.catalog.clearCache()
     timings = {n: round(t, 3) for n, t in best.items() if t != float("inf")}
     total = sum(timings.values())
+    # "errors" = queries with NO successful round (they're missing from
+    # timings/total — consumers must not compare totals across runs with
+    # different error sets); a query that failed some rounds but succeeded
+    # another keeps its best time and is listed under "flaky" instead.
+    flaky = sorted(set(errors) & set(timings))
+    errors = {n: m for n, m in errors.items() if n not in timings}
     for name, t in timings.items():
         print(f"# {name}: {t:.3f}s (best of {runs})", file=sys.stderr)
 
@@ -63,6 +69,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **({"errors": errors} if errors else {}),
+                **({"flaky": flaky} if flaky else {}),
             }
         )
     )

@@ -239,7 +239,9 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING vs a scalar subquery, realized as a broadcast cross-join of the
     1-row total so the per-supplier aggregate shuffles once."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_supp = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("_v"))
+    # diamond: the 1-row total and the probe side both read per_supp —
+    # persist the tiny aggregate so lineitem is scanned/aggregated once
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("_v")).persist()
     total = per_supp.agg(F.sum("_v").alias("_t"))
     return (
         per_supp.crossJoin(F.broadcast(total))
@@ -274,7 +276,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
     )
     supp = load_table(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("_r"))
+    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("_r")).persist()
     mx = rev.agg(F.max(F.col("_r")).alias("_m"))
     return (
         rev.crossJoin(F.broadcast(mx))
@@ -496,11 +498,13 @@ def a_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = F.col("_ss").cast("double")
     n = F.col("n")
     var = (ss - s * s / n) / (n - 1)
+    # singleton groups: Spark (ANSI off) yields NULL for x/0, DuckDB yields
+    # NaN under IEEE division — pin NULL on both sides explicitly
     return agg.select(
         "event_type",
         "n",
         (s / n).alias("mean_value"),
-        F.sqrt(var).alias("stddev_value"),
+        F.when(F.col("n") > 1, F.sqrt(var)).alias("stddev_value"),
         "min_value",
         "max_value",
     )
@@ -516,7 +520,7 @@ WITH agg AS (
 )
 SELECT event_type, n,
        s / n AS mean_value,
-       SQRT((ss - s * s / n) / (n - 1)) AS stddev_value,
+       CASE WHEN n > 1 THEN SQRT((ss - s * s / n) / (n - 1)) END AS stddev_value,
        min_value, max_value
 FROM agg
 """
@@ -617,7 +621,7 @@ def p_unpivot_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 P_UNPIVOT_SQL = f"""
-WITH candles AS ({T_CANDLES_SQL.replace("GROUP BY 1, 2", "GROUP BY 1, 2")})
+WITH candles AS ({T_CANDLES_SQL})
 SELECT event_type, h, f.field, f.value
 FROM candles,
 LATERAL (VALUES ('open', open), ('high', high), ('low', low), ('close', close))

@@ -59,7 +59,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_DECODE_SQL = f"""
 SELECT doc_id AS media_id,
-       {_KIND.replace('doc_id', 'doc_id')} AS kind,
+       {_KIND} AS kind,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
        8 AS n_features
 FROM documents

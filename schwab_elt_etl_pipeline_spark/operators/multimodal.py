@@ -122,24 +122,26 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             def shrink(row):
                 payload = row["payload"] or b""
-                meta = row["meta"]
-                old_px = max((meta["width"] or 1) * (meta["height"] or 1), 1)
+                meta = row["meta"] or {}  # meta is nullable in MEDIA_SCHEMA
+                old_px = max((meta.get("width") or 1) * (meta.get("height") or 1), 1)
                 keep = max(1, int(len(payload) * min(1.0, width * height / old_px)))
                 return payload[:keep]
+
+            def remeta(m):
+                m = m or {}
+                return {
+                    "width": width,
+                    "height": height,
+                    "duration_ms": m.get("duration_ms"),
+                    "sample_rate": m.get("sample_rate"),
+                }
 
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "payload": pdf.apply(shrink, axis=1),
-                    "meta": pdf["meta"].map(
-                        lambda m: {
-                            "width": width,
-                            "height": height,
-                            "duration_ms": m["duration_ms"],
-                            "sample_rate": m["sample_rate"],
-                        }
-                    ),
+                    "meta": pdf["meta"].map(remeta),
                 }
             )
             yield out

@@ -23,9 +23,14 @@ _MIX = 2_654_435_761  # Knuth multiplicative hash constant
 
 
 def hash_bucket(key: Column | str, buckets: int = 1000, salt: int = 0) -> Column:
-    """Deterministic bucket in [0, buckets) from an integer key column."""
+    """Deterministic bucket in [0, buckets) from an integer key column.
+
+    ``pmod`` (not ``%``) at both reductions: Spark's ``%`` preserves the
+    dividend's sign, so a negative key — e.g. an xxhash64 surrogate — would
+    get a negative bucket and pass every ``bucket < threshold`` filter,
+    silently over-sampling those rows."""
     k = F.col(key) if isinstance(key, str) else key
-    return ((k % _PRIME) * F.lit(_MIX) + F.lit(salt)) % buckets
+    return F.pmod(F.pmod(k, F.lit(_PRIME)) * F.lit(_MIX) + F.lit(salt), F.lit(buckets))
 
 
 def stratified_hash_sample(

@@ -49,8 +49,20 @@ def scd2_apply(
     live = current.filter(F.col(is_current))
     closed_history = current.filter(~F.col(is_current))
 
-    upd = updates.select(
-        *key_list, *[F.col(a).alias(f"_new_{a}") for a in attrs], F.col(effective_col)
+    # One update row per key, or the live join below fans out and produces
+    # several open versions per key (dimension corruption). Keep the LATEST
+    # change per key — deterministic tiebreak on the attr tuple — matching
+    # MERGE semantics for a CDC batch carrying several changes per key.
+    deduped = updates.groupBy(*key_list).agg(
+        F.max_by(
+            F.struct(*attrs, effective_col),
+            F.struct(effective_col, *attrs),
+        ).alias("_u")
+    )
+    upd = deduped.select(
+        *key_list,
+        *[F.col(f"_u.{a}").alias(f"_new_{a}") for a in attrs],
+        F.col(f"_u.{effective_col}").alias(effective_col),
     )
     joined = live.join(upd, on=key_list, how="left")
     diffs = [~F.col(a).eqNullSafe(F.col(f"_new_{a}")) for a in attrs]  # null-safe ≠

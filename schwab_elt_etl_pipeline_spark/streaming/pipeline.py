@@ -90,32 +90,44 @@ def run_streaming_medallion(
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         und = parse_underlying(batch)
+        und_days: set = set()
         if not und.isEmpty():
             underlying_table.insert_new(und, keys=["T"])
+            und_days = {
+                r["d"] for r in und.select(F.to_date("T").alias("d")).distinct().collect()
+            }
         parsed = parse_quotes(batch)
-        if parsed.isEmpty():
-            return
-        if opt_table.exists():
-            opt_table.insert_new(build_opt(parsed, opt_table.read()), keys=["Strike", "CP", "Expiry"])
-        else:
-            opt_table.overwrite_versioned(build_opt(parsed))
-        optm_table.insert_new(
-            build_optm_increment(parsed, opt_table.read()), keys=["OPT_ID", "T"]
-        )
+        parsed_days: set = set()
+        if not parsed.isEmpty():
+            parsed_days = {
+                r["d"]
+                for r in parsed.select(F.to_date("T").alias("d")).distinct().collect()
+            }
+            if opt_table.exists():
+                opt_table.insert_new(
+                    build_opt(parsed, opt_table.read()), keys=["Strike", "CP", "Expiry"]
+                )
+            else:
+                opt_table.overwrite_versioned(build_opt(parsed))
+            optm_table.insert_new(
+                build_optm_increment(parsed, opt_table.read()), keys=["OPT_ID", "T"]
+            )
 
-        if not underlying_table.exists():
-            return  # no $SPX marks yet → strike range undefined, Gold waits
-        days = [
-            r["d"] for r in parsed.select(F.to_date("T").alias("d")).distinct().collect()
-        ]
+        if not underlying_table.exists() or not optm_table.exists():
+            return  # Gold needs both marks and an $SPX strike range
+        # Gold reruns for every day this batch touched — via option ticks OR
+        # via underlying marks (a $SPX-only batch can complete a day whose
+        # option ticks arrived earlier; driving the loop off parsed alone
+        # would silently leave that day's VERT/VERT_TS unbuilt).
+        days = sorted(parsed_days | und_days)
         opt_all = opt_table.read()
         optm_all = optm_table.read()
         und_all = underlying_table.read()
         for day in sorted(days):
             day_optm = optm_all.filter(F.to_date("T") == F.lit(day))
             day_und = und_all.filter(F.to_date("T") == F.lit(day))
-            if day_und.isEmpty():
-                continue
+            if day_und.isEmpty() or day_optm.isEmpty():
+                continue  # Gold needs both sides for the day
             min_time = day_optm.agg(F.min("T")).first()[0]
             vert_prev = vert_table.read() if vert_table.exists() else None
             ts_prev = vert_ts_table.read() if vert_ts_table.exists() else None

@@ -123,3 +123,25 @@ def test_quarantine_splits_and_reasons(spark):
     summary = dq_summary(df, rules).first()
     assert summary["n_rows"] == 4
     assert summary["viol_amount_pos"] == 2 and summary["viol_tag_present"] == 2
+
+
+def test_hash_bucket_nonnegative_for_negative_keys(spark):
+    """xxhash64 surrogates are signed; buckets must still land in [0, n) so
+    sampling thresholds hold (Spark % preserves sign — pmod required)."""
+    from pyspark.sql import functions as F
+
+    from schwab_elt_etl_pipeline_spark.operators.sampling import (
+        hash_bucket,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(-(10**18) - i, "s") for i in range(200)] + [(i, "s") for i in range(200)],
+        "k long, src string",
+    )
+    stats = df.select(hash_bucket("k").alias("b")).agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi")
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] < 1000
+    kept = stratified_hash_sample(df, "k", "src", {"s": 0.0}).count()
+    assert kept == 0  # fraction 0 keeps nothing, negative keys included

@@ -130,3 +130,50 @@ def test_streaming_medallion_incremental_gold(spark):
     finally:
         for d in (src, wh, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_medallion_underlying_only_batch_completes_gold(spark):
+    """Batch 1: option ticks only (no $SPX → Gold can't run). Batch 2: only
+    the underlying marks. Gold for the day must be built by batch 2 — the
+    day-loop is driven by BOTH tick days and underlying days."""
+    import time
+
+    from schwab_elt_etl_pipeline_spark.streaming.pipeline import run_streaming_medallion
+
+    src = tempfile.mkdtemp(prefix="smu_src_")
+    wh = tempfile.mkdtemp(prefix="smu_wh_")
+    ckpt = tempfile.mkdtemp(prefix="smu_ck_")
+    try:
+        opts = [
+            (_ms(6, 30), _sym(s), 20.0 + i, _ms(6, 30), None, None)
+            for i, s in enumerate([5500, 5505, 5510])
+        ] + [
+            (_ms(6, 31), _sym(s), 21.0 + i, _ms(6, 31), None, None)
+            for i, s in enumerate([5500, 5505, 5510])
+        ]
+        und = [(_ms(6, 30), "$SPX", None, None, 5505.0, _ms(6, 30))]
+        spark.createDataFrame(opts, QUOTES_STREAM).coalesce(1).write.mode("append").parquet(src)
+
+        tables = {
+            n: ParquetTable(spark, f"{wh}/{n}")
+            for n in ("opt", "optm", "und", "vert", "vert_ts")
+        }
+
+        def run():
+            q = run_streaming_medallion(
+                read_quote_stream(spark, src),
+                tables["opt"], tables["optm"], tables["und"],
+                tables["vert"], tables["vert_ts"], ckpt, width=5,
+            )
+            q.awaitTermination(240)
+
+        run()
+        assert not tables["vert_ts"].exists()  # no underlying yet → no Gold
+
+        time.sleep(1.1)
+        spark.createDataFrame(und, QUOTES_STREAM).coalesce(1).write.mode("append").parquet(src)
+        run()  # underlying-only batch
+        assert tables["vert_ts"].exists() and tables["vert_ts"].read().count() > 0
+    finally:
+        for d in (src, wh, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

@@ -202,3 +202,27 @@ def test_scd2_asof_lookup(spark):
     )
     got = {r["fid"]: r["seg"] for r in enriched.collect()}
     assert got == {10: "OLD", 11: "NEW"}
+
+
+def test_scd2_multirow_update_batch_keeps_one_version(spark):
+    """A CDC batch carrying several changes for one key must collapse to the
+    LATEST change — not fan out into multiple open versions."""
+    from schwab_elt_etl_pipeline_spark.operators.scd import scd2_apply, scd2_init
+
+    t1 = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    dim = scd2_init(
+        spark.createDataFrame([(1, "A")], "k long, seg string").withColumn("effective_at", t1),
+        keys=["k"], attrs=["seg"],
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "MID", "2000-01-01 00:00:00"),
+            (1, "LATEST", "2001-01-01 00:00:00"),
+            (1, "MID2", "2000-06-01 00:00:00"),
+        ],
+        "k long, seg string, effective_at string",
+    ).withColumn("effective_at", F.col("effective_at").cast("timestamp_ntz"))
+    out = scd2_apply(dim, upd, keys=["k"], attrs=["seg"])
+    open_rows = out.filter(F.col("is_current")).collect()
+    assert len(open_rows) == 1 and open_rows[0]["seg"] == "LATEST"
+    assert out.count() == 2  # closed v1 + one open version
