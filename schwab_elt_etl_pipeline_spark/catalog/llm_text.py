@@ -392,7 +392,7 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_MIX_SQL = """
 SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
-WHERE ((doc_id % 1000003) * 2654435761) % 1000 <
+WHERE ((doc_id % 1000003) * 2654435761) % 999983 % 1000 <
       CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 200
                   WHEN 'src2' THEN 100 ELSE 50 END
 GROUP BY source

@@ -1,7 +1,18 @@
 """Reusable distributed operators (SURVEY §2.3 J3/J7-J9, §2.5, T9, plus the
 LLM-data-pipeline operator family: dedup, similarity search, text analysis,
-fuzzy matching, interval joins, sampling, data quality, SCD2)."""
+fuzzy matching, interval joins, sampling, data quality, SCD2, skew handling,
+multimodal plumbing)."""
 
+from schwab_elt_etl_pipeline_spark.operators.dedup import (
+    connected_components,
+    exact_dup_groups,
+    jaccard,
+    minhash_lsh_candidates,
+    minhash_signature,
+    simhash64,
+    simhash_near_dups,
+    with_shingles,
+)
 from schwab_elt_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs
 from schwab_elt_etl_pipeline_spark.operators.gapfill import gapfill_locf
 from schwab_elt_etl_pipeline_spark.operators.interval import point_in_interval_join
@@ -10,24 +21,76 @@ from schwab_elt_etl_pipeline_spark.operators.merge import (
     merge_upsert,
     surrogate_key,
 )
+from schwab_elt_etl_pipeline_spark.operators.multimodal import (
+    decode_stub_features,
+    frame_sample_plan,
+    resize_stub,
+)
 from schwab_elt_etl_pipeline_spark.operators.quality import dq_summary, quarantine
 from schwab_elt_etl_pipeline_spark.operators.sampling import (
     hash_bucket,
     stratified_hash_sample,
 )
 from schwab_elt_etl_pipeline_spark.operators.scd import scd2_apply, scd2_init
+from schwab_elt_etl_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_ann_topk,
+    cosine,
+    ivf_kmeans_topk,
+)
+from schwab_elt_etl_pipeline_spark.operators.skew import (
+    salted_agg,
+    salted_join_skewed_left,
+)
+from schwab_elt_etl_pipeline_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    token_count,
+)
+from schwab_elt_etl_pipeline_spark.operators.windows import (
+    leading_avg,
+    rolling_avg,
+    trailing_avg,
+    with_outlier_flag,
+)
 
 __all__ = [
+    "bpe_ish_token_count",
+    "brute_force_topk",
+    "bucketed_ann_topk",
+    "connected_components",
+    "cosine",
+    "decode_stub_features",
     "dq_summary",
+    "exact_dup_groups",
+    "fingerprint",
+    "frame_sample_plan",
     "fuzzy_pairs",
     "gapfill_locf",
     "hash_bucket",
     "insert_new",
+    "ivf_kmeans_topk",
+    "jaccard",
+    "lang_id",
+    "leading_avg",
     "merge_upsert",
+    "minhash_lsh_candidates",
+    "minhash_signature",
     "point_in_interval_join",
     "quarantine",
+    "resize_stub",
+    "rolling_avg",
+    "salted_agg",
+    "salted_join_skewed_left",
     "scd2_apply",
     "scd2_init",
+    "simhash64",
+    "simhash_near_dups",
     "stratified_hash_sample",
     "surrogate_key",
+    "token_count",
+    "trailing_avg",
+    "with_outlier_flag",
+    "with_shingles",
 ]

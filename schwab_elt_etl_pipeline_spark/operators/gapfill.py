@@ -8,14 +8,17 @@ semantics: a dense per-entity time grid with last-observation-carried-forward.
 Spark-first shape:
   1. per entity, ``sequence(min_t, max_t, step)`` + ``explode`` builds the grid
      (distributed — no driver loop);
-  2. left join observations onto the grid;
+  2. union observations with the grid rows (no join needed);
   3. ``last(value, ignoreNulls=True)`` over an unbounded-preceding row frame
-     carries values forward.
+     ordered by (ts, is_grid) carries values forward, then only grid rows are
+     kept — so each grid point gets the latest observation at-or-before it
+     (as-of semantics), even when observations are NOT aligned to grid
+     timestamps (e.g. second-precision ticks on a minute grid).
 
 Scale notes: the grid explode multiplies rows by (span/step) — at 100 TB keep
 the grid bounded per entity (the reference bounds it to one session,
-@MinTime..13:00). The window shuffles once on the entity key; the preceding
-join reuses the same partitioning, so AQE plans one exchange.
+@MinTime..13:00). The union is shuffle-free; the single LOCF window shuffles
+once on the entity key — one exchange for the whole operator.
 """
 
 from __future__ import annotations
@@ -43,6 +46,12 @@ def gapfill_locf(
     ``ts``). The grid starts exactly at the start expression; pass a truncated
     expression (e.g. ``date_trunc('minute', _min_ts)``) to align to step
     boundaries.
+
+    Each grid point carries the latest observation at-or-before it: an
+    observation exactly on a grid timestamp is taken as-is, one between grid
+    points is carried forward to the next point (observations are NOT required
+    to be grid-aligned). Observations before ``grid_start`` seed the fill;
+    observations after ``grid_end`` are ignored.
     """
     entity_cols = [F.col(c) for c in entity]
 
@@ -64,15 +73,38 @@ def gapfill_locf(
         F.explode(F.sequence(start_expr, end_expr, F.expr(step))).alias(ts),
     )
 
-    joined = grid.join(df, on=[*entity, ts], how="left")
-    w = (
-        Window.partitionBy(*entity_cols)
-        .orderBy(ts)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = joined.select(
+    # Union observations with grid rows and LOCF in one window pass. Ordering
+    # by (ts, _is_grid) puts an observation at exactly a grid timestamp BEFORE
+    # that grid row, so the grid row picks it up; off-grid observations land
+    # between grid rows and carry forward to the next one (as-of semantics).
+    # An equality join would silently drop every non-aligned observation.
+    value_types = dict(df.dtypes)
+    obs = df.select(
         *entity_cols,
         F.col(ts),
-        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in values],
+        F.lit(0).alias("_is_grid"),
+        *[F.col(v) for v in values],
+    )
+    grid_rows = grid.select(
+        *entity_cols,
+        F.col(ts),
+        F.lit(1).alias("_is_grid"),
+        *[F.lit(None).cast(value_types[v]).alias(v) for v in values],
+    )
+    w = (
+        Window.partitionBy(*entity_cols)
+        .orderBy(ts, "_is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        obs.unionByName(grid_rows)
+        .select(
+            *entity_cols,
+            F.col(ts),
+            F.col("_is_grid"),
+            *[F.last(v, ignorenulls=True).over(w).alias(v) for v in values],
+        )
+        .filter(F.col("_is_grid") == 1)
+        .drop("_is_grid")
     )
     return filled

@@ -20,17 +20,38 @@ from pyspark.sql import functions as F
 
 _PRIME = 1_000_003
 _MIX = 2_654_435_761  # Knuth multiplicative hash constant
+_PRIME2 = 999_983  # second reduction prime — breaks mod-`buckets` stripe phase
+_SALT_STEP = 999_979  # salt picks a distinct multiplier (mod _PRIME2)
 
 
 def hash_bucket(key: Column | str, buckets: int = 1000, salt: int = 0) -> Column:
     """Deterministic bucket in [0, buckets) from an integer key column.
 
-    ``pmod`` (not ``%``) at both reductions: Spark's ``%`` preserves the
+    ``pmod`` (not ``%``) at every reduction: Spark's ``%`` preserves the
     dividend's sign, so a negative key — e.g. an xxhash64 surrogate — would
     get a negative bucket and pass every ``bucket < threshold`` filter,
-    silently over-sampling those rows."""
+    silently over-sampling those rows.
+
+    The salt selects a DIFFERENT MULTIPLIER (``_MIX + salt * _SALT_STEP``)
+    rather than an additive offset: adding the salt after the multiply only
+    rotates bucket ids, so two salts' samples would overlap almost entirely —
+    a "fresh" holdout drawn with a new salt would be nearly the same rows.
+    Distinct multipliers mod the reduction prime give near-independent
+    bucketings (overlap of two p-fraction samples ≈ p²).
+
+    The arithmetic stays in int64 for any key range: the key is reduced mod
+    ``_PRIME`` (≈1e6) before the multiply, and the multiplier is bounded by
+    the salt cap, so the product is < 2^63 even at 100 TB-scale keys.
+    """
+    if not 0 <= salt < 9_000_000:
+        raise ValueError("salt must be in [0, 9e6) to keep the product in int64")
+    mult = _MIX + salt * _SALT_STEP
+    if mult % _PRIME2 == 0:  # degenerate multiplier: every bucket would be 0
+        mult += _SALT_STEP
     k = F.col(key) if isinstance(key, str) else key
-    return F.pmod(F.pmod(k, F.lit(_PRIME)) * F.lit(_MIX) + F.lit(salt), F.lit(buckets))
+    return F.pmod(
+        F.pmod(F.pmod(k, F.lit(_PRIME)) * F.lit(mult), F.lit(_PRIME2)), F.lit(buckets)
+    )
 
 
 def stratified_hash_sample(

@@ -50,19 +50,35 @@ def strike_range(
 ) -> tuple[int, int]:
     """Bucketed MIN/MAX of the underlying over [min_time, min_time + hours)
     (docs/sql_server.md:429-434). The only driver-side collect in the plan —
-    a 1-row aggregate."""
-    row = (
+    a 1-row aggregate.
+
+    If the underlying has no marks inside the window (e.g. option ticks start
+    before the first $SPX tick of the day), the range falls back to the whole
+    series at-or-after ``min_time``, then to the whole series — aggregating an
+    empty filter yields Row(lo=None, hi=None), and propagating None would
+    crash the caller's ``lo - opt_range`` arithmetic mid-micro-batch.
+    Raises ``ValueError`` only when ``underlying`` itself is empty.
+    """
+
+    def _minmax(df: DataFrame):
+        return df.agg(
+            (F.round(F.min("Mark") / step, 0) * step).cast("int").alias("lo"),
+            (F.round(F.max("Mark") / step, 0) * step).cast("int").alias("hi"),
+        ).first()
+
+    candidates = (
         underlying.filter(
             (F.col("T") >= F.lit(min_time))
             & (F.col("T") < F.lit(min_time + dt.timedelta(hours=hours)))
-        )
-        .agg(
-            (F.round(F.min("Mark") / step, 0) * step).cast("int").alias("lo"),
-            (F.round(F.max("Mark") / step, 0) * step).cast("int").alias("hi"),
-        )
-        .first()
+        ),
+        underlying.filter(F.col("T") >= F.lit(min_time)),
+        underlying,
     )
-    return row["lo"], row["hi"]
+    for df in candidates:
+        row = _minmax(df)
+        if row["lo"] is not None and row["hi"] is not None:
+            return row["lo"], row["hi"]
+    raise ValueError("strike_range: underlying has no marks to derive a range from")
 
 
 def densify_legs(

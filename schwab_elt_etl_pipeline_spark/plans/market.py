@@ -14,6 +14,7 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from schwab_elt_etl_pipeline_spark.functions.timeutils import seconds_of_day
 from schwab_elt_etl_pipeline_spark.operators.merge import merge_upsert
 
 
@@ -25,6 +26,8 @@ def upsert_market_hours(snapshot: DataFrame, calendar: DataFrame | None = None) 
 
 
 def _hms_to_sec(col: F.Column) -> F.Column:
+    """'HH:mm:ss' column → seconds since midnight (the string-column analog of
+    :func:`seconds_of_day`, which handles timestamp columns)."""
     parts = F.split(col, ":")
     return (
         parts.getItem(0).cast("int") * 3600
@@ -58,9 +61,7 @@ def next_session(calendar: DataFrame, after: dt.datetime) -> DataFrame:
 def in_session(calendar: DataFrame, ts_col: str = "ts") -> F.Column:
     """Join-ready predicate pieces are exposed by P5 helpers; for calendar
     gating join on ``to_date(ts) = market_date`` then apply this column."""
-    sod = (
-        F.hour(ts_col) * 3600 + F.minute(ts_col) * 60 + F.second(ts_col)
-    )
+    sod = seconds_of_day(ts_col)
     return (
         F.col("is_open")
         & (sod >= _hms_to_sec(F.col("session_start")))

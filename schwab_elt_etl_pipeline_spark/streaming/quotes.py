@@ -66,16 +66,30 @@ def dedup_stream(quotes: DataFrame, watermark: str = "10 minutes") -> DataFrame:
 
     The reference dedups against the ENTIRE target at insert time (J9) —
     correct for batch, unbounded state for a stream. The streaming form bounds
-    state with an event-time watermark: duplicates arriving within
-    ``watermark`` of the max seen event time are dropped; anything later falls
-    through to the batch anti-join downstream (foreachBatch → insert_new),
-    which stays the source of truth for idempotence.
+    state with an event-time watermark via ``dropDuplicatesWithinWatermark``:
+    duplicates arriving within ``watermark`` of the max seen event time are
+    dropped AND their state is evicted once the watermark passes; anything
+    later falls through to the batch anti-join downstream (foreachBatch →
+    insert_new), which stays the source of truth for idempotence. (Plain
+    ``dropDuplicates`` without the event-time column in the key would keep
+    one state entry per key forever and swallow late replays, contradicting
+    this contract.)
+
+    The dedup key is (symbol, quote-time) for options (field 38), (symbol,
+    trade-time) for equities (field 35 — the ``$SPX`` underlying rows carry
+    NO field 38, and null keys compare equal in dropDuplicates, so keying on
+    38 alone would collapse every underlying tick into the first one).
+    ``received_at`` backstops records carrying neither.
     """
     with_event_time = quotes.withColumn(
         "event_time", F.timestamp_millis(F.col("received_at"))
+    ).withColumn(
+        "_dedup_ms", F.coalesce(F.col("38"), F.col("35"), F.col("received_at"))
     )
-    return with_event_time.withWatermark("event_time", watermark).dropDuplicates(
-        ["symbol", "38"]
+    return (
+        with_event_time.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["symbol", "_dedup_ms"])
+        .drop("_dedup_ms")
     )
 
 
@@ -89,14 +103,18 @@ def latest_per_key(quotes: DataFrame, ttl_seconds: int = 600) -> DataFrame:
     """
     latest = quotes.groupBy("symbol").agg(
         F.max_by(F.struct("received_at", "37", "38", "3", "35"), "received_at").alias("q"),
-        F.max("received_at").alias("received_at"),
     )
-    # global horizon over the already-aggregated (small) symbol universe
-    horizon = F.max("received_at").over(Window.partitionBy())
+    # global horizon over the already-aggregated (small) symbol universe;
+    # q.received_at IS the per-symbol max (max_by its own ordering key), so
+    # expanding q.* yields exactly one received_at column — a separate
+    # aggregate alias would duplicate the name and break any downstream
+    # reference to it (AMBIGUOUS_REFERENCE).
+    horizon = F.max(F.col("q.received_at")).over(Window.partitionBy())
     return (
         latest.withColumn("_horizon", horizon)
-        .filter((F.col("_horizon") - F.col("received_at")) / 1000 <= ttl_seconds)
-        .select("symbol", "received_at", "q.*")
+        .filter((F.col("_horizon") - F.col("q.received_at")) / 1000 <= ttl_seconds)
+        .drop("_horizon")
+        .select("symbol", "q.*")
     )
 
 

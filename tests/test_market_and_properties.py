@@ -160,3 +160,40 @@ def test_gapfill_locf_properties(spark, obs):
             if m in series:
                 carried = float(series[m])
             assert grid[t] == carried  # LOCF
+
+
+def test_gapfill_locf_off_grid_observations(spark):
+    """Observations NOT aligned to the grid step must still be carried
+    forward (as-of semantics) — an equality join against the grid would
+    silently drop them and LOCF pure nulls (the real OPTM path has
+    second-precision quote times on a minute grid)."""
+    import datetime as dt
+
+    from schwab_elt_etl_pipeline_spark.operators.gapfill import gapfill_locf
+
+    base = dt.datetime(2024, 6, 17, 6, 30)
+    rows = [
+        # entity 1: ticks at 06:30:15, 06:31:40, 06:33:05 — none on :00
+        (1, base + dt.timedelta(seconds=15), 10.0),
+        (1, base + dt.timedelta(minutes=1, seconds=40), 11.0),
+        (1, base + dt.timedelta(minutes=3, seconds=5), 12.0),
+    ]
+    df = spark.createDataFrame(rows, "entity int, t timestamp_ntz, v double")
+    out = gapfill_locf(
+        df,
+        entity=["entity"],
+        ts="t",
+        values=["v"],
+        step="interval 1 minute",
+        grid_start="date_trunc('minute', _min_ts)",
+        grid_end="timestamp_ntz'2024-06-17 06:34:00'",
+    )
+    got = {r["t"]: r["v"] for r in out.collect()}
+    expect = {
+        base + dt.timedelta(minutes=0): None,   # grid point before first tick
+        base + dt.timedelta(minutes=1): 10.0,   # 06:30:15 carried to 06:31
+        base + dt.timedelta(minutes=2): 11.0,   # 06:31:40 carried to 06:32
+        base + dt.timedelta(minutes=3): 11.0,   # 06:33:05 is after 06:33
+        base + dt.timedelta(minutes=4): 12.0,
+    }
+    assert got == expect

@@ -118,3 +118,49 @@ def silver_underlying(quotes):
     from schwab_elt_etl_pipeline_spark.plans.silver import parse_underlying
 
     return parse_underlying(quotes)
+
+
+def test_gold_with_second_precision_ticks(spark):
+    """Real quote times are NOT minute-aligned; the gapfill grid is. Gold must
+    carry off-grid marks onto the grid (as-of LOCF), not drop them — with an
+    equality-join gapfill every leg price here would be NULL and VERT_TS
+    would be empty or garbage."""
+    rows = []
+    for i, (hh, mm) in enumerate([(6, 30), (7, 0), (7, 30), (8, 0)]):
+        rows.append((_ms(hh, mm), "$SPX", None, None, 5495.0 + 5 * i, _ms(hh, mm)))
+    # option ticks at :17 seconds past each minute — never on a grid point
+    for k, strike in enumerate((5500, 5505)):
+        base = 20.0 - 2.0 * k
+        for m in range(10):
+            ms = _ms(6, 30 + m) + 17_000
+            rows.append((ms, _sym(strike, 1), base + 0.1 * m, ms, None, None))
+    quotes = spark.createDataFrame(rows, QUOTES_STREAM)
+    opt, optm = silver.run_silver(quotes)
+    underlying = silver_underlying(quotes)
+    vert, vert_ts = gold.run_gold(
+        optm, opt, underlying,
+        min_time=dt.datetime(2024, 6, 17, 6, 30), width=5, opt_range=100,
+    )
+    ts = vert_ts.collect()
+    assert len(ts) > 0
+    # both legs ramp in lockstep → every non-null spread price is 2.00
+    priced = [r["O"] for r in ts if r["O"] is not None]
+    assert priced and all(o == Decimal("2.00") for o in priced)
+
+
+def test_strike_range_falls_back_when_window_empty(spark):
+    """Underlying marks all AFTER min_time+2h: the 2-hour window aggregate is
+    Row(None, None); strike_range must fall back to the full series instead
+    of returning None and crashing run_gold's lo-opt_range arithmetic."""
+    rows = [
+        (_ms(9, 0), "$SPX", None, None, 5500.0, _ms(9, 0)),
+        (_ms(9, 30), "$SPX", None, None, 5510.0, _ms(9, 30)),
+    ]
+    quotes = spark.createDataFrame(rows, QUOTES_STREAM)
+    underlying = silver_underlying(quotes)
+    lo, hi = gold.strike_range(underlying, dt.datetime(2024, 6, 17, 6, 30))
+    assert (lo, hi) == (5500, 5510)
+
+    empty = underlying.filter("1=0")
+    with pytest.raises(ValueError, match="no marks"):
+        gold.strike_range(empty, dt.datetime(2024, 6, 17, 6, 30))
