@@ -10,10 +10,15 @@ from pyspark.sql import functions as F
 
 def clamp(col: Column, lo: Column | float, hi: Column | float) -> Column:
     """``CASE WHEN x<lo THEN lo WHEN x>hi THEN hi ELSE x END`` (SURVEY F10;
-    docs/sql_server.md:533-537 clamps spread price to [0, W])."""
+    docs/sql_server.md:533-537 clamps spread price to [0, W]).
+
+    NULL-propagating like the T-SQL CASE: Spark's ``least``/``greatest`` skip
+    NULL inputs, which would silently turn an unpriced row (e.g. a grid point
+    before a leg's first mark) into ``lo``.
+    """
     lo_c = F.lit(lo) if not isinstance(lo, Column) else lo
     hi_c = F.lit(hi) if not isinstance(hi, Column) else hi
-    return F.least(F.greatest(col, lo_c), hi_c)
+    return F.when(col.isNull(), None).otherwise(F.least(F.greatest(col, lo_c), hi_c))
 
 
 def round_to_step(col: Column, step: int | float) -> Column:
