@@ -49,6 +49,7 @@ def all_specs() -> list[QuerySpec]:
         analytics2,
         analytics3,
         analytics4,
+        curation2,
         domain,
         domain_pipeline,
         llm_text,
@@ -59,12 +60,18 @@ def all_specs() -> list[QuerySpec]:
     )
 
     # Registry order matters: the driver's correctness gate checks the FIRST
-    # 50 queries per round. Round 1 verified the analytics/operators families
-    # (49/50 hash-match); round 2 front-loads the domain-pipeline,
-    # LLM-data-pipeline, and analytics-wave-3 families (never verified by the
-    # driver yet) so every query gets an oracle verdict across rounds.
+    # 50 queries per round. Rounds 1+2 together verified every then-existing
+    # query (round-1 analytics/operators families; round-2 domain/LLM/
+    # similarity/analytics-wave-3). Round 3 front-loads the NEW curation2
+    # family, then the families verified longest ago (round-1 set) for
+    # re-confirmation; the round-2-verified set goes last.
     specs: list[QuerySpec] = []
     for mod in (
+        curation2,
+        analytics,
+        analytics2,
+        analytics3,
+        operators_demo,
         domain,
         domain_pipeline,
         llm_text,
@@ -72,10 +79,6 @@ def all_specs() -> list[QuerySpec]:
         analytics4,
         multimodal_q,
         resolution,
-        analytics,
-        analytics2,
-        analytics3,
-        operators_demo,
     ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]

@@ -1,0 +1,374 @@
+"""Curation wave 2: decontamination, repetition quality, PII scrubbing,
+semantic dedup, hierarchical rollups, fixed-centroid assignment, hopping
+windows. All oracle-checked.
+
+These extend the LLM-data-pipeline surface (BASELINE.json north-star) past
+wave 1 (llm_text.py): the guards a training corpus needs before tokenization
+(benchmark decontamination, Gopher-style repetition rules, PII redaction,
+embedding-level dedup) plus the metrics-store rollup cascade and the hopping
+twin of the tumbling-window family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
+from schwab_elt_etl_pipeline_spark.operators.curation import (
+    decontaminate,
+    eval_gram_set,
+    pii_counts,
+    pii_redact,
+    repetition_stats,
+    semantic_dedup_verdicts,
+)
+from schwab_elt_etl_pipeline_spark.operators.rollup import (
+    rollup_coarser,
+    rollup_minutes,
+    rollup_read,
+)
+from schwab_elt_etl_pipeline_spark.operators.similarity import as_double, cosine
+from schwab_elt_etl_pipeline_spark.sources import load_table
+
+# Shared DuckDB fragments (identical tokenization to operators/dedup.py's
+# with_shingles: casefold, trim, split on runs of whitespace).
+_TOKS = r"string_split_regex(TRIM(LOWER(text)), '\s+')"
+
+
+def _grams_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"ts[i+{k}]" for k in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, GREATEST(LEN(ts) - {n - 1}, 0)), i -> {parts}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out "benchmark" split
+
+
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-vs-benchmark decontamination: fraction of each training
+    document's distinct 3-grams that appear in the eval split's gram set
+    (docs with doc_id % 97 == 0). The eval gram set broadcasts; corpus-side
+    work is one explode + one aggregation — linear at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    is_eval = (F.col("doc_id") % _EVAL_MOD) == 0
+    grams = eval_gram_set(docs.filter(is_eval), "text", n=3)
+    return decontaminate(docs.filter(~is_eval), grams, n=3, threshold=0.5)
+
+
+DECONTAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), sh AS (
+  SELECT doc_id, {_grams_sql(3)} AS grams FROM tok
+), eg AS (
+  SELECT DISTINCT UNNEST(grams) AS gram FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+), ex AS (
+  SELECT doc_id, UNNEST(grams) AS gram FROM sh WHERE doc_id % {_EVAL_MOD} <> 0
+), per AS (
+  SELECT ex.doc_id,
+         COUNT(*) AS n_grams,
+         COUNT(eg.gram) AS n_hit
+  FROM ex LEFT JOIN eg USING (gram)
+  GROUP BY ex.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_grams, 0) AS n_grams,
+       COALESCE(per.n_hit, 0) AS n_hit,
+       ROUND(COALESCE(per.n_hit / per.n_grams, 0.0), 6) AS overlap,
+       CAST(COALESCE(per.n_hit / per.n_grams, 0.0) >= 0.5 AS INT) AS contaminated
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE d.doc_id % {_EVAL_MOD} <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: top-token fraction, distinct-token
+    ratio, duplicate-2-gram fraction, and the keep/drop flag."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return repetition_stats(docs, top_token_max=0.2, dup_2gram_max=0.3)
+
+
+GOPHER_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), per_token AS (
+  SELECT doc_id, t.token, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(ts) AS token FROM tok) t
+  GROUP BY doc_id, t.token
+), stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_c
+  FROM per_token GROUP BY doc_id
+), grams AS (
+  SELECT doc_id, LEN({_grams_sql(2)}) AS d2 FROM tok
+)
+SELECT s.doc_id, s.n_tokens,
+       ROUND(s.n_distinct / s.n_tokens, 6) AS distinct_ratio,
+       ROUND(s.top_c / s.n_tokens, 6) AS top_token_frac,
+       ROUND(CASE WHEN s.n_tokens > 1
+                  THEN 1.0 - g.d2 / (s.n_tokens - 1) ELSE 0.0 END, 6)
+         AS dup_2gram_frac,
+       CAST(s.top_c / s.n_tokens > 0.2 OR
+            (CASE WHEN s.n_tokens > 1
+                  THEN 1.0 - g.d2 / (s.n_tokens - 1) ELSE 0.0 END) > 0.3
+            AS INT) AS repetitive
+FROM stats s JOIN grams g USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Deterministic PII synthesis: the corpus tables carry no real PII, so the
+# query plants one email/phone/SSN per document (keyed off doc_id) and then
+# scrubs them — the redaction+counting operators are the thing under test.
+def _pii_synth_spark() -> list:
+    return [
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com or call 415-"),
+        F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 13) % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    ]
+
+_PII_SYNTH_SQL = (
+    "text || ' contact user' || doc_id || '@mail' || (doc_id % 7)"
+    " || '.example.com or call 415-'"
+    " || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')"
+    " || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+# Same patterns as operators/curation.py (kept regex-dialect-portable).
+_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_SQL = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+_SSN_SQL = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+
+def pii_redact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over synthesized contact lines: typed-placeholder redaction
+    plus per-type match counts, all JVM regex (no UDFs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(*_pii_synth_spark())
+    return docs.select(
+        "doc_id",
+        pii_redact(raw).alias("redacted"),
+        *pii_counts(raw),
+    )
+
+
+PII_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, {_PII_SYNTH_SQL} AS r FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(r,
+         '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+         '{_SSN_SQL}', '<SSN>', 'g'),
+         '{_PHONE_SQL}', '<PHONE>', 'g') AS redacted,
+       LEN(regexp_extract_all(r, '{_EMAIL_SQL}')) AS n_email,
+       LEN(regexp_extract_all(r, '{_PHONE_SQL}')) AS n_phone,
+       LEN(regexp_extract_all(r, '{_SSN_SQL}')) AS n_ssn
+FROM raw
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (embedding-level keep/drop)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped verdicts: a vector is dropped when a lower-id
+    neighbor within the id band has cosine ≥ 0.3."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_verdicts(emb, band=20, threshold=0.3)
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         ROUND({_COS.format(a="a.v", b="b.v")}, 6) AS cos
+  FROM e a JOIN e b ON b.vec_id > a.vec_id AND b.vec_id - a.vec_id <= 20
+  WHERE ROUND({_COS.format(a="a.v", b="b.v")}, 6) >= 0.3
+), d AS (
+  SELECT b_id, MIN(a_id) AS dup_of, MAX(cos) AS max_cos FROM pairs GROUP BY b_id
+)
+SELECT e.vec_id,
+       CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS kept,
+       COALESCE(d.dup_of, -1) AS dup_of,
+       COALESCE(d.max_cos, 0.0) AS max_cos
+FROM e LEFT JOIN d ON d.b_id = e.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical rollup cascade (hypertable continuous-aggregate shape)
+# ---------------------------------------------------------------------------
+
+
+def rollup_multires_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour event rollup computed THROUGH the cascade (raw → 1 min → 5 min
+    → 1 h), re-aggregating partials at each level. Exact-decimal sums make
+    the cascade bit-identical to a direct aggregate — which is exactly what
+    the oracle computes."""
+    ev = load_table(spark, sf_dir, "events")
+    m1 = rollup_minutes(ev, keys=["event_type"], ts="ts", value="value", minutes=1)
+    m5 = rollup_coarser(m1, keys=["event_type"], minutes=5)
+    h1 = rollup_coarser(m5, keys=["event_type"], minutes=60)
+    return rollup_read(h1)
+
+
+ROLLUP_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS bucket_ts,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-centroid assignment (the k-means E-step, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_N_CENTROIDS = 8
+
+
+def kmeans_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment against a fixed centroid set (vectors
+    with vec_id < 8): the E-step of k-means / the cell-routing step of IVF,
+    as a broadcast cross join + per-vector argmax. Unlike the trained-IVF
+    query (rows-only), fixed centroids make the step SQL-expressible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), as_double("embedding").alias("c_vec")
+    )
+    scored = (
+        emb.select(F.col("vec_id"), as_double("embedding").alias("q_vec"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cent_id").alias("cluster"), "cos")
+    )
+
+
+KMEANS_ASSIGN_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS c_vec
+  FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+), q AS (
+  SELECT vec_id, embedding::DOUBLE[] AS q_vec FROM embeddings
+), scored AS (
+  SELECT q.vec_id, c.cent_id,
+         ROUND({_COS.format(a="q_vec", b="c_vec")}, 6) AS cos
+  FROM q, c
+)
+SELECT vec_id, cent_id AS cluster, cos FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) windows — overlapping twin of t_tumbling_candles
+# ---------------------------------------------------------------------------
+
+
+def t_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping event-time windows (15-minute window, 5-minute hop) via
+    ``F.window`` with a slide — each event lands in 3 overlapping windows.
+    The same expression runs under a watermark on a stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("w_end"),
+            "event_type",
+            "n",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+HOPPING_SQL = """
+WITH hops AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL '5 minutes', ts) - to_minutes(CAST(5 * s AS BIGINT))
+           AS w_start
+  FROM events, (SELECT UNNEST(generate_series(0, 2)) AS s)
+)
+SELECT w_start, w_start + to_minutes(15) AS w_end, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM hops
+GROUP BY 1, 2, 3
+"""
+
+
+SPECS = [
+    QuerySpec("decontam_ngram_overlap", decontam_ngram_overlap, DECONTAM_SQL,
+              doc="benchmark decontamination: 3-gram overlap vs eval split"),
+    QuerySpec("gopher_repetition", gopher_repetition, GOPHER_SQL,
+              doc="repetition quality rules: top-token/dup-2gram fractions"),
+    QuerySpec("pii_redact_scrub", pii_redact_scrub, PII_SQL,
+              doc="regex PII redaction with per-type counts"),
+    QuerySpec("semantic_dedup_keep", semantic_dedup_keep, SEMANTIC_DEDUP_SQL,
+              doc="SemDeDup-shaped embedding dedup verdicts"),
+    QuerySpec("rollup_multires_1h", rollup_multires_1h, ROLLUP_SQL,
+              doc="hierarchical rollup cascade 1min→5min→1h, exact partials"),
+    QuerySpec("kmeans_assign_fixed", kmeans_assign_fixed, KMEANS_ASSIGN_SQL,
+              doc="fixed-centroid k-means E-step assignment"),
+    QuerySpec("t_hopping_windows", t_hopping_windows, HOPPING_SQL, headline=True,
+              doc="hopping event-time windows (15 min / 5 min hop)"),
+]

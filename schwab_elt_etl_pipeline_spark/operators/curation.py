@@ -1,0 +1,227 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Four capabilities a 100 TB curation job runs between raw crawl and tokenizer:
+
+- **Benchmark decontamination** — flag training documents whose word n-grams
+  overlap an evaluation set (the standard train/test-contamination guard).
+  The eval gram set is tiny relative to the corpus (10^4-10^6 grams vs 10^9
+  docs), so membership is a broadcast hash join against the exploded training
+  grams: corpus-side work stays linear, no shuffle of the corpus.
+- **Repetition statistics** (Gopher-style quality rules) — per-document
+  top-token fraction, distinct-token ratio, duplicate-2-gram fraction. The
+  per-(doc, token) counts are a map-side-combinable aggregation keyed by
+  doc_id, so they never shuffle more than one row per distinct (doc, token).
+- **PII scrubbing** — regex redaction of emails / US phone numbers / SSNs
+  with per-type match counts. Pure JVM ``regexp_replace``/``regexp_count``
+  expressions (no UDFs), so the scrub inlines into whole-stage codegen.
+- **Semantic (embedding) dedup** — SemDeDup-shaped keep/drop verdicts: a
+  document is dropped when a lower-id neighbor in its candidate block has
+  cosine ≥ threshold. Blocking here is the id band used by the exact-pair
+  oracle; at scale the same shape runs over sign-LSH / IVF buckets
+  (operators/similarity.py) — only the candidate generator changes.
+
+The reference repo has no corpus operators (it is a market-data ELT,
+README.md:3); this module is part of the engine's LLM-data extension surface
+(BASELINE.json north-star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.operators.dedup import with_shingles
+from schwab_elt_etl_pipeline_spark.operators.similarity import as_double, cosine
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+
+def eval_gram_set(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-grams of an evaluation corpus → one ``gram`` column.
+
+    Small by construction (eval sets are ≤ 10^5 documents); the caller
+    broadcasts it against the training corpus.
+    """
+    return (
+        with_shingles(docs, text_col, n)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_grams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-document n-gram overlap against an eval gram set.
+
+    Output: (id, n_grams, n_hit, overlap, contaminated) — ``overlap`` is the
+    fraction of the document's DISTINCT n-grams that appear anywhere in the
+    eval set; docs shorter than n tokens get overlap 0.0. One explode + one
+    broadcast join + one aggregation: linear in corpus size.
+    """
+    sh = with_shingles(train, text_col, n)
+    exploded = sh.select(id_col, F.explode("grams").alias("gram"))
+    per = (
+        exploded.join(
+            F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "gram", "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    # join back so zero-gram documents keep a row (explode drops them)
+    base = train.select(id_col)
+    out = base.join(per, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+    )
+    overlap = F.when(
+        F.col("n_grams") > 0, F.col("n_hit") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_hit",
+        F.round(overlap, 6).alias("overlap"),
+        (overlap >= threshold).cast("int").alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_token_max: float = 0.2,
+    dup_2gram_max: float = 0.3,
+) -> DataFrame:
+    """Per-document repetition signals with a keep/drop flag.
+
+    Output: (id, n_tokens, distinct_ratio, top_token_frac, dup_2gram_frac,
+    repetitive). Token counts aggregate per (doc, token) first — map-side
+    combine keeps the shuffle at one row per distinct token per doc.
+    """
+    toks = df.select(
+        id_col,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    )
+    per_token = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_token.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    grams = with_shingles(df, text_col, 2).select(
+        id_col, F.size("grams").alias("d2")
+    )
+    j = stats.join(grams, id_col)
+    t2 = F.greatest(F.col("n_tokens") - 1, F.lit(0).cast("long"))
+    dup_frac = F.when(t2 > 0, 1.0 - F.col("d2") / t2).otherwise(F.lit(0.0))
+    top_frac = F.col("top_c") / F.col("n_tokens")
+    return j.select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        F.round(top_frac, 6).alias("top_token_frac"),
+        F.round(dup_frac, 6).alias("dup_2gram_frac"),
+        ((top_frac > top_token_max) | (dup_frac > dup_2gram_max))
+        .cast("int")
+        .alias("repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns chosen for identical semantics in Java regex (Spark) and RE2
+# (DuckDB oracle): no backrefs, no lookaround, ASCII word boundaries only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """Match counts per PII type: (n_email, n_phone, n_ssn)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_email"),
+        F.regexp_count(c, F.lit(PHONE_RE)).alias("n_phone"),
+        F.regexp_count(c, F.lit(SSN_RE)).alias("n_ssn"),
+    ]
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Replace every email/phone/SSN occurrence with a typed placeholder.
+
+    SSNs redact before phones (both are digit-dash shapes; distinct widths
+    keep them non-overlapping, the order makes that explicit).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, SSN_RE, "<SSN>")
+    return F.regexp_replace(c, PHONE_RE, "<PHONE>")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-shaped)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_verdicts(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band: int = 20,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Keep/drop verdicts: drop a vector when a LOWER-id vector within the
+    candidate band has cosine ≥ threshold (keep-first retention).
+
+    Output: (id, kept, dup_of, max_cos) — ``dup_of`` is the smallest
+    retained-candidate id (-1 when kept), ``max_cos`` the strongest match
+    (0.0 when kept). The band join is the oracle-exact candidate generator;
+    swap in minhash/sign-LSH buckets for the 100 TB path.
+    """
+    a = emb.select(F.col(id_col).alias("a_id"), as_double(vec_col).alias("a_vec"))
+    b = emb.select(F.col(id_col).alias("b_id"), as_double(vec_col).alias("b_vec"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("b_id") > F.col("a_id"))
+            & (F.col("b_id") - F.col("a_id") <= band),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    dropped = pairs.groupBy("b_id").agg(
+        F.min("a_id").alias("dup_of"), F.max("cos").alias("max_cos")
+    )
+    return (
+        emb.select(F.col(id_col))
+        .join(dropped, F.col(id_col) == F.col("b_id"), "left")
+        .select(
+            id_col,
+            F.when(F.col("dup_of").isNull(), 1).otherwise(0).alias("kept"),
+            F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+            F.coalesce("max_cos", F.lit(0.0)).alias("max_cos"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Operator-level tests for curation wave 2 (catalog oracle tests cover the
+end-to-end queries; these pin edge-case semantics the oracle data may not
+exercise)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.operators.curation import (
+    decontaminate,
+    eval_gram_set,
+    pii_counts,
+    pii_redact,
+    repetition_stats,
+    semantic_dedup_verdicts,
+)
+from schwab_elt_etl_pipeline_spark.operators.rollup import (
+    bucket_ts,
+    rollup_coarser,
+    rollup_minutes,
+    rollup_read,
+)
+
+
+def test_decontaminate_short_doc_keeps_row(spark):
+    """Docs shorter than n tokens have zero n-grams: they must still appear,
+    uncontaminated — not vanish in the explode."""
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "xy")], "doc_id long, text string"
+    )
+    evald = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    out = decontaminate(train, eval_gram_set(evald, n=3), n=3, threshold=0.5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["n_grams"] == 0 and rows[2]["contaminated"] == 0
+    # doc 1 grams: {a b c, b c d, c d e}; eval set {a b c} -> overlap 1/3
+    assert rows[1]["n_grams"] == 3 and rows[1]["n_hit"] == 1
+    assert abs(rows[1]["overlap"] - 1 / 3) < 1e-6 and rows[1]["contaminated"] == 0
+
+
+def test_repetition_stats_flags_repeats(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["top_token_frac"] == 1.0
+    assert rows[1]["dup_2gram_frac"] == pytest.approx(2 / 3)
+    assert rows[1]["repetitive"] == 1
+    assert rows[2]["top_token_frac"] == pytest.approx(0.2)
+    assert rows[2]["repetitive"] == 0
+
+
+def test_pii_redact_and_counts(spark):
+    df = spark.createDataFrame(
+        [("mail a.b+c@x.co call 555-123-4567 or 555.987.6543 ssn 123-45-6789",)],
+        "s string",
+    )
+    row = df.select(
+        pii_redact("s").alias("red"), *pii_counts("s")
+    ).first()
+    assert row["red"] == "mail <EMAIL> call <PHONE> or <PHONE> ssn <SSN>"
+    assert (row["n_email"], row["n_phone"], row["n_ssn"]) == (1, 2, 1)
+
+
+def test_semantic_dedup_keeps_first_of_identical(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),     # dup of 1
+            (3, [0.0, 1.0]),     # orthogonal -> kept
+            (4, [0.99, 0.01]),   # near-dup of 1 (cos ~ 0.9999)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in semantic_dedup_verdicts(df, band=20, threshold=0.9).collect()}
+    assert rows[1]["kept"] == 1 and rows[1]["dup_of"] == -1
+    assert rows[2]["kept"] == 0 and rows[2]["dup_of"] == 1
+    assert rows[3]["kept"] == 1
+    assert rows[4]["kept"] == 0 and rows[4]["dup_of"] == 1
+
+
+def test_rollup_cascade_equals_direct(spark, sf_dir):
+    """1min→5min→1h cascade must be bit-identical to a direct 1-hour rollup
+    (decimal partials make re-aggregation exact)."""
+    from schwab_elt_etl_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cascade = rollup_read(
+        rollup_coarser(
+            rollup_coarser(rollup_minutes(ev, ["event_type"]), ["event_type"], 5),
+            ["event_type"],
+            60,
+        )
+    )
+    direct = rollup_read(rollup_minutes(ev, ["event_type"], minutes=60))
+    assert cascade.exceptAll(direct).count() == 0
+    assert direct.exceptAll(cascade).count() == 0
+
+
+def test_bucket_ts_rejects_non_nesting_grain(spark):
+    with pytest.raises(ValueError):
+        bucket_ts("ts", 7)
+    with pytest.raises(ValueError):
+        bucket_ts("ts", 90)
