@@ -139,10 +139,22 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey", "n_name"
         )
     )
+    # Join order: reduce through the selective dimension chain FIRST
+    # (region filter -> nations -> customers -> orders), so the fact table
+    # joins one already-reduced build side instead of shuffling twice.
+    # customers-of-region is a filtered dimension (|cust|/|regions|) and
+    # orders-of-region is |orders|/|regions| — both broadcastable here; at
+    # SFs where orders-of-region outgrows the broadcast budget, drop the
+    # outer hint and AQE plans the li join as SMJ on the reduced side (the
+    # dimension-first reduction itself stays correct at any scale).
+    cust_region = cust.join(dims, cust.c_nationkey == dims.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+    ord_region = orders.join(
+        F.broadcast(cust_region), orders.o_custkey == cust_region.c_custkey
+    ).select("o_orderkey", "n_name")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(dims, cust.c_nationkey == dims.n_nationkey)
+        li.join(F.broadcast(ord_region), li.l_orderkey == ord_region.o_orderkey)
         .groupBy("n_name")
         .agg(F.sum(revenue).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
         .select("n_name", F.col("_rev").cast("double").alias("revenue"), "n_items")

@@ -314,6 +314,56 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) =
 
 
 # ---------------------------------------------------------------------------
+# BPE pair statistics (one tokenizer-training merge step)
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of BPE training: corpus-wide frequencies of ADJACENT
+    token pairs (non-distinct — a pair occurring twice in one document counts
+    twice), top-100 by count. The merge loop would take the argmax pair,
+    rewrite the corpus, and re-count; each iteration is this same
+    map-side-combinable aggregation, which is why BPE training parallelizes
+    cleanly: the only global state per round is one winning pair."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs = F.when(
+        F.size(F.col("_toks")) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1),"
+            " i -> concat(_toks[i-1], ' ', _toks[i]))"
+        )
+    )
+    return (
+        docs.withColumn("_toks", toks)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(100)
+    )
+
+
+BPE_PAIR_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), pairs AS (
+  SELECT UNNEST(list_transform(
+           generate_series(1, GREATEST(LEN(ts) - 1, 0)),
+           i -> ts[i] || ' ' || ts[i+1])) AS pair
+  FROM tok
+)
+SELECT pair, COUNT(*) AS freq
+FROM pairs GROUP BY pair
+ORDER BY freq DESC, pair ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hopping (sliding) windows — overlapping twin of t_tumbling_candles
 # ---------------------------------------------------------------------------
 
@@ -369,6 +419,8 @@ SPECS = [
               doc="hierarchical rollup cascade 1min→5min→1h, exact partials"),
     QuerySpec("kmeans_assign_fixed", kmeans_assign_fixed, KMEANS_ASSIGN_SQL,
               doc="fixed-centroid k-means E-step assignment"),
+    QuerySpec("bpe_pair_stats", bpe_pair_stats, BPE_PAIR_SQL,
+              doc="BPE training pair-count step (non-distinct adjacent pairs)"),
     QuerySpec("t_hopping_windows", t_hopping_windows, HOPPING_SQL, headline=True,
               doc="hopping event-time windows (15 min / 5 min hop)"),
 ]

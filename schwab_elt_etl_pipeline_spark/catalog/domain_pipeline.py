@@ -40,48 +40,71 @@ _SESSION_END = f"{_DAY} 13:00:00"
 def _ticks_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic tick synthesis: strike/CP/minute/mark derived from
     lineitem keys; encoded as real stream records (symbol string + epoch-ms)
-    so Silver exercises the full F2/F4 decode path."""
+    so Silver exercises the full F2/F4 decode path.
+
+    Scale shape: the raw rows collapse onto |strikes| × |CP| × |minutes|
+    distinct ticks (82 × 421 here), and (strike, CP) ↔ symbol is injective —
+    so the MAX-on-collision dedup is pushed BELOW the encode, grouping on the
+    cheap integer keys first, and the expensive scalar work (symbol
+    formatting, tz-aware epoch encode) is computed once per DISTINCT key via
+    two broadcast dimension joins instead of once per raw row. The same move
+    an optimizer makes when an aggregation commutes with an injective
+    projection: per-row work drops from O(rows) to O(distinct keys).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     strike = (5400 + (F.col("l_partkey") % 41) * 5).cast("int")
     cp = F.when(F.col("l_returnflag") == "R", -1).otherwise(1)
-    minute = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 420
+    minute = ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 420).cast("int")
     mark = F.round(F.col("l_extendedprice") / 1000, 2)
-    # Cheap arithmetic first, then spread the rows BEFORE the expensive
-    # per-row work (format_string + regex parse + date conversions). The
-    # localCheckpoint is a pushdown fence: Silver's filters reference parsed
-    # columns, and Catalyst would otherwise push those predicates (entire
-    # expression trees included) through the exchange into the scan stage —
-    # which is one task here, because the source file has a single parquet
-    # row group. The fence pins the heavy work above the 32-way exchange.
-    base = (
+    # integer-key dedup straight off the scan: partial aggregation combines
+    # map-side, so only |distinct keys| rows cross the exchange
+    agg = (
         li.select(
             strike.alias("strike"),
             cp.alias("cp"),
             minute.alias("minute"),
             mark.alias("mark"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=False)
+        .groupBy("strike", "cp", "minute")
+        .agg(F.max("mark").alias("mark"))
     )
-    return base.select(
-        make_option_symbol(
-            "SPXW", F.lit(_EXPIRY).cast("date"), F.col("cp"), F.col("strike")
-        ).alias("symbol"),
+    # dimension: (strike, cp) -> symbol string (82 rows, broadcast)
+    sym_dim = (
+        spark.range(41)
+        .select((5400 + F.col("id") * 5).cast("int").alias("strike"))
+        .crossJoin(
+            spark.range(2).select((F.col("id") * 2 - 1).cast("int").alias("cp"))
+        )
+        .select(
+            "strike",
+            "cp",
+            make_option_symbol(
+                "SPXW", F.lit(_EXPIRY).cast("date"), F.col("cp"), F.col("strike")
+            ).alias("symbol"),
+        )
+    )
+    # dimension: minute -> epoch-ms (420 rows, broadcast)
+    min_dim = spark.range(420).select(
+        F.col("id").cast("int").alias("minute"),
         F.unix_millis(
             F.to_utc_timestamp(
-                F.expr(f"timestamp_ntz'{_DAY} 06:00:00' + make_interval(0,0,0,0,0,minute,0)")
+                F.expr(f"timestamp_ntz'{_DAY} 06:00:00' + make_interval(0,0,0,0,0,id,0)")
                 .cast("timestamp"),
                 "America/Los_Angeles",
             )
         ).alias("ms"),
-        F.col("mark"),
-    ).select(
-        F.col("ms").alias("received_at"),
-        "symbol",
-        F.col("mark").alias("37"),
-        F.col("ms").alias("38"),
-        F.lit(None).cast("double").alias("3"),
-        F.lit(None).cast("long").alias("35"),
+    )
+    return (
+        agg.join(F.broadcast(sym_dim), on=["strike", "cp"])
+        .join(F.broadcast(min_dim), on="minute")
+        .select(
+            F.col("ms").alias("received_at"),
+            "symbol",
+            F.col("mark").alias("37"),
+            F.col("ms").alias("38"),
+            F.lit(None).cast("double").alias("3"),
+            F.lit(None).cast("long").alias("35"),
+        )
     )
 
 

@@ -119,7 +119,10 @@ def latest_per_key(quotes: DataFrame, ttl_seconds: int = 600) -> DataFrame:
 
 
 def windowed_candles(
-    quotes: DataFrame, window: str = "1 minute", watermark: str = "5 minutes"
+    quotes: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window OHLC candles from the tick stream.
 
@@ -144,9 +147,12 @@ def windowed_candles(
         F.timestamp_millis(F.col("38")).alias("event_time"),
         F.col("37").alias("mark"),
     )
+    # slide < window -> hopping (overlapping) windows: each tick lands in
+    # window/slide panes; state cost scales by the same factor, watermark
+    # eviction is unchanged (a pane closes when the watermark passes its end).
     return (
         ticks.withWatermark("event_time", watermark)
-        .groupBy(F.window("event_time", window).alias("w"), "symbol")
+        .groupBy(F.window("event_time", window, slide or window).alias("w"), "symbol")
         .agg(
             F.min_by("mark", "event_time").alias("O"),
             F.max("mark").alias("H"),
