@@ -93,9 +93,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz")
     )
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    # dimension-first reduction (same rationale as q5): BUILDING customers
+    # cut orders ~5x before the fact join; the reduced orders side stays
+    # broadcastable at this SF, and dropping the hint falls back to SMJ+AQE
+    ord_bldg = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(F.broadcast(ord_bldg), li.l_orderkey == ord_bldg.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).alias("_rev"))
         .select(

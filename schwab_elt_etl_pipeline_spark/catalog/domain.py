@@ -51,16 +51,26 @@ def flagship_vertical_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_pre = base.rowsBetween(-5, -1)
     w_fol = base.rowsBetween(1, 5)
     vdec = F.col("value").cast("decimal(18,6)")
-    avg_pre = F.sum(vdec).over(w_pre).cast("double") / F.count("value").over(w_pre)
-    avg_fol = F.sum(vdec).over(w_fol).cast("double") / F.count("value").over(w_fol)
+    # materialize the 4 sliding aggregates once, flag from attribute refs
+    # (window Columns embedded in the condition would be re-planted per
+    # reference — Spark does not CSE duplicate window expressions)
+    flagged = dense.select(
+        "user_id", "h", "value",
+        F.sum(vdec).over(w_pre).alias("_sp"), F.count("value").over(w_pre).alias("_cp"),
+        F.sum(vdec).over(w_fol).alias("_sf"), F.count("value").over(w_fol).alias("_cf"),
+    )
+    avg_pre = F.col("_sp").cast("double") / F.col("_cp")
+    avg_fol = F.col("_sf").cast("double") / F.col("_cf")
     oi = F.when(
         (((avg_pre - F.col("value")) > 50) & ((avg_fol - F.col("value")) > 50))
         | (((F.col("value") - avg_pre) > 50) & ((F.col("value") - avg_fol) > 50)),
         1,
     ).otherwise(0)
-    flagged = dense.withColumn("OI", oi)
-    clean = flagged.filter(F.col("OI") != 1).withColumn(
-        "o", clamp(F.col("value"), 0.0, 100.0)
+    clean = (
+        flagged.withColumn("OI", oi)
+        .filter(F.col("OI") != 1)
+        .withColumn("o", clamp(F.col("value"), 0.0, 100.0))
+        .drop("_sp", "_cp", "_sf", "_cf")
     )
     w_roll = Window.partitionBy("user_id").orderBy("h").rowsBetween(-10, 0)
     rolled = clean.withColumn(

@@ -71,9 +71,9 @@ def _ticks_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dimension: (strike, cp) -> symbol string (82 rows, broadcast)
     sym_dim = (
         spark.range(41)
-        .select((5400 + F.col("id") * 5).cast("int").alias("strike"))
-        .crossJoin(
-            spark.range(2).select((F.col("id") * 2 - 1).cast("int").alias("cp"))
+        .select(
+            (5400 + F.col("id") * 5).cast("int").alias("strike"),
+            F.explode(F.array(F.lit(1).cast("int"), F.lit(-1).cast("int"))).alias("cp"),
         )
         .select(
             "strike",
@@ -161,11 +161,18 @@ def pipeline_verts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- W1/W2 outlier flag per spread ----
+    # materialize the 4 sliding aggregates once (Spark does not CSE
+    # duplicate window expressions; see operators/windows.py)
     base = Window.partitionBy("SS", "CP", "Expiry").orderBy("T")
     w_pre, w_fol = base.rowsBetween(-5, -1), base.rowsBetween(1, 5)
     ndec = F.col("NET").cast("decimal(18,6)")
-    avg_pre = F.sum(ndec).over(w_pre).cast("double") / F.count("NET").over(w_pre)
-    avg_fol = F.sum(ndec).over(w_fol).cast("double") / F.count("NET").over(w_fol)
+    flagged = pairs.select(
+        "SS", "CP", "Expiry", "T", "NET",
+        F.sum(ndec).over(w_pre).alias("_sp"), F.count("NET").over(w_pre).alias("_cp"),
+        F.sum(ndec).over(w_fol).alias("_sf"), F.count("NET").over(w_fol).alias("_cf"),
+    )
+    avg_pre = F.col("_sp").cast("double") / F.col("_cp")
+    avg_fol = F.col("_sf").cast("double") / F.col("_cf")
     oi = F.when(
         (((avg_pre - F.col("NET")) > 0.5) & ((avg_fol - F.col("NET")) > 0.5))
         | (((F.col("NET") - avg_pre) > 0.5) & ((F.col("NET") - avg_fol) > 0.5)),
@@ -173,9 +180,10 @@ def pipeline_verts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(0)
 
     clean = (
-        pairs.withColumn("OI", oi)
+        flagged.withColumn("OI", oi)
         .filter(F.col("OI") != 1)  # exclusion, docs/sql_server.md:541-542
         .withColumn("O", clamp(F.col("NET"), 0.0, float(_WIDTH)))  # F10
+        .drop("_sp", "_cp", "_sf", "_cf")
     )
 
     # ---- W3 rolling + A10 final dedup ----

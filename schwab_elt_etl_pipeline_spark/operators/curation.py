@@ -194,16 +194,28 @@ def semantic_dedup_verdicts(
 
     Output: (id, kept, dup_of, max_cos) — ``dup_of`` is the smallest
     retained-candidate id (-1 when kept), ``max_cos`` the strongest match
-    (0.0 when kept). The band join is the oracle-exact candidate generator;
-    swap in minhash/sign-LSH buckets for the 100 TB path.
+    (0.0 when kept). The id band is the oracle-exact candidate generator,
+    turned into an equi-join: ids bucket by the band width and the left side
+    probes its own and the next bucket, so candidates stay linear in band
+    width (a bare band predicate would plan a nested-loop join — quadratic
+    at scale). Swap in minhash/sign-LSH buckets for the 100 TB path.
     """
-    a = emb.select(F.col(id_col).alias("a_id"), as_double(vec_col).alias("a_vec"))
-    b = emb.select(F.col(id_col).alias("b_id"), as_double(vec_col).alias("b_vec"))
+    bucket = F.floor(F.col(id_col) / band)
+    a = emb.select(
+        F.col(id_col).alias("a_id"),
+        as_double(vec_col).alias("a_vec"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("b_id"),
+        as_double(vec_col).alias("b_vec"),
+        bucket.alias("bucket"),
+    )
     pairs = (
-        a.join(
-            b,
+        a.join(b, on="bucket")
+        .filter(
             (F.col("b_id") > F.col("a_id"))
-            & (F.col("b_id") - F.col("a_id") <= band),
+            & (F.col("b_id") - F.col("a_id") <= band)
         )
         .select(
             "a_id",

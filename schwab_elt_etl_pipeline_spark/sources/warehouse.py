@@ -34,11 +34,40 @@ _POINTER = "_CURRENT"
 class ParquetTable:
     """A named parquet table rooted at ``path`` with versioned overwrites."""
 
-    def __init__(self, spark: SparkSession, path: str, partition_by: Sequence[str] = ()):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: Sequence[str] = (),
+        cluster_by: Sequence[str] = (),
+        cluster_files: int | None = None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_by = list(partition_by)
+        # Clustered layout = the engine's replacement for the reference's
+        # NONCLUSTERED point-lookup indexes (sql/chains.sql:33-36): range-
+        # repartition + sort-within-partitions on the cluster key at write
+        # time gives every data file a DISJOINT min/max range, so parquet
+        # footer stats skip whole files/row-groups on key predicates —
+        # a coarse B-tree the scan gets for free.
+        self.cluster_by = list(cluster_by)
+        # None -> range-partition count follows shuffle.partitions + AQE
+        # coalescing (small tables legitimately collapse to one file); set
+        # explicitly to pin the file fan-out.
+        self.cluster_files = cluster_files
         os.makedirs(self.path, exist_ok=True)
+
+    def _layout(self, df: DataFrame) -> DataFrame:
+        if not self.cluster_by:
+            return df
+        cols = list(self.cluster_by)
+        ranged = (
+            df.repartitionByRange(self.cluster_files, *cols)
+            if self.cluster_files
+            else df.repartitionByRange(*cols)
+        )
+        return ranged.sortWithinPartitions(*cols)
 
     # -- version pointer ----------------------------------------------------
     def _pointer_file(self) -> str:
@@ -90,7 +119,7 @@ class ParquetTable:
     def overwrite_versioned(self, df: DataFrame) -> int:
         """Write a new version directory, then atomically flip the pointer."""
         version = (self.current_version() or 0) + 1
-        writer = df.write.mode("overwrite")
+        writer = self._layout(df).write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self._version_dir(version))
@@ -161,7 +190,9 @@ class ParquetTable:
         files = self.data_files()
         total = sum(os.path.getsize(f) for f in files)
         df = self.read()
-        if self.partition_by:
+        if self.cluster_by:
+            compacted = df  # overwrite_versioned re-applies the clustered layout
+        elif self.partition_by:
             compacted = df.repartition(*self.partition_by)
         else:
             n_files = max(1, -(-total // max(target_file_bytes, 1)))

@@ -73,6 +73,7 @@ _SANCTIONED_BNLJ = {
     "ann_cosine_topk",       # brute-force baseline: corpus × broadcast queries
     "ann_ivf_kmeans",        # centroid assignment: corpus × broadcast centroids
     "embedding_near_dup",    # pairwise baseline over broadcast sample
+    "kmeans_assign_fixed",   # E-step: corpus × broadcast centroid set (8 rows)
     "q11_important_suppliers",  # 1-row global-total broadcast
     "q22_global_avg_anti",   # 1-row scalar-average broadcast
 }

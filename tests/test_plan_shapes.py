@@ -1,0 +1,102 @@
+"""Physical-plan regression tests: the optimizations the engine relies on at
+scale (pushdown, pruning, broadcast strategies, bounded shuffle counts) must
+stay in the executed plan — a correctness-preserving refactor that silently
+reverts one of these is a 100 TB performance bug, not a style change.
+
+``executedPlan`` (after AQE planning) is inspected as text, the same surface
+``explain("formatted")`` prints.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from schwab_elt_etl_pipeline_spark.catalog import all_specs
+
+SPECS = {s.name: s for s in all_specs()}
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return SPECS[name].build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def scan_lines(plan: str) -> list[str]:
+    return [l for l in plan.splitlines() if "FileScan parquet" in l]
+
+
+def test_star_join_broadcasts_not_smj(spark, sf_dir):
+    """q5's dimension-first reduction: every join broadcast, no sort-merge."""
+    plan = plan_of(spark, sf_dir, "q5_region_revenue")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_region_filter_pushed_to_scan(spark, sf_dir):
+    """The r_name = 'ASIA' predicate must reach the region file scan."""
+    plan = plan_of(spark, sf_dir, "q5_region_revenue")
+    region_scans = [l for l in scan_lines(plan) if "r_name" in l]
+    assert region_scans and any("= ASIA" in l for l in region_scans)
+
+
+def test_q1_single_exchange_and_pruned_scan(spark, sf_dir):
+    """Scan-filter-aggregate: one exchange (partial agg combines map-side),
+    and the scan reads only the 7 referenced columns."""
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("Exchange") == 1
+    (scan,) = scan_lines(plan)
+    assert "l_shipdate" in scan and "l_comment" not in scan and "l_partkey" not in scan
+
+
+def test_projection_prunes_columns_no_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "s1_scan_projection")
+    assert plan.count("Exchange") == 0
+    (scan,) = scan_lines(plan)
+    assert "l_extendedprice" in scan and "l_comment" not in scan
+
+
+def test_silver_opt_resolve_is_broadcast(spark, sf_dir):
+    """J4 surrogate-key resolution joins the tiny OPT master by broadcast."""
+    plan = plan_of(spark, sf_dir, "j4_surrogate_resolve")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_whole_stage_codegen_spans(spark, sf_dir):
+    """The Gold window pipeline must stay inside whole-stage codegen.
+    Codegen ids only exist on the FINAL adaptive plan, so execute first
+    (look for codegen-id markers, not the literal class name)."""
+    df = SPECS["flagship_vertical_analytics"].build(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    df.collect()  # finalize THIS query execution (write would start its own)
+    plan = qe.executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # whole-stage-codegen spans render as a leading "*(n)" on operators
+    assert "*(1)" in plan
+
+
+def test_outlier_windows_not_duplicated(spark, sf_dir):
+    """The W1/W2 outlier flag must evaluate exactly 4 sliding aggregates
+    (2 sums + 2 counts) — embedding window Columns per reference would
+    silently double them (no CSE across window expressions)."""
+    plan = plan_of(spark, sf_dir, "flagship_vertical_analytics")
+    w12 = [l for l in plan.splitlines() if "RowFrame, -5, -1" in l]
+    assert w12, "trailing window vanished from the plan"
+    assert all(l.count("RowFrame, -5, -1") <= 2 for l in w12)
+
+
+def test_e2e_tick_dedup_below_decode(spark, sf_dir):
+    """pipeline_verts_e2e groups on integer keys straight off the scan: no
+    lineitem scan stage may contain the symbol formatter (the encode runs on
+    the 82-row dimension, not the 600k-row fact), and the dimension joins
+    are broadcasts."""
+    plan = plan_of(spark, sf_dir, "pipeline_verts_e2e")
+    assert plan.count("BroadcastHashJoin") >= 2
+    li_scans = [l for l in scan_lines(plan) if "l_partkey" in l]
+    assert li_scans and all("format_string" not in l for l in li_scans)
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "token_vocab_topk", "gopher_repetition"])
+def test_corpus_aggregations_have_partial_agg(spark, sf_dir, name):
+    """Corpus statistics must combine map-side: two HashAggregate levels
+    around each exchange, never a raw-row shuffle into a single agg."""
+    plan = plan_of(spark, sf_dir, name)
+    assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2

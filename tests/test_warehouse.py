@@ -226,3 +226,41 @@ def test_scd2_multirow_update_batch_keeps_one_version(spark):
     open_rows = out.filter(F.col("is_current")).collect()
     assert len(open_rows) == 1 and open_rows[0]["seg"] == "LATEST"
     assert out.count() == 2  # closed v1 + one open version
+
+
+def test_clustered_layout_gives_disjoint_file_ranges(spark, table_dir):
+    """cluster_by = the B-tree-index replacement: every data file must own a
+    DISJOINT range of the cluster key, so parquet footer min/max stats skip
+    whole files on key predicates. Shuffled input proves the layout comes
+    from the write path, not input order."""
+    import pyarrow.parquet as pq
+
+    t = ParquetTable(spark, table_dir, cluster_by=["k"], cluster_files=8)
+    df = (
+        spark.range(10_000)
+        .select((F.xxhash64("id") % 10_000).alias("shuffle_key"), F.col("id").alias("k"))
+        .orderBy("shuffle_key")
+        .drop("shuffle_key")
+        .repartition(8)
+    )
+    t.overwrite_versioned(df)
+
+    ranges = []
+    for f in t.data_files():
+        md = pq.ParquetFile(f).metadata
+        stats = [md.row_group(i).column(0).statistics for i in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    assert len(ranges) > 1, "need multiple files to demonstrate skipping"
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next, f"overlapping file ranges: {ranges}"
+
+    # correctness unchanged and a point predicate still finds its row
+    assert t.read().count() == 10_000
+    assert t.read().filter(F.col("k") == 1234).count() == 1
+
+    # compaction preserves the clustered layout
+    t.compact()
+    f0 = t.data_files()[0]
+    s = pq.ParquetFile(f0).metadata.row_group(0).column(0).statistics
+    assert s is not None and s.has_min_max
