@@ -1,0 +1,88 @@
+"""Streaming continuous aggregate: event stream → incrementally maintained
+rollup table (the hypertable continuous-aggregate shape, streaming twin of
+``operators/rollup.py``).
+
+A 100 TB metrics pipeline never recomputes rollups from scratch: each
+micro-batch folds its partial aggregates into the stored rollup. Because
+every measure is decomposable (count/sum/min/max — SURVEY A-family), the fold
+is itself just a re-aggregation, and exact DECIMAL sums make the maintained
+table bit-identical to a from-scratch rollup at any batch boundary
+(tested in test_streaming_rollup).
+
+Exactly-once-effective under replay: partials are staged per epoch with
+``insert_new`` on (keys…, bucket_ts, _epoch) — a replayed micro-batch
+(same epoch id, Structured Streaming's failure contract) inserts zero rows —
+and the served rollup is the re-aggregation of the staged partials. The
+stage grows by one row per (keys, bucket, epoch) and is compacted by
+re-staging the folded table under the epoch floor (``compact_stage``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from schwab_elt_etl_pipeline_spark.operators.rollup import rollup_minutes
+from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
+
+
+def fold_partials(staged: DataFrame, keys: list[str]) -> DataFrame:
+    """Re-aggregate staged per-epoch partials to one row per (keys, bucket).
+
+    Decomposable measures only — the same fold `rollup_coarser` applies
+    across grains, applied here across epochs at the same grain.
+    """
+    return staged.groupBy(*keys, "bucket_ts").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def run_streaming_rollup(
+    events_stream: DataFrame,
+    stage_table: ParquetTable,
+    keys: list[str],
+    ts: str = "ts",
+    value: str = "value",
+    minutes: int = 1,
+    checkpoint_dir: str = "",
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Maintain a minute-grain rollup stage incrementally from a stream.
+
+    Per micro-batch: aggregate the batch to per-bucket partials, tag with the
+    epoch id, ``insert_new`` into the stage (replay-idempotent). Readers call
+    :func:`fold_partials` (or read a periodically compacted fold).
+    """
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        partials = rollup_minutes(batch, keys, ts=ts, value=value, minutes=minutes)
+        staged = partials.withColumn("_epoch", F.lit(batch_id).cast("long"))
+        stage_table.insert_new(staged, keys=[*keys, "bucket_ts", "_epoch"])
+
+    writer = events_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_stage(stage_table: ParquetTable, keys: list[str]) -> int:
+    """Fold the stage to one row per (keys, bucket) and rewrite it under the
+    current epoch floor, so stage size stays O(buckets), not O(buckets ×
+    epochs). Safe between streaming runs (same atomic pointer flip as every
+    table write); the fold is associative so folding a fold is a no-op."""
+    staged = stage_table.read()
+    max_epoch = staged.agg(F.max("_epoch")).first()[0]
+    folded = fold_partials(staged, keys).withColumn(
+        "_epoch", F.lit(max_epoch).cast("long")
+    )
+    return stage_table.overwrite_versioned(folded)
