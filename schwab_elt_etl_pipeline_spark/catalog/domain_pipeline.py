@@ -135,6 +135,8 @@ def pipeline_verts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     marks = marks.persist()
 
     # ---- Gold: T9 densify per leg ----
+    # dense feeds both sides of the pairing self-join below — persist so the
+    # gapfill (grid explode + LOCF window) runs once, not per branch
     dense = gapfill_locf(
         marks,
         entity=["Strike", "CP", "Expiry"],
@@ -143,7 +145,7 @@ def pipeline_verts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         step="interval 1 minute",
         grid_start="date_trunc('minute', _min_ts)",
         grid_end=f"timestamp_ntz'{_DAY} 13:00:00'",
-    )
+    ).persist()
 
     # ---- J5 pairing: same (T, CP, Expiry), long leg W strikes away ----
     long_strike = F.when(F.col("CP") == -1, F.col("Strike") - _WIDTH).otherwise(

@@ -615,6 +615,10 @@ def t9_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("h", F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz"))
         .groupBy("user_id", "h")
         .agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
+        # gapfill is a diamond (bounds agg + observation union both read the
+        # input): persist the small aggregate so the events scan+dedup runs
+        # once, not per branch (same pattern as the flagship pipelines)
+        .persist()
     )
     return gapfill_locf(
         hourly, entity=["user_id"], ts="h", values=["value"], step="interval 1 hour"

@@ -99,6 +99,9 @@ def densify_legs(
         .filter(F.col("Strike").between(strike_lo, strike_hi))
         .filter((F.col("T") >= F.lit(min_time)) & (F.col("T") <= F.lit(end_ts)))
         .select("OPT_ID", "Strike", "CP", "Expiry", "T", F.col("O").cast("double").alias("O"))
+        # gapfill reads its input twice (bounds + observations): persist the
+        # filtered legs so the OPTM scan+join runs once per build
+        .persist()
     )
     return gapfill_locf(
         legs,
@@ -213,8 +216,10 @@ def run_gold(
     ``underlying`` carries ($SPX) marks with columns (T, Mark).
     """
     lo, hi = strike_range(underlying, min_time)
-    dense = densify_legs(optm, opt, min_time, lo - opt_range, hi + opt_range)
-    pairs = pair_legs(dense, width)
+    # dense feeds both legs of the pairing self-join; pairs feed the VERT
+    # definitions AND the priced series — persist both diamond nodes
+    dense = densify_legs(optm, opt, min_time, lo - opt_range, hi + opt_range).persist()
+    pairs = pair_legs(dense, width).persist()
     new_vert = build_verts(pairs, width, vert)
     vert_all = new_vert if vert is None else vert.unionByName(new_vert)
     new_ts = build_vert_ts(pairs, vert_all, width, vert_ts)
