@@ -128,3 +128,58 @@ def test_outlier_flag(spark):
     ]
     # spike up, within threshold, spike down, null neighbor (edge → not flagged)
     assert got == [1, 0, 1, 0]
+
+
+class TestDstTransitions:
+    """SURVEY §7.3.4: Pacific wall-clock conversion across DST boundaries.
+    US 2024 transitions: spring-forward 2024-03-10 02:00 PST→03:00 PDT
+    (10:00 UTC), fall-back 2024-11-03 02:00 PDT→01:00 PST (09:00 UTC)."""
+
+    def _convert(self, spark, ms_list):
+        from schwab_elt_etl_pipeline_spark.functions.timeutils import epoch_ms_to_tz_naive
+
+        df = spark.createDataFrame([(m,) for m in ms_list], "ms long")
+        return [
+            r["t"].strftime("%Y-%m-%d %H:%M:%S")
+            for r in df.select(epoch_ms_to_tz_naive("ms").alias("t")).collect()
+        ]
+
+    def test_spring_forward_skips_an_hour(self, spark):
+        # 09:59:59 UTC is 01:59:59 PST; 10:00:01 UTC is 03:00:01 PDT —
+        # wall-clock 02:xx does not exist on 2024-03-10
+        base = 1710064800000  # 2024-03-10 10:00:00 UTC
+        got = self._convert(spark, [base - 1000, base + 1000])
+        assert got == ["2024-03-10 01:59:59", "2024-03-10 03:00:01"]
+
+    def test_fall_back_repeats_an_hour(self, spark):
+        # 08:30 UTC -> 01:30 PDT; 09:30 UTC -> 01:30 PST: two epochs, one
+        # wall-clock timestamp (the reference's tz-naive storage semantics)
+        base = 1730624400000  # 2024-11-03 09:00:00 UTC
+        got = self._convert(spark, [base - 1800000, base + 1800000])
+        assert got == ["2024-11-03 01:30:00", "2024-11-03 01:30:00"]
+
+    def test_silver_collapses_fall_back_ambiguity_by_max(self, spark):
+        """Two ticks an epoch-hour apart that map to the SAME wall-clock T
+        must collapse via A7 MAX(mark) — the defined dedup-on-collision
+        semantic — not produce duplicate (OPT_ID, T) rows."""
+        from schwab_elt_etl_pipeline_spark.plans import silver
+        from schwab_elt_etl_pipeline_spark.schemas import QUOTES_STREAM
+
+        sym = "SPXW  241108C05500000"
+        base = 1730624400000  # 2024-11-03 09:00:00 UTC (fall-back instant)
+        rows = [
+            (base - 1800000, sym, 10.0, base - 1800000, None, None),  # 01:30 PDT
+            (base + 1800000, sym, 12.0, base + 1800000, None, None),  # 01:30 PST
+        ]
+        quotes = spark.createDataFrame(rows, QUOTES_STREAM)
+        parsed = silver.parse_quotes(quotes)
+        assert parsed.select("T").distinct().count() == 1
+        _opt, optm = silver.run_silver(quotes)
+        # 01:30 is outside the 06:30-13:00 session window -> OPTM drops both
+        assert optm.count() == 0
+        # widen the session to cover the ambiguous hour: exactly one row, MAX
+        inc = silver.build_optm_increment(
+            parsed, silver.build_opt(parsed), session_start="00:00:00"
+        )
+        out = inc.collect()
+        assert len(out) == 1 and float(out[0]["O"]) == 12.0
