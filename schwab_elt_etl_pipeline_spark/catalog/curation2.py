@@ -364,6 +364,55 @@ LIMIT 100
 
 
 # ---------------------------------------------------------------------------
+# Document chunking (overlapping token windows)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32
+_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping token-window chunks (size 32,
+    stride 24) — the pre-tokenization step of training-data and retrieval
+    pipelines. Pure array expressions (sequence → explode → slice): the
+    fan-out is rows × ceil(tokens/stride), all inside codegen, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return (
+        docs.withColumn("_toks", toks)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_toks"), F.lit(_STRIDE))
+            ).alias("start"),
+            "_toks",
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / _STRIDE).cast("int").alias("chunk_id"),
+            F.size(F.slice("_toks", F.col("start"), _CHUNK)).alias("chunk_tokens"),
+            F.array_join(F.slice("_toks", F.col("start"), _CHUNK), " ").alias("chunk_text"),
+        )
+    )
+
+
+DOC_CHUNK_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), starts AS (
+  SELECT doc_id, ts, UNNEST(generate_series(1, LEN(ts), {_STRIDE})) AS start FROM tok
+)
+SELECT doc_id,
+       CAST((start - 1) // {_STRIDE} AS INT) AS chunk_id,
+       LEN(ts[start : start + {_CHUNK} - 1]) AS chunk_tokens,
+       array_to_string(ts[start : start + {_CHUNK} - 1], ' ') AS chunk_text
+FROM starts
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hopping (sliding) windows — overlapping twin of t_tumbling_candles
 # ---------------------------------------------------------------------------
 
@@ -421,6 +470,8 @@ SPECS = [
               doc="fixed-centroid k-means E-step assignment"),
     QuerySpec("bpe_pair_stats", bpe_pair_stats, BPE_PAIR_SQL,
               doc="BPE training pair-count step (non-distinct adjacent pairs)"),
+    QuerySpec("doc_chunking", doc_chunking, DOC_CHUNK_SQL,
+              doc="overlapping token-window chunking (size 32 / stride 24)"),
     QuerySpec("t_hopping_windows", t_hopping_windows, HOPPING_SQL, headline=True,
               doc="hopping event-time windows (15 min / 5 min hop)"),
 ]
