@@ -104,3 +104,36 @@ def test_bucket_ts_rejects_non_nesting_grain(spark):
         bucket_ts("ts", 7)
     with pytest.raises(ValueError):
         bucket_ts("ts", 90)
+
+
+def test_pii_redaction_is_complete_property(spark):
+    """Completeness: after redaction, NO pattern matches remain — for
+    adversarial inputs (pattern fragments, overlaps, unicode, adjacency),
+    not just the well-formed synthetic rows the oracle covers."""
+    from hypothesis import given, settings, strategies as st
+
+    fragments = st.sampled_from([
+        "a@b.co", "x.y+z@mail.example.com", "@@", "a@b", ".com", "555-123-4567",
+        "555.123.4567", "555 123 4567", "123-45-6789", "12-345-6789",
+        "9555-123-45678", "text", "ünïcodé", "\n", " ", "123-45-678",
+        "user@sub.domain.org9", "1@2.aa",
+    ])
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(fragments, min_size=1, max_size=8))
+    def check(parts):
+        s = " ".join(parts)
+        from schwab_elt_etl_pipeline_spark.operators.curation import (
+            EMAIL_RE, PHONE_RE, SSN_RE, pii_redact,
+        )
+
+        df = spark.createDataFrame([(s,)], "s string")
+        row = df.select(
+            pii_redact("s").alias("red"),
+            F.regexp_count(pii_redact("s"), F.lit(EMAIL_RE)).alias("e"),
+            F.regexp_count(pii_redact("s"), F.lit(PHONE_RE)).alias("p"),
+            F.regexp_count(pii_redact("s"), F.lit(SSN_RE)).alias("n"),
+        ).first()
+        assert (row["e"], row["p"], row["n"]) == (0, 0, 0), (s, row["red"])
+
+    check()
