@@ -49,6 +49,7 @@ def all_specs() -> list[QuerySpec]:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
         curation2,
         domain,
         domain_pipeline,
@@ -68,6 +69,7 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (
         curation2,
+        analytics5,
         analytics,
         analytics2,
         analytics3,
