@@ -39,10 +39,10 @@ def flagship_vertical_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("h", F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz"))
         .groupBy("user_id", "h")
         .agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
-        # gapfill is a diamond (bounds agg + grid join both read hourly):
-        # persist the small aggregate so the events scan+dedup runs once,
-        # not once per branch (same pattern as pipeline_verts_e2e's marks).
-        .persist()
+        # gapfill is a diamond (bounds agg + grid join both read hourly),
+        # but this subtree is one cheap scan+agg: recomputing both branches
+        # beats persist's materialization (A/B measured at sf0.1). Persist
+        # diamond inputs only when the subtree is expensive.
     )
     dense = gapfill_locf(
         hourly, entity=["user_id"], ts="h", values=["value"], step="interval 1 hour"

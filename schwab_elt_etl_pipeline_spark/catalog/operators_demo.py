@@ -615,10 +615,11 @@ def t9_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("h", F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz"))
         .groupBy("user_id", "h")
         .agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
-        # gapfill is a diamond (bounds agg + observation union both read the
-        # input): persist the small aggregate so the events scan+dedup runs
-        # once, not per branch (same pattern as the flagship pipelines)
-        .persist()
+        # gapfill reads its input twice (bounds + observations) but this
+        # subtree is ONE cheap scan+agg — recomputing it costs less than
+        # persist's materialization (measured ~0.7s vs ~1.4s at sf0.1).
+        # Persist diamond inputs only when the subtree is expensive
+        # (see pipeline_verts_e2e's parsed marks).
     )
     return gapfill_locf(
         hourly, entity=["user_id"], ts="h", values=["value"], step="interval 1 hour"
