@@ -100,9 +100,47 @@ GROUP BY 1, 2
 """
 
 
+_BINS = 20
+
+
+def a_histogram_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event_type: global min/max in one
+    tiny pass (broadcast back), then a binned count — the two-pass shape of
+    every distributed histogram/quantile-sketch build. Bin ids clamp the
+    max value into the last bin."""
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    j = ev.join(F.broadcast(rng), "event_type")
+    bin_id = F.least(
+        F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / _BINS)),
+        F.lit(_BINS - 1),
+    ).cast("int")
+    return (
+        j.select("event_type", bin_id.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+A_HISTOGRAM_SQL = f"""
+WITH rng AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(LEAST(FLOOR((e.value - r.lo) / ((r.hi - r.lo) / {_BINS})), {_BINS - 1}) AS INT) AS bin,
+       COUNT(*) AS n
+FROM events e JOIN rng r USING (event_type)
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("a_mad_robust", a_mad_robust, A_MAD_SQL,
               doc="grouped median + MAD (robust scale statistic)"),
+    QuerySpec("a_histogram_binned", a_histogram_binned, A_HISTOGRAM_SQL,
+              doc="two-pass equi-width histogram per group"),
     QuerySpec("t_vwap_weighted", t_vwap_weighted, T_VWAP_SQL,
               doc="JSON-weighted average per (type, hour) with exact decimal sums"),
 ]
