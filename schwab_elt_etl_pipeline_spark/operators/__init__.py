@@ -13,6 +13,14 @@ from schwab_elt_etl_pipeline_spark.operators.dedup import (
     simhash_near_dups,
     with_shingles,
 )
+from schwab_elt_etl_pipeline_spark.operators.curation import (
+    decontaminate,
+    eval_gram_set,
+    pii_counts,
+    pii_redact,
+    repetition_stats,
+    semantic_dedup_verdicts,
+)
 from schwab_elt_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs
 from schwab_elt_etl_pipeline_spark.operators.gapfill import gapfill_locf
 from schwab_elt_etl_pipeline_spark.operators.interval import point_in_interval_join
@@ -27,6 +35,11 @@ from schwab_elt_etl_pipeline_spark.operators.multimodal import (
     resize_stub,
 )
 from schwab_elt_etl_pipeline_spark.operators.quality import dq_summary, quarantine
+from schwab_elt_etl_pipeline_spark.operators.rollup import (
+    rollup_coarser,
+    rollup_minutes,
+    rollup_read,
+)
 from schwab_elt_etl_pipeline_spark.operators.sampling import (
     hash_bucket,
     stratified_hash_sample,
@@ -62,7 +75,9 @@ __all__ = [
     "connected_components",
     "cosine",
     "decode_stub_features",
+    "decontaminate",
     "dq_summary",
+    "eval_gram_set",
     "exact_dup_groups",
     "fingerprint",
     "frame_sample_plan",
@@ -77,14 +92,21 @@ __all__ = [
     "merge_upsert",
     "minhash_lsh_candidates",
     "minhash_signature",
+    "pii_counts",
+    "pii_redact",
     "point_in_interval_join",
     "quarantine",
+    "repetition_stats",
     "resize_stub",
     "rolling_avg",
+    "rollup_coarser",
+    "rollup_minutes",
+    "rollup_read",
     "salted_agg",
     "salted_join_skewed_left",
     "scd2_apply",
     "scd2_init",
+    "semantic_dedup_verdicts",
     "simhash64",
     "simhash_near_dups",
     "stratified_hash_sample",
