@@ -46,3 +46,22 @@ def prune_logs(logs: DataFrame, keep_days: int, now: dt.datetime) -> DataFrame:
     maintenance delete; on partitioned storage this is a partition drop)."""
     cutoff = now - dt.timedelta(days=keep_days)
     return logs.filter(F.col("log_time") >= F.lit(cutoff))
+
+
+def upsert_api_tokens(snapshot: DataFrame, tokens: DataFrame | None = None) -> DataFrame:
+    """J8 MERGE on Name for the SCHWAB.API token table (sql/opt.sql:198-209;
+    tokens refreshed by services/tokens_service.py): the newest
+    access/refresh token pair per credential name replaces the stored one."""
+    if tokens is None:
+        return snapshot.dropDuplicates(["Name"])
+    return merge_upsert(snapshot, tokens, keys=["Name"])
+
+
+def valid_access_tokens(tokens: DataFrame, now: dt.datetime) -> DataFrame:
+    """Credentials whose access token is still live at ``now``
+    (tools/schwab.py:474-490 token_data expiry checks) — the engine-side
+    predicate behind 'needs refresh' scheduling."""
+    return tokens.filter(
+        F.col("access_token").isNotNull()
+        & (F.col("access_token_expires_at") > F.lit(now))
+    )

@@ -53,3 +53,30 @@ def test_prune_logs(spark):
     )
     kept = prune_logs(logs, keep_days=30, now=now)
     assert {r["msg"] for r in kept.collect()} == {"msg0", "msg5"}
+
+
+def test_api_token_upsert_and_validity(spark):
+    import datetime as dt
+
+    from schwab_elt_etl_pipeline_spark.plans.operational import (
+        upsert_api_tokens,
+        valid_access_tokens,
+    )
+
+    schema = ("Name string, access_token string, "
+              "access_token_expires_at timestamp_ntz")
+    t0 = dt.datetime(2024, 6, 17, 9, 0)
+    base = spark.createDataFrame(
+        [("acct1", "tokA", t0), ("acct2", "tokB", t0)], schema
+    )
+    tokens = upsert_api_tokens(base)
+    # refresh acct1: newer expiry replaces; acct2 untouched; acct3 inserted
+    refreshed = spark.createDataFrame(
+        [("acct1", "tokA2", dt.datetime(2024, 6, 17, 10, 0)),
+         ("acct3", "tokC", dt.datetime(2024, 6, 17, 10, 0))], schema
+    )
+    merged = upsert_api_tokens(refreshed, tokens)
+    rows = {r["Name"]: r["access_token"] for r in merged.collect()}
+    assert rows == {"acct1": "tokA2", "acct2": "tokB", "acct3": "tokC"}
+    live = valid_access_tokens(merged, dt.datetime(2024, 6, 17, 9, 30))
+    assert {r["Name"] for r in live.collect()} == {"acct1", "acct3"}
