@@ -136,9 +136,58 @@ GROUP BY 1, 2
 """
 
 
+def a_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-counting: per-(event_type, day) HLL sketches
+    (Apache DataSketches) UNION-merged to a per-type distinct-user estimate.
+
+    THE incremental pattern for distinct metrics at 100 TB: daily partitions
+    each keep a kilobyte sketch; any rollup (weekly, global, ad-hoc window)
+    is a cheap sketch union — raw data is never rescanned. Rows-only check
+    (sketch internals are engine-specific); the estimate's relative error vs
+    exact is gated in tests/test_sketch_accuracy.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+        .select(
+            "event_type",
+            F.col("approx_users").cast("long").alias("approx_users"),
+            "n_daily_sketches",
+        )
+    )
+
+
+def a_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched heavy hitters: approx_top_k over corpus tokens — the
+    bounded-memory path for frequent-item mining (vs token_vocab_topk's
+    exact shuffle). Rows-only check; precision vs the exact top-k is gated
+    in tests/test_sketch_accuracy.py."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    return (
+        toks.agg(F.expr("approx_top_k(token, 50, 65536)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("token"), F.col("e.count").alias("freq"))
+    )
+
+
 SPECS = [
     QuerySpec("a_mad_robust", a_mad_robust, A_MAD_SQL,
               doc="grouped median + MAD (robust scale statistic)"),
+    QuerySpec("a_hll_partitioned_merge", a_hll_partitioned_merge, None,
+              doc="per-day HLL sketches union-merged to distinct counts (rows-only)"),
+    QuerySpec("a_heavy_hitters_sketch", a_heavy_hitters_sketch, None,
+              doc="approx_top_k heavy hitters over corpus tokens (rows-only)"),
     QuerySpec("a_histogram_binned", a_histogram_binned, A_HISTOGRAM_SQL,
               doc="two-pass equi-width histogram per group"),
     QuerySpec("t_vwap_weighted", t_vwap_weighted, T_VWAP_SQL,

@@ -28,3 +28,43 @@ def test_approx_quantiles_rank_error(spark, sf_dir):
 
             rank = bisect.bisect_right(vals, got) / n
             assert abs(rank - p) <= 0.01 + 1.0 / n, (etype, p, got, rank)
+
+
+def test_hll_partitioned_merge_accuracy(spark, sf_dir):
+    """Union-merged daily HLL sketches must estimate per-type distinct users
+    within the sketch's error envelope (lgK=12 -> ~1.6% RSE; allow 5%)."""
+    from schwab_elt_etl_pipeline_spark.catalog.analytics5 import a_hll_partitioned_merge
+    from schwab_elt_etl_pipeline_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in a_hll_partitioned_merge(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(0.05 * exact[k], 2), (k, est, exact[k])
+
+
+def test_heavy_hitters_sketch_matches_exact_head(spark, sf_dir):
+    """With a sketch budget far above the vocabulary size the sketch is
+    exact: its top-20 must equal the exact top-20 (count-keyed)."""
+    from schwab_elt_etl_pipeline_spark.catalog.analytics5 import a_heavy_hitters_sketch
+    from schwab_elt_etl_pipeline_spark.catalog.llm_text import token_vocab_topk
+
+    sk = {
+        r["token"]: r["freq"]
+        for r in a_heavy_hitters_sketch(spark, sf_dir).collect()
+    }
+    exact = [
+        (r["token"], r["freq"]) for r in token_vocab_topk(spark, sf_dir).collect()
+    ][:20]
+    for token, freq in exact:
+        assert sk.get(token) == freq, (token, freq, sk.get(token))
