@@ -337,9 +337,16 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> concat(_toks[i-1], ' ', _toks[i]))"
         )
     )
-    return (
+    # materialize the pair array before exploding: Generate over a
+    # lambda-built array re-evaluates the interpreted lambda per emitted
+    # element (see operators/curation.py _exploded_shingles)
+    mat = (
         docs.withColumn("_toks", toks)
-        .select(F.explode(pairs).alias("pair"))
+        .select(pairs.alias("pairs"))
+        .localCheckpoint(eager=False)
+    )
+    return (
+        mat.select(F.explode("pairs").alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("pair"))
@@ -455,7 +462,126 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (the LLM-side flagship pipeline)
+# ---------------------------------------------------------------------------
+
+
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pass as one query — the training-data
+    counterpart of ``pipeline_verts_e2e``: every non-eval document flows
+    through exact-dup detection, benchmark decontamination, length gating,
+    and repetition gating, and exits with one verdict from a fixed-priority
+    cascade (duplicate > contaminated > too_short > repetitive > keep).
+
+    Plan shape at scale: one fingerprint window (hash-partitioned by fp),
+    one broadcast join against the eval gram set, one per-(doc, token)
+    map-side-combinable aggregation — the corpus is scanned once per
+    signal family and never shuffled whole.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    is_eval = (F.col("doc_id") % _EVAL_MOD) == 0
+    train = docs.filter(~is_eval)
+
+    from schwab_elt_etl_pipeline_spark.operators.text import fingerprint
+
+    fp = train.withColumn("_fp", fingerprint("text")).withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("_fp"))
+    )
+
+    grams = eval_gram_set(docs.filter(is_eval), "text", n=3)
+    decon = decontaminate(train, grams, n=3, threshold=0.5).select(
+        "doc_id", "overlap", "contaminated"
+    )
+    rep = repetition_stats(train, top_token_max=0.2, dup_2gram_max=0.3).select(
+        "doc_id", "n_tokens", "top_token_frac", "dup_2gram_frac", "repetitive"
+    )
+
+    j = fp.select("doc_id", "keep_id").join(decon, "doc_id").join(rep, "doc_id")
+    verdict = (
+        F.when(F.col("doc_id") != F.col("keep_id"), "duplicate")
+        .when(F.col("contaminated") == 1, "contaminated")
+        .when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("repetitive") == 1, "repetitive")
+        .otherwise("keep")
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "overlap",
+        "top_token_frac",
+        "dup_2gram_frac",
+        verdict.alias("verdict"),
+        (verdict == "keep").cast("int").alias("kept"),
+    )
+
+
+CORPUS_E2E_SQL = rf"""
+WITH train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
+), fp AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keep_id
+  FROM train
+), tok AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), sh AS (
+  SELECT doc_id, {_grams_sql(3)} AS grams FROM tok
+), eg AS (
+  SELECT DISTINCT UNNEST(grams) AS gram FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+), ex AS (
+  SELECT doc_id, UNNEST(grams) AS gram FROM sh WHERE doc_id % {_EVAL_MOD} <> 0
+), decon_raw AS (
+  SELECT ex.doc_id, COUNT(*) AS n_grams, COUNT(eg.gram) AS n_hit
+  FROM ex LEFT JOIN eg USING (gram) GROUP BY ex.doc_id
+), decon AS (
+  SELECT t.doc_id,
+         ROUND(COALESCE(d.n_hit / d.n_grams, 0.0), 6) AS overlap,
+         CAST(COALESCE(d.n_hit / d.n_grams, 0.0) >= 0.5 AS INT) AS contaminated
+  FROM train t LEFT JOIN decon_raw d USING (doc_id)
+), per_token AS (
+  SELECT doc_id, t.token, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(ts) AS token FROM tok) t
+  GROUP BY doc_id, t.token
+), stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(MAX(c) AS BIGINT) AS top_c
+  FROM per_token GROUP BY doc_id
+), g2 AS (
+  SELECT doc_id, LEN({_grams_sql(2)}) AS d2 FROM tok
+), rep AS (
+  SELECT s.doc_id, s.n_tokens,
+         ROUND(s.top_c / s.n_tokens, 6) AS top_token_frac,
+         ROUND(CASE WHEN s.n_tokens > 1
+                    THEN 1.0 - g2.d2 / (s.n_tokens - 1) ELSE 0.0 END, 6) AS dup_2gram_frac,
+         CAST(s.top_c / s.n_tokens > 0.2 OR
+              (CASE WHEN s.n_tokens > 1
+                    THEN 1.0 - g2.d2 / (s.n_tokens - 1) ELSE 0.0 END) > 0.3
+              AS INT) AS repetitive
+  FROM stats s JOIN g2 USING (doc_id)
+)
+SELECT f.doc_id, r.n_tokens, d.overlap, r.top_token_frac, r.dup_2gram_frac,
+       CASE WHEN f.doc_id <> f.keep_id THEN 'duplicate'
+            WHEN d.contaminated = 1 THEN 'contaminated'
+            WHEN r.n_tokens < 20 THEN 'too_short'
+            WHEN r.repetitive = 1 THEN 'repetitive'
+            ELSE 'keep' END AS verdict,
+       CAST((CASE WHEN f.doc_id <> f.keep_id THEN 'duplicate'
+                  WHEN d.contaminated = 1 THEN 'contaminated'
+                  WHEN r.n_tokens < 20 THEN 'too_short'
+                  WHEN r.repetitive = 1 THEN 'repetitive'
+                  ELSE 'keep' END) = 'keep' AS INT) AS kept
+FROM fp f JOIN decon d ON d.doc_id = f.doc_id JOIN rep r ON r.doc_id = f.doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("corpus_curation_e2e", corpus_curation_e2e, CORPUS_E2E_SQL,
+              headline=True,
+              doc="FULL curation pipeline: dup + decontam + length + repetition → verdict cascade"),
     QuerySpec("decontam_ngram_overlap", decontam_ngram_overlap, DECONTAM_SQL,
               doc="benchmark decontamination: 3-gram overlap vs eval split"),
     QuerySpec("gopher_repetition", gopher_repetition, GOPHER_SQL,

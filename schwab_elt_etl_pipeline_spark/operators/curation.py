@@ -38,17 +38,32 @@ from schwab_elt_etl_pipeline_spark.operators.similarity import as_double, cosine
 # ---------------------------------------------------------------------------
 
 
+def _exploded_shingles(
+    df: DataFrame, text_col: str, n: int, keep: list[str]
+) -> DataFrame:
+    """Explode shingles from a MATERIALIZED array.
+
+    Generate fused over a lambda-built array re-evaluates the interpreted
+    lambda (higher-order functions don't codegen) once per EMITTED element —
+    O(tokens²) per document, measured 30x slower than exploding a
+    materialized column. The lazy localCheckpoint pins the array to one
+    evaluation per row; its cost is a narrow columnar copy of (keep, grams).
+    """
+    sh = (
+        with_shingles(df, text_col, n)
+        .select(*keep, "grams")
+        .localCheckpoint(eager=False)
+    )
+    return sh.select(*keep, F.explode("grams").alias("gram"))
+
+
 def eval_gram_set(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-grams of an evaluation corpus → one ``gram`` column.
 
     Small by construction (eval sets are ≤ 10^5 documents); the caller
     broadcasts it against the training corpus.
     """
-    return (
-        with_shingles(docs, text_col, n)
-        .select(F.explode("grams").alias("gram"))
-        .distinct()
-    )
+    return _exploded_shingles(docs, text_col, n, keep=[]).distinct()
 
 
 def decontaminate(
@@ -66,8 +81,7 @@ def decontaminate(
     eval set; docs shorter than n tokens get overlap 0.0. One explode + one
     broadcast join + one aggregation: linear in corpus size.
     """
-    sh = with_shingles(train, text_col, n)
-    exploded = sh.select(id_col, F.explode("grams").alias("gram"))
+    exploded = _exploded_shingles(train, text_col, n, keep=[id_col])
     per = (
         exploded.join(
             F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "gram", "left"
