@@ -83,3 +83,66 @@ def test_lsh_banding_finds_near_duplicates(spark):
     pairs = {(r["a_id"], r["b_id"]): r["est_jaccard"] for r in cands.collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.8  # near-dup surfaces
     assert (1, 3) not in pairs  # unrelated doc never shares a band bucket
+
+
+def test_simhash_pigeonhole_guarantee(spark, sf_dir):
+    """Pigeonhole blocking with B blocks MUST emit every pair at Hamming
+    distance ≤ B-1 — a deterministic guarantee, checked against all-pairs."""
+    from schwab_elt_etl_pipeline_spark.operators.dedup import (
+        simhash64,
+        simhash_block_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blocks = 10
+    sigs = docs.select(F.col("doc_id").alias("id"), simhash64("text").alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    truth = {
+        (r["a_id"], r["b_id"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("h"),
+        )
+        .filter(F.col("h") <= blocks - 1)
+        .collect()
+    }
+    cands = {
+        (r["a_id"], r["b_id"])
+        for r in simhash_block_candidates(docs, blocks=blocks).collect()
+    }
+    assert truth <= cands, f"missed guaranteed pairs: {sorted(truth - cands)[:5]}"
+
+
+def test_verified_pairs_match_bruteforce(spark):
+    """LSH-then-verify output equals brute-force exact Jaccard ≥ tau on a
+    corpus with engineered dup structure (recall certification in-miniature)."""
+    from schwab_elt_etl_pipeline_spark.operators.dedup import (
+        minhash_verified_pairs,
+        simhash_verified_pairs,
+    )
+
+    rows = []
+    for g in range(6):
+        base = [f"g{g}w{i}" for i in range(80)]
+        rows.append((g * 10, " ".join(base)))
+        rows.append((g * 10 + 1, " ".join(base[:76] + [f"g{g}x{i}" for i in range(4)])))
+    rows.append((999, " ".join(f"solo{i}" for i in range(80))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = with_shingles(df, "text", 2)
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gb"))
+    truth = {
+        (r["a_id"], r["b_id"])
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", jaccard(F.col("ga"), F.col("gb")).alias("jac"))
+        .filter(F.col("jac") >= 0.5)
+        .collect()
+    }
+    assert len(truth) == 6  # one high-jac pair per group
+    mh = {(r["a_id"], r["b_id"]) for r in minhash_verified_pairs(df, tau=0.5).collect()}
+    sh_ = {(r["a_id"], r["b_id"]) for r in simhash_verified_pairs(df, tau=0.5).collect()}
+    assert mh == truth
+    assert sh_ == truth
