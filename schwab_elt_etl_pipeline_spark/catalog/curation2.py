@@ -234,6 +234,49 @@ FROM e LEFT JOIN d ON d.b_id = e.vec_id
 """
 
 
+def semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop over MULTI-TABLE sign-LSH buckets — the 100 TB
+    candidate generator, end-to-end. Axis-aligned hyperplanes make the
+    blocking SQL-expressible, so the oracle recomputes the same buckets:
+    candidate generation is hash-checked, not just recall-gated."""
+    from schwab_elt_etl_pipeline_spark.operators.curation import (
+        semantic_dedup_lsh_verdicts,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_lsh_verdicts(emb, bits=4, tables=4, threshold=0.3)
+
+
+def _tbl_bucket_sql(v: str, t: int, bits: int = 4) -> str:
+    terms = " | ".join(
+        f"CASE WHEN {v}[{t * bits + i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
+_LSH_MATCH = " OR ".join(
+    f"{_tbl_bucket_sql('a.v', t)} = {_tbl_bucket_sql('b.v', t)}" for t in range(4)
+)
+
+SEMANTIC_DEDUP_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         ROUND({_COS.format(a="a.v", b="b.v")}, 6) AS cos
+  FROM e a JOIN e b ON b.vec_id > a.vec_id AND ({_LSH_MATCH})
+  WHERE ROUND({_COS.format(a="a.v", b="b.v")}, 6) >= 0.3
+), d AS (
+  SELECT b_id, MIN(a_id) AS dup_of, MAX(cos) AS max_cos FROM pairs GROUP BY b_id
+)
+SELECT e.vec_id,
+       CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS kept,
+       COALESCE(d.dup_of, -1) AS dup_of,
+       COALESCE(d.max_cos, 0.0) AS max_cos
+FROM e LEFT JOIN d ON d.b_id = e.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Hierarchical rollup cascade (hypertable continuous-aggregate shape)
 # ---------------------------------------------------------------------------
@@ -590,6 +633,8 @@ SPECS = [
               doc="regex PII redaction with per-type counts"),
     QuerySpec("semantic_dedup_keep", semantic_dedup_keep, SEMANTIC_DEDUP_SQL,
               doc="SemDeDup-shaped embedding dedup verdicts"),
+    QuerySpec("semantic_dedup_lsh", semantic_dedup_lsh, SEMANTIC_DEDUP_LSH_SQL,
+              doc="SemDeDup over multi-table sign-LSH buckets (100 TB generator)"),
     QuerySpec("rollup_multires_1h", rollup_multires_1h, ROLLUP_SQL,
               doc="hierarchical rollup cascade 1min→5min→1h, exact partials"),
     QuerySpec("kmeans_assign_fixed", kmeans_assign_fixed, KMEANS_ASSIGN_SQL,

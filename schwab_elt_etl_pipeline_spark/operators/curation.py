@@ -31,7 +31,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.operators.dedup import with_shingles
-from schwab_elt_etl_pipeline_spark.operators.similarity import as_double, cosine
+from schwab_elt_etl_pipeline_spark.operators.similarity import (
+    as_double,
+    cosine,
+    sign_bucket,
+)
 
 # ---------------------------------------------------------------------------
 # Decontamination
@@ -206,13 +210,14 @@ def semantic_dedup_verdicts(
     """Keep/drop verdicts: drop a vector when a LOWER-id vector within the
     candidate band has cosine ≥ threshold (keep-first retention).
 
-    Output: (id, kept, dup_of, max_cos) — ``dup_of`` is the smallest
-    retained-candidate id (-1 when kept), ``max_cos`` the strongest match
-    (0.0 when kept). The id band is the oracle-exact candidate generator,
-    turned into an equi-join: ids bucket by the band width and the left side
-    probes its own and the next bucket, so candidates stay linear in band
-    width (a bare band predicate would plan a nested-loop join — quadratic
-    at scale). Swap in minhash/sign-LSH buckets for the 100 TB path.
+    Output: (id, kept, dup_of, max_cos) — ``dup_of`` is the smallest similar
+    lower-id candidate, which may itself have been dropped (-1 when kept);
+    ``max_cos`` the strongest match (0.0 when kept). The id band is the
+    oracle-exact candidate generator, turned into an equi-join: ids bucket by
+    the band width and the left side probes its own and the next bucket, so
+    candidates stay linear in band width (a bare band predicate would plan a
+    nested-loop join — quadratic at scale). The 100 TB candidate generator is
+    :func:`semantic_dedup_lsh_verdicts` (multi-table sign-LSH buckets).
     """
     bucket = F.floor(F.col(id_col) / band)
     a = emb.select(
@@ -238,6 +243,13 @@ def semantic_dedup_verdicts(
         )
         .filter(F.col("cos") >= threshold)
     )
+    return _verdicts_from_pairs(emb, id_col, pairs)
+
+
+def _verdicts_from_pairs(emb: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Keep-first verdict tail shared by all candidate generators: reduce
+    similar pairs to per-victim (dup_of, max_cos), left-join back to the full
+    vector set."""
     dropped = pairs.groupBy("b_id").agg(
         F.min("a_id").alias("dup_of"), F.max("cos").alias("max_cos")
     )
@@ -251,3 +263,59 @@ def semantic_dedup_verdicts(
             F.coalesce("max_cos", F.lit(0.0)).alias("max_cos"),
         )
     )
+
+
+def semantic_dedup_lsh_verdicts(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    tables: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Semantic dedup over MULTI-TABLE sign-LSH buckets — the 100 TB
+    candidate generator (SemDeDup keep/drop without an id band).
+
+    Table t buckets each vector by the sign pattern of embedding components
+    [t·bits+1, (t+1)·bits] (random-hyperplane LSH with axis-aligned planes);
+    a pair is a candidate when ANY table's bucket matches, so recall improves
+    geometrically with ``tables`` while each table keeps 2^bits-way
+    selectivity. The only shuffle is the (table, bucket) equi-join — the
+    corpus never self-cross-joins, and candidates per vector are
+    ~tables·N/2^bits.
+
+    Axis-aligned planes keep the blocking deterministic AND SQL-expressible,
+    so the whole verdict — candidate generation included — is oracle-checked
+    in DuckDB (stronger than a recall gate; the oracle recomputes the same
+    buckets). Output schema matches :func:`semantic_dedup_verdicts`.
+    """
+    v = as_double(vec_col)
+    tbl_keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                sign_bucket(F.slice(v, t * bits + 1, bits), bits).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    keyed = emb.select(
+        F.col(id_col).alias("id"), v.alias("vec"), F.explode(tbl_keys).alias("tb")
+    ).select("id", "vec", "tb.t", "tb.bucket")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return _verdicts_from_pairs(emb, id_col, pairs)
