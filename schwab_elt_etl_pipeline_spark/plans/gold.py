@@ -32,6 +32,7 @@ collects to the driver except the 2-row strike-range aggregate.
 
 from __future__ import annotations
 
+import contextlib
 import datetime as dt
 
 from pyspark.sql import DataFrame
@@ -99,9 +100,9 @@ def densify_legs(
         .filter(F.col("Strike").between(strike_lo, strike_hi))
         .filter((F.col("T") >= F.lit(min_time)) & (F.col("T") <= F.lit(end_ts)))
         .select("OPT_ID", "Strike", "CP", "Expiry", "T", F.col("O").cast("double").alias("O"))
-        # gapfill reads its input twice (bounds + observations): persist the
-        # filtered legs so the OPTM scan+join runs once per build
-        .persist()
+        # gapfill reads legs twice (bounds + observations) WITHIN one plan —
+        # AQE ReuseExchange dedups the scan+join at runtime, so no persist
+        # (and no storage-memory footprint on a long-running driver)
     )
     return gapfill_locf(
         legs,
@@ -214,14 +215,53 @@ def run_gold(
     """Full ``SP_PROCESS_VERTS`` pass → (VERT, VERT_TS) updated tables.
 
     ``underlying`` carries ($SPX) marks with columns (T, Mark).
+
+    Lazy one-shot variant: within a single consuming action AQE's
+    ReuseExchange dedups the diamond subtrees, so nothing is persisted and no
+    storage memory is retained. A consumer that runs SEVERAL actions over the
+    outputs (e.g. writing VERT then VERT_TS) should use :func:`gold_scope`,
+    which persists the diamonds for the duration of the block and releases
+    them on exit.
     """
     lo, hi = strike_range(underlying, min_time)
-    # dense feeds both legs of the pairing self-join; pairs feed the VERT
-    # definitions AND the priced series — persist both diamond nodes
-    dense = densify_legs(optm, opt, min_time, lo - opt_range, hi + opt_range).persist()
-    pairs = pair_legs(dense, width).persist()
+    dense = densify_legs(optm, opt, min_time, lo - opt_range, hi + opt_range)
+    pairs = pair_legs(dense, width)
     new_vert = build_verts(pairs, width, vert)
     vert_all = new_vert if vert is None else vert.unionByName(new_vert)
     new_ts = build_vert_ts(pairs, vert_all, width, vert_ts)
     ts_all = new_ts if vert_ts is None else vert_ts.unionByName(new_ts)
     return vert_all, ts_all
+
+
+@contextlib.contextmanager
+def gold_scope(
+    optm: DataFrame,
+    opt: DataFrame,
+    underlying: DataFrame,
+    min_time: dt.datetime,
+    width: int,
+    opt_range: int = 100,
+    vert: DataFrame | None = None,
+    vert_ts: DataFrame | None = None,
+):
+    """Persist-hygienic ``SP_PROCESS_VERTS``: yields (VERT, VERT_TS) with the
+    diamond intermediates (dense legs; leg pairs — each consumed by two
+    downstream actions) persisted for the duration of the block, and
+    UNPERSISTED on exit. Run every consuming action (writes/collects) inside
+    the block. On a long-running driver (the streaming Gold maintenance loop
+    calls this once per touched day per micro-batch) un-released caches would
+    accumulate storage memory without bound — this scope is the discipline
+    that prevents it.
+    """
+    lo, hi = strike_range(underlying, min_time)
+    dense = densify_legs(optm, opt, min_time, lo - opt_range, hi + opt_range).persist()
+    pairs = pair_legs(dense, width).persist()
+    try:
+        new_vert = build_verts(pairs, width, vert)
+        vert_all = new_vert if vert is None else vert.unionByName(new_vert)
+        new_ts = build_vert_ts(pairs, vert_all, width, vert_ts)
+        ts_all = new_ts if vert_ts is None else vert_ts.unionByName(new_ts)
+        yield vert_all, ts_all
+    finally:
+        pairs.unpersist()
+        dense.unpersist()

@@ -164,3 +164,30 @@ def test_strike_range_falls_back_when_window_empty(spark):
     empty = underlying.filter("1=0")
     with pytest.raises(ValueError, match="no marks"):
         gold.strike_range(empty, dt.datetime(2024, 6, 17, 6, 30))
+
+
+def test_gold_scope_releases_caches(spark, quotes):
+    """gold_scope must leave NO retained RDD blocks after exit, and run_gold
+    must not persist at all — the persist-hygiene contract for the streaming
+    hot loop (storage memory may not accumulate across micro-batches)."""
+    spark.catalog.clearCache()
+    opt, optm = silver.run_silver(quotes)
+    underlying = silver_underlying(quotes)
+    min_time = dt.datetime(2024, 6, 17, 6, 30)
+
+    vert, vert_ts = gold.run_gold(
+        optm, opt, underlying, min_time=min_time, width=5, opt_range=100
+    )
+    vert.collect()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+    with gold.gold_scope(
+        optm, opt, underlying, min_time=min_time, width=5, opt_range=100
+    ) as (v_all, ts_all):
+        n_vert, n_ts = v_all.count(), ts_all.count()
+        assert n_vert > 0 and n_ts > 0
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0  # in scope
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0  # released
+
+    # scope output matches the lazy variant
+    assert n_vert == vert.count() and n_ts == vert_ts.count()
