@@ -32,15 +32,19 @@ def bucket_ts(ts: Column | str, minutes: int) -> Column:
     c = F.col(ts) if isinstance(ts, str) else ts
     if 60 % minutes != 0 and minutes % 60 != 0:
         raise ValueError(f"bucket of {minutes} min does not nest in the hour cascade")
+    # Column-API expressions throughout (never interpolate ``ts`` into SQL
+    # text — a Column argument would embed its repr and fail analysis).
     if minutes >= 60:
         if minutes % 60:
             raise ValueError("grains over an hour must be whole hours")
         hours = minutes // 60
-        return F.expr(
-            f"date_trunc('hour', {ts}) - make_interval(0,0,0,0, hour({ts}) % {hours}, 0, 0)"
-        ) if hours > 1 else F.date_trunc("hour", c)
-    return F.expr(
-        f"date_trunc('minute', {ts}) - make_interval(0,0,0,0,0, minute({ts}) % {minutes}, 0)"
+        if hours == 1:
+            return F.date_trunc("hour", c)
+        return F.date_trunc("hour", c) - F.make_interval(
+            hours=F.hour(c) % F.lit(hours)
+        )
+    return F.date_trunc("minute", c) - F.make_interval(
+        mins=F.minute(c) % F.lit(minutes)
     )
 
 

@@ -17,7 +17,25 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from schwab_elt_etl_pipeline_spark.operators.merge import insert_new, merge_upsert
+
+
+def _newest_per_key(snapshot: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Reduce a snapshot to its newest row per key BEFORE dedup/merge: a
+    window rank ordered by ``order_col`` DESC with the remaining columns as
+    deterministic tiebreakers (plain ``dropDuplicates`` keeps an arbitrary
+    row when one snapshot carries several rows per key)."""
+    rest = [c for c in snapshot.columns if c not in keys and c != order_col]
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), *[F.desc(c) for c in rest]
+    )
+    return (
+        snapshot.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def append_balances(snapshot: DataFrame, balances: DataFrame | None = None) -> DataFrame:
@@ -30,10 +48,13 @@ def append_balances(snapshot: DataFrame, balances: DataFrame | None = None) -> D
 
 def upsert_account_hash(snapshot: DataFrame, hashes: DataFrame | None = None) -> DataFrame:
     """J8: MERGE on Name — the account-hash lookup table
-    (tools/db.py:302-314). Latest snapshot wins per Name."""
+    (tools/db.py:302-314). Latest snapshot wins per Name: the snapshot is
+    pre-reduced to its newest row per Name (by ``update_time``) so a batch
+    carrying several rows per Name upserts the newest, not an arbitrary one."""
+    newest = _newest_per_key(snapshot, keys=["Name"], order_col="update_time")
     if hashes is None:
-        return snapshot.dropDuplicates(["Name"])
-    return merge_upsert(snapshot, hashes, keys=["Name"])
+        return newest
+    return merge_upsert(newest, hashes, keys=["Name"])
 
 
 def latest_account_hash(hashes: DataFrame) -> DataFrame:
@@ -51,10 +72,16 @@ def prune_logs(logs: DataFrame, keep_days: int, now: dt.datetime) -> DataFrame:
 def upsert_api_tokens(snapshot: DataFrame, tokens: DataFrame | None = None) -> DataFrame:
     """J8 MERGE on Name for the SCHWAB.API token table (sql/opt.sql:198-209;
     tokens refreshed by services/tokens_service.py): the newest
-    access/refresh token pair per credential name replaces the stored one."""
+    access/refresh token pair per credential name replaces the stored one —
+    the snapshot is pre-reduced to its newest row per Name (by
+    ``access_token_expires_at``) so multi-row snapshots keep the freshest
+    pair, not an arbitrary row."""
+    newest = _newest_per_key(
+        snapshot, keys=["Name"], order_col="access_token_expires_at"
+    )
     if tokens is None:
-        return snapshot.dropDuplicates(["Name"])
-    return merge_upsert(snapshot, tokens, keys=["Name"])
+        return newest
+    return merge_upsert(newest, tokens, keys=["Name"])
 
 
 def valid_access_tokens(tokens: DataFrame, now: dt.datetime) -> DataFrame:

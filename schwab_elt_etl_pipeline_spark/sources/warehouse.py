@@ -130,12 +130,22 @@ class ParquetTable:
         return version
 
     def append(self, df: DataFrame) -> None:
-        """Append into the CURRENT version dir (Bronze-style append log)."""
+        """Append into the CURRENT version dir (Bronze-style append log).
+
+        Clustered layout is applied to the BATCH, so files within one append
+        have disjoint cluster-key ranges; ranges may still overlap ACROSS
+        appends (two appends can both span the full key space), so the
+        table-wide disjoint-file invariant — maximal footer-stat skipping —
+        is only guaranteed after :meth:`overwrite_versioned` or
+        :meth:`compact`. Appends degrade gracefully (per-batch skipping)
+        until the next compaction, exactly like a Delta/Iceberg table between
+        OPTIMIZE runs.
+        """
         version = self.current_version()
         if version is None:
             self.overwrite_versioned(df)
             return
-        writer = df.write.mode("append")
+        writer = self._layout(df).write.mode("append")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self._version_dir(version))

@@ -79,9 +79,20 @@ def compact_stage(stage_table: ParquetTable, keys: list[str]) -> int:
     """Fold the stage to one row per (keys, bucket) and rewrite it under the
     current epoch floor, so stage size stays O(buckets), not O(buckets ×
     epochs). Safe between streaming runs (same atomic pointer flip as every
-    table write); the fold is associative so folding a fold is a no-op."""
+    table write); the fold is associative so folding a fold is a no-op.
+
+    No-ops (returns the current version, or 0 when the table was never
+    written) on a missing or empty stage: without the guard, ``read()`` of a
+    never-written table raises, and an empty stage would stamp ``_epoch``
+    NULL — breaking ``insert_new``'s key matching so replayed batches could
+    re-insert.
+    """
+    if not stage_table.exists():
+        return 0
     staged = stage_table.read()
     max_epoch = staged.agg(F.max("_epoch")).first()[0]
+    if max_epoch is None:  # empty stage — nothing to fold
+        return stage_table.current_version() or 0
     folded = fold_partials(staged, keys).withColumn(
         "_epoch", F.lit(max_epoch).cast("long")
     )

@@ -80,3 +80,36 @@ def test_api_token_upsert_and_validity(spark):
     assert rows == {"acct1": "tokA2", "acct2": "tokB", "acct3": "tokC"}
     live = valid_access_tokens(merged, dt.datetime(2024, 6, 17, 9, 30))
     assert {r["Name"] for r in live.collect()} == {"acct1", "acct3"}
+
+
+def test_api_token_upsert_multirow_snapshot_keeps_newest(spark):
+    """A snapshot carrying SEVERAL rows per Name must upsert the newest pair
+    (max access_token_expires_at), not an arbitrary row."""
+    from schwab_elt_etl_pipeline_spark.plans.operational import upsert_api_tokens
+
+    schema = ("Name string, access_token string, "
+              "access_token_expires_at timestamp_ntz")
+    snap = spark.createDataFrame(
+        [("acct1", "stale", dt.datetime(2024, 6, 17, 8, 0)),
+         ("acct1", "fresh", dt.datetime(2024, 6, 17, 11, 0)),
+         ("acct1", "mid", dt.datetime(2024, 6, 17, 9, 0))], schema
+    )
+    rows = {r["Name"]: r["access_token"] for r in upsert_api_tokens(snap).collect()}
+    assert rows == {"acct1": "fresh"}
+    # and through a merge against an existing table
+    existing = spark.createDataFrame(
+        [("acct1", "old", dt.datetime(2024, 6, 17, 7, 0))], schema
+    )
+    merged = upsert_api_tokens(snap, existing)
+    rows = {r["Name"]: r["access_token"] for r in merged.collect()}
+    assert rows == {"acct1": "fresh"}
+
+
+def test_account_hash_multirow_snapshot_keeps_newest(spark):
+    schema = "Name string, Hash string, update_time timestamp_ntz"
+    snap = spark.createDataFrame(
+        [("acct1", "OLD", dt.datetime(2024, 6, 17, 6)),
+         ("acct1", "NEW", dt.datetime(2024, 6, 17, 8))], schema
+    )
+    rows = {r["Name"]: r["Hash"] for r in upsert_account_hash(snap).collect()}
+    assert rows == {"acct1": "NEW"}

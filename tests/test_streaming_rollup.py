@@ -78,3 +78,22 @@ def test_streaming_rollup_equals_batch(spark, sf_dir, dirs):
     assert folded.count() == folded.select(*KEYS, "bucket_ts").distinct().count()
     maintained3 = rollup_read(fold_partials(folded, KEYS))
     assert maintained3.exceptAll(batch).count() == 0
+
+
+def test_compact_stage_guards_missing_and_empty(spark, tmp_path):
+    """compact_stage must no-op on a never-written or empty stage instead of
+    raising or writing NULL-epoch rows that break replay idempotence."""
+    from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
+    from schwab_elt_etl_pipeline_spark.streaming.rollup_stream import compact_stage
+
+    missing = ParquetTable(spark, str(tmp_path / "never_written"))
+    assert compact_stage(missing, keys=["event_type"]) == 0
+    assert not missing.exists()
+
+    empty = ParquetTable(spark, str(tmp_path / "empty_stage"))
+    schema = ("event_type string, bucket_ts timestamp_ntz, n long, "
+              "sum_value decimal(18,6), min_value double, max_value double, _epoch long")
+    empty.overwrite_versioned(spark.createDataFrame([], schema))
+    v = compact_stage(empty, keys=["event_type"])
+    assert v == empty.current_version()  # unchanged, no NULL-epoch write
+    assert empty.read().count() == 0
