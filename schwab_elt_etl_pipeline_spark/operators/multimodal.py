@@ -5,22 +5,33 @@ metadata struct, and runs decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` stages — the only places Python belongs in the
 hot path, because codec work can't be expressed as Spark expressions.
 
-The decode kernels themselves are STUBBED here (no image/audio libs in this
-container): ``decode_stub_features`` computes deterministic fake features from
-the raw bytes so the Spark-side plumbing — schema, batch iteration, partition
-sizing, UDF signature — is real and testable; swap ``_decode_one`` for a real
-codec (PIL/ffmpeg) in production.
+Codec selection is a TRY-IMPORT: when Pillow is importable the image kernels
+decode/resize real payloads (per executor-side batch — the import happens in
+the worker, never on the driver path); otherwise, and for any payload the
+codec rejects, a deterministic byte-derived stub keeps the pipeline testable
+end-to-end. The Spark-side plumbing — schema, Arrow batch iteration,
+partition sizing, UDF signature — is identical in both modes, so tests and
+oracles pin it regardless of which codec is present.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional real image codec — absent in this container, used if present
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _PILImage = None
+    HAS_PIL = False
 
 #: media row: opaque payload + typed metadata (schema contract for sources)
 MEDIA_SCHEMA = T.StructType(
@@ -55,15 +66,27 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_one(payload: bytes) -> list[float]:
-    """STUB decode: deterministic pseudo-features from the payload bytes.
-
-    Production swaps this for a real codec (PIL.Image.open / soundfile /
-    pyav frame sampling). Raising ``NotImplementedError`` here would be
-    equally honest; a deterministic fake keeps the pipeline testable.
-    """
+def _decode_one_stub(payload: bytes) -> list[float]:
+    """STUB decode: deterministic pseudo-features from the payload bytes —
+    the fallback when no codec is importable or the payload isn't decodable
+    (synthetic test payloads land here by design, keeping oracles stable)."""
     digest = hashlib.sha256(payload or b"").digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def _decode_one(payload: bytes) -> list[float]:
+    """Feature kernel: with Pillow present, decode the image and emit a
+    FEATURE_DIM-pixel grayscale thumbnail as normalized features (a real,
+    if tiny, visual signature); otherwise — or when the bytes aren't a
+    decodable image — the deterministic stub."""
+    if HAS_PIL and payload:
+        try:
+            img = _PILImage.open(io.BytesIO(payload)).convert("L")
+            thumb = img.resize((FEATURE_DIM, 1))
+            return [p / 255.0 for p in thumb.getdata()]
+        except Exception:
+            pass  # not a decodable image → stub fallback
+    return _decode_one_stub(payload)
 
 
 def decode_stub_features(media: DataFrame, batch_hint_rows: int = 1024) -> DataFrame:
@@ -112,16 +135,25 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Binary→binary transform plumbing (image resize shape): ``mapInPandas``
     stage that rewrites the payload and the typed metadata in one pass.
 
-    STUB kernel: the "resized" payload is the original bytes truncated in
-    proportion to the pixel-count change (deterministic; production swaps in
-    PIL). What this pins down for real: output schema keeps the binary
-    column + meta struct contract, payloads stay executor-side, and the
-    stage preserves row count and partitioning."""
+    Kernel: with Pillow present, decodable payloads are REALLY resized and
+    re-encoded (PNG); otherwise — or for undecodable bytes — the payload is
+    truncated in proportion to the pixel-count change (deterministic stub).
+    What this pins down in both modes: output schema keeps the binary column
+    + meta struct contract, payloads stay executor-side, and the stage
+    preserves row count and partitioning."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def shrink(row):
                 payload = row["payload"] or b""
+                if HAS_PIL and payload:
+                    try:
+                        img = _PILImage.open(io.BytesIO(payload))
+                        buf = io.BytesIO()
+                        img.resize((width, height)).save(buf, format="PNG")
+                        return buf.getvalue()
+                    except Exception:
+                        pass  # undecodable → stub fallback below
                 meta = row["meta"] or {}  # meta is nullable in MEDIA_SCHEMA
                 old_px = max((meta.get("width") or 1) * (meta.get("height") or 1), 1)
                 keep = max(1, int(len(payload) * min(1.0, width * height / old_px)))

@@ -202,3 +202,36 @@ def test_gapfill_partitions_explode(spark, sf_dir, name):
     plan = _executed_plan(spec.build(spark, sf_dir))
     assert "Exchange hashpartitioning(user_id" in plan
     assert "Generate explode" in plan
+
+
+def test_multimodal_real_codec_when_available(spark):
+    """Real-codec path: with Pillow importable, a genuine PNG payload decodes
+    to thumbnail features and resize re-encodes at the target size. Skipped
+    where no codec exists (the deterministic stub tests above still pin the
+    plumbing)."""
+    import pytest
+
+    from schwab_elt_etl_pipeline_spark.operators import multimodal as mm
+
+    if not mm.HAS_PIL:
+        pytest.skip("Pillow not installed — stub kernels in use")
+
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), color=(200, 30, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(png), (32, 16, None, None))],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = mm.decode_stub_features(media).first()
+    assert feats["features"] != mm._decode_one_stub(png)  # real decode ran
+    assert all(0.0 <= v <= 1.0 for v in feats["features"])
+
+    resized = mm.resize_stub(media, width=8, height=8).first()
+    out = Image.open(io.BytesIO(bytes(resized["payload"])))
+    assert out.size == (8, 8)
+    assert resized["meta"]["width"] == 8 and resized["meta"]["height"] == 8
