@@ -22,6 +22,8 @@ reference's daily re-imports behave (docs/sql_server.md:91-96).
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +31,13 @@ from pyspark.sql import DataFrame, SparkSession
 from schwab_elt_etl_pipeline_spark.operators.merge import insert_new, merge_upsert
 
 _POINTER = "_CURRENT"
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """Another writer committed between this writer's snapshot and its
+    commit — the read-modify-write result is stale (a blind commit would be
+    a lost update). Callers retry from a fresh read; :meth:`ParquetTable.merge`
+    does so automatically."""
 
 
 class ParquetTable:
@@ -116,17 +125,59 @@ class ParquetTable:
                 removed.append(v)
         return removed
 
-    def overwrite_versioned(self, df: DataFrame) -> int:
-        """Write a new version directory, then atomically flip the pointer."""
-        version = (self.current_version() or 0) + 1
+    def overwrite_versioned(self, df: DataFrame, base_version: int | None = None) -> int:
+        """Write a new version directory, then atomically flip the pointer.
+
+        Concurrent-writer protocol (single filesystem namespace; the same
+        shape a Delta/Iceberg commit service provides):
+
+        1. The data is written to a private ``_staging_<uuid>`` dir — never
+           into a version dir another writer could also be writing.
+        2. The version number is CLAIMED by an atomic directory rename
+           (``os.rename`` staging → ``_v{n}`` fails if ``_v{n}`` exists);
+           on collision the writer claims the next number. Two interleaved
+           writers therefore never mix files in one version dir.
+        3. The pointer flips monotonically (only forward) via tmp +
+           ``os.replace`` — blind overwrites are last-writer-wins with every
+           committed version intact and time-travelable.
+
+        ``base_version``: optimistic-concurrency check for read-modify-write
+        callers. Pass the version the new content was DERIVED from; if any
+        other writer committed since, the commit aborts with
+        :class:`ConcurrentWriteConflict` (staging cleaned up, table
+        untouched) instead of silently losing the other writer's rows.
+        """
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         writer = self._layout(df).write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(self._version_dir(version))
-        tmp = self._pointer_file() + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, self._pointer_file())  # atomic on POSIX
+        writer.parquet(staging)
+
+        if base_version is not None and (self.current_version() or 0) != base_version:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteConflict(
+                f"table {self.path}: base version {base_version} is no longer "
+                f"current ({self.current_version()})"
+            )
+        version = (self.current_version() or 0) + 1
+        while True:
+            try:
+                os.rename(staging, self._version_dir(version))  # atomic claim
+                break
+            except OSError:
+                if base_version is not None:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    raise ConcurrentWriteConflict(
+                        f"table {self.path}: version {version} was claimed by "
+                        "a concurrent writer"
+                    ) from None
+                version += 1  # last-writer-wins path: take the next slot
+
+        if (self.current_version() or 0) < version:  # monotonic flip
+            tmp = self._pointer_file() + f".tmp_{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                fh.write(str(version))
+            os.replace(tmp, self._pointer_file())  # atomic on POSIX
         return version
 
     def append(self, df: DataFrame) -> None:
@@ -153,7 +204,15 @@ class ParquetTable:
     # -- idempotent loads ---------------------------------------------------
     def insert_new(self, batch: DataFrame, keys: Sequence[str]) -> int:
         """IF-NOT-EXISTS semantics (J3/J9): append only unseen keys.
-        Returns the number of rows inserted."""
+        Returns the number of rows inserted.
+
+        Concurrency: the append path assumes ONE writer per key space (the
+        streaming foreachBatch contract — Structured Streaming serializes
+        batches per query). Two concurrent ``insert_new`` writers could both
+        pass the anti-join before either appends, double-inserting a key;
+        multi-writer ingestion should go through :meth:`merge`
+        (``insert_only=True``), whose optimistic conflict detection retries
+        from a fresh read instead."""
         if not self.exists():
             deduped = batch.dropDuplicates(list(keys))
             self.overwrite_versioned(deduped)
@@ -164,12 +223,40 @@ class ParquetTable:
             self.append(fresh)
         return n
 
-    def merge(self, batch: DataFrame, keys: Sequence[str], insert_only: bool = False) -> int:
-        """MERGE semantics (J7/J8) materialized as a new version."""
-        if not self.exists():
-            return self.overwrite_versioned(batch.dropDuplicates(list(keys)))
-        merged = merge_upsert(batch, self.read(), keys=keys, insert_only=insert_only)
-        return self.overwrite_versioned(merged)
+    def merge(
+        self,
+        batch: DataFrame,
+        keys: Sequence[str],
+        insert_only: bool = False,
+        max_retries: int = 3,
+    ) -> int:
+        """MERGE semantics (J7/J8) materialized as a new version.
+
+        Read-modify-write under optimistic concurrency: the merge snapshots
+        the current version, computes the merged table, and commits with
+        ``base_version`` conflict detection. If a concurrent writer committed
+        in between (their rows would otherwise be silently lost), the merge
+        re-reads and retries — MERGE idempotence on keys makes the retry safe.
+        """
+        last: ConcurrentWriteConflict | None = None
+        for _ in range(max_retries + 1):
+            base = self.current_version()
+            if base is None:
+                try:
+                    return self.overwrite_versioned(
+                        batch.dropDuplicates(list(keys)), base_version=0
+                    )
+                except ConcurrentWriteConflict as exc:
+                    last = exc
+                    continue  # another writer created the table — merge into it
+            merged = merge_upsert(
+                batch, self.read(base), keys=keys, insert_only=insert_only
+            )
+            try:
+                return self.overwrite_versioned(merged, base_version=base)
+            except ConcurrentWriteConflict as exc:
+                last = exc
+        raise last if last is not None else RuntimeError("merge failed")
 
     # -- maintenance ---------------------------------------------------------
     def data_files(self, version: int | None = None) -> list[str]:

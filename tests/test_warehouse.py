@@ -264,3 +264,59 @@ def test_clustered_layout_gives_disjoint_file_ranges(spark, table_dir):
     f0 = t.data_files()[0]
     s = pq.ParquetFile(f0).metadata.row_group(0).column(0).statistics
     assert s is not None and s.has_min_max
+
+
+def test_interleaved_overwrites_never_mix_files(spark, table_dir):
+    """Two writers interleaving blind overwrites: each claims its OWN version
+    dir (atomic rename), the pointer lands on the last committer, and both
+    versions stay intact/time-travelable — no torn table, no mixed files."""
+    t_a = ParquetTable(spark, table_dir)
+    t_b = ParquetTable(spark, table_dir)  # second handle = second writer
+    t_a.overwrite_versioned(spark.createDataFrame([(1, "base")], "k long, v string"))
+
+    va = t_a.overwrite_versioned(spark.createDataFrame([(1, "from_A")], "k long, v string"))
+    vb = t_b.overwrite_versioned(spark.createDataFrame([(1, "from_B")], "k long, v string"))
+    assert {va, vb} == {2, 3}  # distinct claimed versions
+    assert t_a.current_version() == 3  # last writer wins the pointer
+    assert t_a.read().first()["v"] == "from_B"
+    assert t_a.read(version=va).first()["v"] == "from_A"  # A's commit intact
+
+
+def test_merge_conflict_detection_and_retry(spark, table_dir):
+    """Read-modify-write under a concurrent commit: a stale merge must NOT
+    silently drop the other writer's rows. With retries disabled it raises
+    ConcurrentWriteConflict; with retries it re-reads and lands BOTH
+    writers' rows."""
+    from schwab_elt_etl_pipeline_spark.sources.warehouse import (
+        ConcurrentWriteConflict,
+        ParquetTable as PT,
+    )
+
+    t = PT(spark, table_dir)
+    t.overwrite_versioned(spark.createDataFrame([(1, "a")], "k long, v string"))
+
+    # simulate: merge snapshots base, then another writer commits
+    base = t.current_version()
+    merged_stale = spark.createDataFrame([(1, "a"), (2, "mine")], "k long, v string")
+    other = PT(spark, table_dir)
+    other.merge(spark.createDataFrame([(9, "theirs")], "k long, v string"), keys=["k"])
+    with pytest.raises(ConcurrentWriteConflict):
+        t.overwrite_versioned(merged_stale, base_version=base)
+    # the conflicting writer's row survived, staging cleaned up
+    assert {r["k"] for r in t.read().collect()} == {1, 9}
+    assert not [d for d in __import__("os").listdir(table_dir) if d.startswith("_staging")]
+
+    # automatic retry path: merge() re-reads and preserves both writers
+    t.merge(spark.createDataFrame([(2, "mine")], "k long, v string"), keys=["k"])
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 9}
+
+
+def test_merge_replay_idempotent_after_conflict_retry(spark, table_dir):
+    """Replaying the same merge batch (crash-recovery contract) inserts
+    nothing new even after the conflict-retry path ran."""
+    t = ParquetTable(spark, table_dir)
+    batch = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    t.merge(batch, keys=["k"], insert_only=True)
+    n = t.read().count()
+    t.merge(batch, keys=["k"], insert_only=True)  # replay
+    assert t.read().count() == n
