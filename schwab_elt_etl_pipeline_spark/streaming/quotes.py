@@ -24,16 +24,68 @@ from pyspark.sql.window import Window
 from schwab_elt_etl_pipeline_spark.schemas import QUOTES_STREAM
 
 
+def parse_stream_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode a message-transport stream into ``QUOTES_STREAM`` rows.
+
+    ``raw`` is anything that delivers ONE JSON tick message per record in a
+    string/binary ``value`` column — exactly the shape Kafka
+    (``CAST(value AS STRING)``), the socket source, and newline-delimited
+    text files all produce. Mirrors the reference's websocket LEVELONE
+    handler (services/schwab_stream.py:204-340): each message carries the
+    symbol plus numbered Schwab fields; fields absent from a message stay
+    NULL (same contract as the parquet path — ``parse_quotes`` downstream is
+    identical). Records that aren't valid JSON or lack a symbol are dropped
+    (``from_json`` yields NULL on malformed input — the poison-pill guard a
+    transport stream needs)."""
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), QUOTES_STREAM).alias("q")
+    ).select("q.*")
+    return parsed.filter(F.col("symbol").isNotNull())
+
+
 def read_quote_stream(
-    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 10
+    spark: SparkSession,
+    source_dir: str | None = None,
+    max_files_per_trigger: int = 10,
+    fmt: str = "files",
+    options: dict | None = None,
 ) -> DataFrame:
-    """File-based tick stream (tests feed files; production would swap in a
-    socket/Kafka source — the downstream plan is identical)."""
-    return (
-        spark.readStream.schema(QUOTES_STREAM)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
+    """Tick stream behind a swappable transport (SURVEY S3).
+
+    - ``files`` (default): parquet directory stream — the harness/test feed.
+    - ``json-files``: newline-delimited JSON text files — byte-compatible
+      with what a socket feed delivers, so tests exercise the exact
+      message-decode path production uses.
+    - ``socket``: ``format("socket")`` (built-in) + JSON decode; pass
+      ``options={"host": ..., "port": ...}``.
+    - ``kafka``: ``format("kafka")`` + JSON decode of the record value; pass
+      Kafka options (``kafka.bootstrap.servers``, ``subscribe``, ...).
+      Requires the spark-sql-kafka connector package on the classpath.
+
+    Every transport lands in the same ``QUOTES_STREAM`` schema, so the whole
+    downstream Silver/Gold plan is transport-agnostic.
+    """
+    opts = options or {}
+    if fmt == "files":
+        return (
+            spark.readStream.schema(QUOTES_STREAM)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+        )
+    if fmt == "json-files":
+        raw = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .load(source_dir)
+        )
+        return parse_stream_json(raw)
+    if fmt == "socket":
+        raw = spark.readStream.format("socket").options(**opts).load()
+        return parse_stream_json(raw)
+    if fmt == "kafka":
+        raw = spark.readStream.format("kafka").options(**opts).load()
+        return parse_stream_json(raw)
+    raise ValueError(f"unknown quote-stream format: {fmt!r}")
 
 
 def write_bronze_stream(

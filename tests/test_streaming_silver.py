@@ -177,3 +177,64 @@ def test_streaming_medallion_underlying_only_batch_completes_gold(spark):
     finally:
         for d in (src, wh, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_silver_from_json_transport(spark):
+    """Transport swap (SURVEY S3): the SAME Silver pipeline runs off
+    newline-delimited JSON messages (byte-compatible with a socket/Kafka
+    value column) and produces the same OPT/OPTM as the parquet feed —
+    including dropping malformed messages and symbol-less records."""
+    import json
+    import os
+
+    src = tempfile.mkdtemp(prefix="jsrc_")
+    wh = tempfile.mkdtemp(prefix="jwh_")
+    ckpt = tempfile.mkdtemp(prefix="jck_")
+    try:
+        msgs = [
+            {"received_at": _ms(6, 30), "symbol": _sym(5500), "37": 20.0, "38": _ms(6, 30)},
+            {"received_at": _ms(6, 31), "symbol": _sym(5500), "37": 21.0, "38": _ms(6, 31)},
+            {"received_at": _ms(6, 30), "symbol": _sym(5505), "37": 18.0, "38": _ms(6, 30)},
+            {"received_at": _ms(6, 30), "symbol": "$SPX", "3": 5500.0, "35": _ms(6, 30)},
+        ]
+        with open(os.path.join(src, "ticks.jsonl"), "w") as fh:
+            for m in msgs:
+                fh.write(json.dumps(m) + "\n")
+            fh.write("this is not json\n")          # poison pill: dropped
+            fh.write(json.dumps({"received_at": 1}) + "\n")  # no symbol: dropped
+
+        opt = ParquetTable(spark, f"{wh}/opt")
+        optm = ParquetTable(spark, f"{wh}/optm")
+        stream = read_quote_stream(spark, src, fmt="json-files")
+        q = run_streaming_silver(stream, opt, optm, ckpt)
+        q.awaitTermination(180)
+
+        assert opt.read().count() == 2
+        assert optm.read().count() == 3
+        marks = {r["O"] for r in optm.read().collect()}
+        assert Decimal("21.00") in marks
+
+        # replaying the same JSON through a fresh checkpoint inserts nothing
+        ckpt2 = tempfile.mkdtemp(prefix="jck2_")
+        try:
+            q2 = run_streaming_silver(
+                read_quote_stream(spark, src, fmt="json-files"), opt, optm, ckpt2
+            )
+            q2.awaitTermination(180)
+            assert optm.read().count() == 3
+        finally:
+            shutil.rmtree(ckpt2, ignore_errors=True)
+    finally:
+        for d in (src, wh, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_socket_and_unknown_formats(spark):
+    """The socket transport builds a streaming plan through the same JSON
+    decode (no server needed to construct it); unknown formats fail fast."""
+    df = read_quote_stream(spark, fmt="socket", options={"host": "localhost", "port": 9999})
+    assert df.isStreaming and df.schema.fieldNames() == [
+        "received_at", "symbol", "37", "38", "3", "35"
+    ]
+    with pytest.raises(ValueError, match="unknown quote-stream format"):
+        read_quote_stream(spark, "/tmp/x", fmt="carrier-pigeon")
