@@ -381,7 +381,7 @@ SPECS = [
               doc="EXISTS semi-join + grouped count"),
     QuerySpec("q14_promo_share", q14_promo_share, Q14_SQL, headline=True,
               doc="percent-of-total, exact decimal"),
-    QuerySpec("q18_large_orders", q18_large_orders, Q18_SQL,
+    QuerySpec("q18_large_orders", q18_large_orders, Q18_SQL, headline=True,
               doc="HAVING + enrichment joins"),
     QuerySpec("q_daily_user_rank", q_daily_user_rank, Q_RANK_SQL,
               doc="row_number ranking window"),

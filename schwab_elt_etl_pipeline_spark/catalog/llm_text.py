@@ -439,7 +439,7 @@ SPECS = [
     QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL, doc="document fingerprinting"),
     QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_SQL, headline=True,
               doc="banded exact n-gram Jaccard near-dup"),
-    QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL,
+    QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL, headline=True,
               doc="near-dup clusters: pairs → connected components → canonical id"),
     QuerySpec("token_vocab_topk", token_vocab_topk, TOKEN_VOCAB_SQL,
               doc="corpus vocabulary top-k by frequency"),

@@ -167,6 +167,7 @@ SPECS = [
         "j_interval_views_after_purchase",
         j_interval_views_after_purchase,
         J_INTERVAL_SQL,
+        headline=True,
         doc="bucketed point-in-interval join vs naive BETWEEN oracle",
     ),
     QuerySpec(
