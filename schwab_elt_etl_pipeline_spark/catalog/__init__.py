@@ -50,6 +50,7 @@ def all_specs() -> list[QuerySpec]:
         analytics3,
         analytics4,
         analytics5,
+        analytics6,
         curation2,
         domain,
         domain_pipeline,
@@ -60,14 +61,9 @@ def all_specs() -> list[QuerySpec]:
         similarity,
     )
 
-    # Registry order matters: the driver's correctness gate checks the FIRST
-    # 50 queries per round. Rounds 1+2 together verified every then-existing
-    # query (round-1 analytics/operators families; round-2 domain/LLM/
-    # similarity/analytics-wave-3). Round 3 front-loads the NEW curation2
-    # family, then the families verified longest ago (round-1 set) for
-    # re-confirmation; the round-2-verified set goes last.
     specs: list[QuerySpec] = []
     for mod in (
+        analytics6,
         curation2,
         analytics5,
         analytics,
@@ -85,7 +81,46 @@ def all_specs() -> list[QuerySpec]:
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in catalog"
+
+    # Registry order matters: the driver's correctness gate checks the FIRST
+    # 50 queries per round. _FRONT rotates the sample each round so every
+    # query re-verifies on a bounded cadence: (a) queries NEW this round,
+    # (b) queries whose oracle was upgraded this round (rows-only → SQL),
+    # (c) the set whose last green hash-match is oldest (round-1 cohort),
+    # (d) as many of the next-oldest (round-2) cohort as fit. Everything
+    # else keeps registry order behind them (verified most recently).
+    front_rank = {name: i for i, name in enumerate(_FRONT)}
+    specs.sort(key=lambda s: (front_rank.get(s.name, len(_FRONT)),))
     return specs
+
+
+#: Round-4 sampling priority — see comment in all_specs(). Python's sort is
+#: stable, so names not listed here keep their module order after the front.
+_FRONT = [
+    # (a) new this round
+    "unigram_rarity", "tfidf_topk_keywords", "quality_logit_score",
+    "event_funnel", "retention_cohorts", "item_walk_counts",
+    # (a) new late in round 3 / never driver-checked
+    "semantic_dedup_lsh",
+    # (b) oracle upgraded rows-only → verdict-level SQL this round
+    "minhash_lsh_neardup", "simhash_neardup",
+    # (c) last green in round 1
+    "j8_merge_upsert", "j10_join_aggregate", "a1_dedup_distinct",
+    "a2_distinct_entities", "j9_batch_dedup", "p9_content_filter",
+    "a3a6_two_level_signed", "a7_max_per_entity_ts", "a8_bucket_minmax",
+    "a10_dedup_max_pair", "w_moving_avgs", "o2_sort_limit",
+    "set_union_branches", "t3_latest_per_key", "t9_gapfill_locf",
+    # (d) last green in round 2, oldest-value-first picks that still fit
+    "flagship_vertical_analytics", "pipeline_verts_e2e", "f2_symbol_pipeline",
+    "f5_multiformat_parse", "dedup_exact", "dedup_keep_best",
+    "corpus_mix_sample", "curation_pipeline", "text_quality",
+    "lang_id_heuristic", "doc_fingerprint", "ngram_jaccard_pairs",
+    "dedup_clusters", "token_vocab_topk", "ann_cosine_topk",
+    "ann_bucketed_topk", "embedding_near_dup", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q11_important_suppliers",
+    "q15_top_supplier", "q20_part_promotion", "q21_blame_supplier",
+    "multimodal_decode", "multimodal_frame_sample",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,444 @@
+"""Fourth analytics wave: corpus statistics and behavioral analytics.
+
+Corpus side (LLM-pipeline first-class ops):
+- unigram-rarity quality scoring — a log-free, cross-engine-deterministic
+  stand-in for unigram-LM pseudo-perplexity (the classic "looks like
+  gibberish" filter);
+- per-document TF-IDF top-k keywords (rational score, no transcendentals);
+- a deterministic linear quality classifier (fastText-style feature scoring
+  with fixed weights — the model-scoring stage of a curation cascade).
+
+Behavioral side (events table):
+- ordered conversion funnel (signup → view → click → purchase);
+- weekly retention cohorts;
+- integer walk counting over a co-click item graph (exact iterative graph
+  joins — the pattern PageRank/label-propagation reuse, with an integer
+  measure so the oracle hash-matches bit-for-bit).
+
+Determinism notes (hash-match discipline, see catalog/__init__.py): every
+float column here is either a single IEEE division of exact integers or a
+fixed-order linear expression over such divisions — no log/exp whose libm
+implementations could differ between the JVM and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
+from schwab_elt_etl_pipeline_spark.operators.text import LANG_MARKERS
+from schwab_elt_etl_pipeline_spark.sources import load_table
+
+#: Whitespace tokens of lowered text — mirrors llm_text.py's convention and
+#: the DuckDB `string_split_regex(TRIM(LOWER(text)), '\s+')` oracle idiom.
+def _toks(col: str = "text") -> F.Column:
+    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# unigram rarity — pseudo-perplexity quality filter
+# ---------------------------------------------------------------------------
+
+def unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean corpus-frequency of its tokens, in parts-per-million.
+
+    Two corpus passes: (1) build the unigram table (map-side-combinable
+    count per token — the vocabulary is bounded, so at 100 TB this is a
+    small-output agg); (2) explode each document and join tokens to the
+    vocabulary. The vocab side is broadcast — a document shard never
+    shuffles. Low ``rarity_ppm`` ≈ the document is full of corpus-rare
+    tokens (gibberish / OCR noise); the real-world twin scores a KenLM
+    unigram model, which is a log of exactly this statistic. Log-free
+    rational form keeps the oracle bit-identical (see module docstring).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = vocab.agg(F.sum("freq").alias("total_tokens"))
+    per_doc = tok.join(F.broadcast(vocab), "token").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("freq").alias("sum_freq"),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))  # 1-row scalar, broadcast
+        .select(
+            "doc_id",
+            "n_tok",
+            (
+                (F.col("sum_freq") * F.lit(1_000_000)).cast("double")
+                / F.col("n_tok").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("rarity_ppm"),
+        )
+        .withColumn("is_rare", F.col("rarity_ppm") < 20_000.0)
+    )
+
+
+UNIGRAM_RARITY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+total AS (SELECT SUM(freq) AS total_tokens FROM vocab),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tok, SUM(freq) AS sum_freq
+  FROM tok JOIN vocab USING (token)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tok,
+       CAST(sum_freq * 1000000 AS DOUBLE) / CAST(n_tok AS DOUBLE)
+           / CAST(total_tokens AS DOUBLE) AS rarity_ppm,
+       (CAST(sum_freq * 1000000 AS DOUBLE) / CAST(n_tok AS DOUBLE)
+           / CAST(total_tokens AS DOUBLE)) < 20000.0 AS is_rare
+FROM per_doc CROSS JOIN total
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k keywords
+# ---------------------------------------------------------------------------
+
+def tfidf_topk_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document.
+
+    IDF is kept rational (``N / df`` instead of ``ln(N/df)``) so the score is
+    an exact-integer product followed by one IEEE division — monotone in the
+    standard TF-IDF for fixed tf, and bit-identical across engines. The
+    document-frequency table is vocabulary-sized → broadcast; the only
+    shuffle is the per-(doc, token) tf aggregation. Ranking carries the token
+    as tiebreaker so top-3 is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "score", "rk")
+    )
+
+
+TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n  AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, score, rk FROM (
+  SELECT doc_id, token,
+         CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC,
+                    token ASC
+         ) AS rk
+  FROM tf JOIN df USING (token) CROSS JOIN n
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic linear quality classifier
+# ---------------------------------------------------------------------------
+
+#: Fixed "trained" weights: intercept, tokens/1k, mean word length,
+#: stopword ratio, unique-token ratio. A stand-in for a fastText/logreg
+#: quality model — scoring is the engine concern; training isn't.
+_W0, _W_TOK, _W_WLEN, _W_STOP, _W_UNIQ = -2.0, 0.5, 0.25, 3.0, 1.5
+
+
+def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality score over native text features, keep = logit > 0.
+
+    One projection pass, all codegen'd expressions — the shape of a learned
+    quality-classifier scoring stage (fastText "looks like a wiki page"
+    filters). The logit is reported instead of sigmoid(logit): ordering and
+    thresholding are identical and ``exp`` is the one op whose libm rounding
+    could differ across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = _toks()
+    n_tok = F.size(t)
+    n_alpha = F.length(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", ""))
+    n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(LANG_MARKERS["en"]))
+    n_uniq = F.size(F.array_distinct(t))
+    feat = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (n_alpha.cast("double") / n_tok.cast("double")).alias("mean_wlen"),
+        (n_stop.cast("double") / n_tok.cast("double")).alias("stop_ratio"),
+        (n_uniq.cast("double") / n_tok.cast("double")).alias("uniq_ratio"),
+    )
+    logit = (
+        F.lit(_W0)
+        + F.lit(_W_TOK) * (F.col("n_tok").cast("double") / F.lit(1000.0))
+        + F.lit(_W_WLEN) * F.col("mean_wlen")
+        + F.lit(_W_STOP) * F.col("stop_ratio")
+        + F.lit(_W_UNIQ) * F.col("uniq_ratio")
+    )
+    return feat.select(
+        "doc_id", "n_tok", "mean_wlen", "stop_ratio", "uniq_ratio",
+        logit.alias("logit"),
+        (logit > F.lit(0.0)).alias("keep"),
+    )
+
+
+QUALITY_LOGIT_SQL = rf"""
+WITH feat AS (
+  SELECT doc_id,
+         LEN(string_split_regex(TRIM(LOWER(text)), '\s+')) AS n_tok,
+         CAST(LEN(regexp_replace(TRIM(LOWER(text)), '\s+', '', 'g')) AS DOUBLE)
+           / CAST(LEN(string_split_regex(TRIM(LOWER(text)), '\s+')) AS DOUBLE) AS mean_wlen,
+         CAST(LEN(regexp_extract_all(LOWER(text), '{LANG_MARKERS["en"]}')) AS DOUBLE)
+           / CAST(LEN(string_split_regex(TRIM(LOWER(text)), '\s+')) AS DOUBLE) AS stop_ratio,
+         CAST(LEN(list_distinct(string_split_regex(TRIM(LOWER(text)), '\s+'))) AS DOUBLE)
+           / CAST(LEN(string_split_regex(TRIM(LOWER(text)), '\s+')) AS DOUBLE) AS uniq_ratio
+  FROM documents
+)
+SELECT doc_id, n_tok, mean_wlen, stop_ratio, uniq_ratio,
+       {_W0} + {_W_TOK} * (CAST(n_tok AS DOUBLE) / 1000.0)
+             + {_W_WLEN} * mean_wlen
+             + {_W_STOP} * stop_ratio
+             + {_W_UNIQ} * uniq_ratio AS logit,
+       ({_W0} + {_W_TOK} * (CAST(n_tok AS DOUBLE) / 1000.0)
+             + {_W_WLEN} * mean_wlen
+             + {_W_STOP} * stop_ratio
+             + {_W_UNIQ} * uniq_ratio) > 0.0 AS keep
+FROM feat
+"""
+
+
+# ---------------------------------------------------------------------------
+# ordered conversion funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ["signup", "view", "click", "purchase"]
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who did signup, THEN view, THEN click, THEN
+    purchase — each step strictly after the previous step's first completion.
+
+    Staged min-timestamp joins: step k's survivors = min event time of type k
+    strictly after t_{k-1}, per user. Each stage is an equi-join on user_id
+    followed by a partial-aggregatable min — shuffle keyed on user_id
+    throughout, so AQE reuses the partitioning across stages. Conversion is
+    reported vs the step-1 population (one division of exact counts).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    reached = (
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    stages = [reached]
+    for step in _FUNNEL[1:]:
+        prev = stages[-1].select("user_id", F.col("t").alias("t_prev"))
+        stages.append(
+            ev.filter(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+    counts = [
+        s.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("step_name"),
+            "users",
+        )
+        for i, (name, s) in enumerate(zip(_FUNNEL, stages))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    base = stages[0].agg(F.count(F.lit(1)).alias("base_users"))
+    return out.crossJoin(F.broadcast(base)).select(
+        "step",
+        "step_name",
+        "users",
+        (F.col("users").cast("double") / F.col("base_users").cast("double")).alias(
+            "conv_rate"
+        ),
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+),
+counts AS (
+  SELECT 1 AS step, 'signup'   AS step_name, COUNT(*) AS users FROM s1
+  UNION ALL SELECT 2, 'view',     COUNT(*) FROM s2
+  UNION ALL SELECT 3, 'click',    COUNT(*) FROM s3
+  UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+),
+base AS (SELECT COUNT(*) AS base_users FROM s1)
+SELECT step, step_name, users,
+       CAST(users AS DOUBLE) / CAST(base_users AS DOUBLE) AS conv_rate
+FROM counts CROSS JOIN base
+"""
+
+
+# ---------------------------------------------------------------------------
+# weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week, counted
+    distinct per week offset since the cohort week.
+
+    Two aggregations (first-seen per user, then distinct users per
+    (cohort, offset) cell) — both partial-aggregatable, both keyed on
+    user_id first so the shuffle is reused. Week truncation is Monday-start
+    in both Spark and DuckDB; the offset is integer day-diff / 7.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.select("user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w"))
+        .distinct()
+        .join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / F.lit(7)).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, w) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# integer walk counting on the co-click item graph
+# ---------------------------------------------------------------------------
+
+def item_walk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walks of length 1/2/3 from each item over the co-click graph.
+
+    Graph: distinct directed edges (a, b), a ≠ b, between items clicked by
+    the same user (item = ``props.k``). Walk counting is iterated
+    edge-to-measure equi-join + sum — the exact integer skeleton of
+    PageRank's power iteration (PageRank divides by degree; dividing is the
+    only difference, and floats would break the bit-exact oracle). Each
+    iteration is one shuffle keyed on the node id; the measure table is
+    node-sized → broadcast. At 100 TB the per-user co-click fan-out is
+    capped upstream (distinct items per user is bounded by the catalog
+    size); the edge set stays |items|²-bounded, not |events|-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.from_json("props", "k INT")["k"].alias("item"))
+        .distinct()
+    )
+    other = clicks.select(F.col("user_id"), F.col("item").alias("dst"))
+    edges = (
+        clicks.join(other, "user_id")
+        .filter(F.col("item") != F.col("dst"))
+        .select(F.col("item").alias("src"), "dst")
+        .distinct()
+    )
+    w1 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("w1"))
+    m1 = w1.select(F.col("src").alias("node"), F.col("w1").alias("m"))
+    w2 = (
+        edges.join(F.broadcast(m1), edges.dst == m1.node)
+        .groupBy("src")
+        .agg(F.sum("m").alias("w2"))
+    )
+    m2 = w2.select(F.col("src").alias("node"), F.col("w2").alias("m"))
+    w3 = (
+        edges.join(F.broadcast(m2), edges.dst == m2.node)
+        .groupBy("src")
+        .agg(F.sum("m").alias("w3"))
+    )
+    return (
+        w1.join(w2, "src")
+        .join(w3, "src")
+        .select(F.col("src").alias("item"), "w1", "w2", "w3")
+    )
+
+
+ITEM_WALKS_SQL = """
+WITH clicks AS (
+  SELECT DISTINCT user_id, CAST(props->>'$.k' AS INT) AS item
+  FROM events WHERE event_type = 'click'
+),
+edges AS (
+  SELECT DISTINCT a.item AS src, b.item AS dst
+  FROM clicks a JOIN clicks b USING (user_id)
+  WHERE a.item <> b.item
+),
+w1 AS (SELECT src, COUNT(*) AS w1 FROM edges GROUP BY src),
+-- CAST: DuckDB SUM(BIGINT) widens to HUGEINT (→ float64 in pandas); Spark
+-- sum(long) stays long — pin both to BIGINT for a type-stable hash.
+w2 AS (SELECT e.src, CAST(SUM(m.w1) AS BIGINT) AS w2
+       FROM edges e JOIN w1 m ON e.dst = m.src GROUP BY e.src),
+w3 AS (SELECT e.src, CAST(SUM(m.w2) AS BIGINT) AS w3
+       FROM edges e JOIN w2 m ON e.dst = m.src GROUP BY e.src)
+SELECT w1.src AS item, w1.w1, w2.w2, w3.w3
+FROM w1 JOIN w2 ON w1.src = w2.src JOIN w3 ON w1.src = w3.src
+"""
+
+
+SPECS = [
+    QuerySpec("unigram_rarity", unigram_rarity, UNIGRAM_RARITY_SQL,
+              doc="log-free unigram pseudo-perplexity quality filter"),
+    QuerySpec("tfidf_topk_keywords", tfidf_topk_keywords, TFIDF_SQL,
+              doc="per-doc top-3 TF-IDF keywords, rational IDF"),
+    QuerySpec("quality_logit_score", quality_logit_score, QUALITY_LOGIT_SQL,
+              doc="deterministic linear quality classifier scoring"),
+    QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL,
+              doc="ordered 4-step conversion funnel"),
+    QuerySpec("retention_cohorts", retention_cohorts, RETENTION_SQL,
+              doc="weekly cohort retention matrix"),
+    QuerySpec("item_walk_counts", item_walk_counts, ITEM_WALKS_SQL,
+              doc="integer walk counts on co-click graph (power-iteration skeleton)"),
+]
