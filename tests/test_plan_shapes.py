@@ -100,3 +100,39 @@ def test_corpus_aggregations_have_partial_agg(spark, sf_dir, name):
     around each exchange, never a raw-row shuffle into a single agg."""
     plan = plan_of(spark, sf_dir, name)
     assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# engine-wide sweep: scale-killer nodes banned across the whole catalog
+# ---------------------------------------------------------------------------
+
+#: Queries where a BroadcastNestedLoopJoin is the INTENDED plan: a crossJoin
+#: against a broadcast 1-row scalar aggregate (grand totals, strike ranges,
+#: funnel base) or a ≤16-row literal (centroids, query vectors). Anything
+#: else acquiring a BNLJ is a join that lost its equi-key — a 100 TB bug.
+_BNLJ_OK = {
+    "unigram_rarity",        # 1-row corpus-total scalar
+    "tfidf_topk_keywords",   # 1-row doc-count scalar
+    "event_funnel",          # 1-row base-population scalar
+    "ann_cosine_topk",       # ≤8-row query-vector set
+    "embedding_near_dup",    # ≤8-row probe set
+    "ann_ivf_kmeans",        # ≤16-row centroid table
+    "kmeans_assign_fixed",   # ≤16-row centroid table
+    "q11_important_suppliers",  # 1-row global-threshold scalar
+    "q22_global_avg_anti",   # 1-row global-average scalar
+}
+
+
+@pytest.mark.parametrize("spec", list(SPECS.values()), ids=lambda s: s.name)
+def test_no_scale_killer_nodes(spark, sf_dir, spec):
+    """No catalog plan may contain a CartesianProduct (non-broadcast
+    cartesian: quadratic shuffle at scale) or BatchEvalPython (row-at-a-time
+    Python in the hot path); BroadcastNestedLoopJoin only at the allowlisted
+    scalar-broadcast sites above."""
+    plan = spec.build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{spec.name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{spec.name}: row-at-a-time Python UDF"
+    if spec.name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{spec.name}: nested-loop join outside the scalar-broadcast allowlist"
+        )
