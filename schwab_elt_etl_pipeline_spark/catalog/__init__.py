@@ -99,7 +99,7 @@ def all_specs() -> list[QuerySpec]:
 _FRONT = [
     # (a) new this round
     "unigram_rarity", "tfidf_topk_keywords", "quality_logit_score",
-    "event_funnel", "retention_cohorts", "item_walk_counts",
+    "event_funnel", "retention_cohorts", "item_walk_counts", "decontam_fuzzy",
     # (a) new late in round 3 / never driver-checked
     "semantic_dedup_lsh",
     # (b) oracle upgraded rows-only → verdict-level SQL this round

@@ -428,6 +428,60 @@ FROM w1 JOIN w2 ON w1.src = w2.src JOIN w3 ON w1.src = w3.src
 """
 
 
+# ---------------------------------------------------------------------------
+# fuzzy (MinHash) benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination of the corpus against a pseudo-benchmark
+    (docs with ``doc_id % 7 == 0`` act as the eval set): cross-table
+    MinHash-LSH proposes (train, eval) candidates, exact bigram Jaccard
+    ≥ 0.5 is the verdict. The DuckDB oracle brute-forces ALL cross pairs,
+    so a hash match certifies end-to-end LSH recall — the Spark side never
+    materializes the cross product (eval buckets broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    from schwab_elt_etl_pipeline_spark.operators.curation import decontaminate_fuzzy
+
+    return decontaminate_fuzzy(train, evalset, ngram=2, k=32, bands=16, tau=0.5)
+
+
+DECONTAM_FUZZY_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(LEN(string_split_regex(TRIM(LOWER(text)), '\s+')) - 1, 0)),
+           i -> string_split_regex(TRIM(LOWER(text)), '\s+')[i] || ' ' ||
+                string_split_regex(TRIM(LOWER(text)), '\s+')[i+1])) AS grams
+  FROM documents
+),
+ev AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+hits AS (
+  SELECT c.doc_id, e.doc_id AS eval_id,
+         ROUND(LEN(list_intersect(c.grams, e.grams)) /
+               LEN(list_distinct(list_concat(c.grams, e.grams))), 6) AS jac
+  FROM corp c CROSS JOIN ev e
+  WHERE ROUND(LEN(list_intersect(c.grams, e.grams)) /
+              LEN(list_distinct(list_concat(c.grams, e.grams))), 6) >= 0.5
+),
+best AS (
+  SELECT doc_id, eval_id, jac,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_matches,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jac DESC, eval_id ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       COALESCE(b.n_matches, 0) AS n_matches,
+       CAST(COALESCE(b.eval_id, -1) AS BIGINT) AS best_eval_id,
+       COALESCE(b.jac, 0.0) AS best_jac,
+       COALESCE(b.n_matches, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
 SPECS = [
     QuerySpec("unigram_rarity", unigram_rarity, UNIGRAM_RARITY_SQL,
               doc="log-free unigram pseudo-perplexity quality filter"),
@@ -441,4 +495,6 @@ SPECS = [
               doc="weekly cohort retention matrix"),
     QuerySpec("item_walk_counts", item_walk_counts, ITEM_WALKS_SQL,
               doc="integer walk counts on co-click graph (power-iteration skeleton)"),
+    QuerySpec("decontam_fuzzy", decontam_fuzzy, DECONTAM_FUZZY_SQL,
+              doc="cross-table MinHash fuzzy decontamination, recall-certified"),
 ]

@@ -30,7 +30,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from schwab_elt_etl_pipeline_spark.operators.dedup import with_shingles
+from schwab_elt_etl_pipeline_spark.operators.dedup import (
+    jaccard,
+    minhash_cross_candidates,
+    with_shingles,
+)
 from schwab_elt_etl_pipeline_spark.operators.similarity import (
     as_double,
     cosine,
@@ -112,6 +116,65 @@ def decontaminate(
         "n_hit",
         F.round(overlap, 6).alias("overlap"),
         (overlap >= threshold).cast("int").alias("contaminated"),
+    )
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+    k: int = 32,
+    bands: int = 16,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag training documents that NEAR-
+    duplicate an eval document (exact n-gram overlap misses light rewrites;
+    this is the MinHash twin the big crawls run alongside `decontaminate`).
+
+    Cross-table LSH-then-verify: banded MinHash buckets propose
+    (train, eval) candidates — an equi-join on (band, bucket) with the tiny
+    eval side broadcast, so the corpus never shuffles — then exact Jaccard
+    ≥ tau over candidates is the verdict. Output keeps EVERY train row:
+    (id, n_matches, best_eval_id, best_jac, contaminated), with the best
+    match ranked by (jac desc, eval_id asc) for determinism. Same recall
+    certificate as `minhash_verified_pairs`: the brute-force oracle hash
+    match certifies the LSH stage missed nothing.
+    """
+    cands = minhash_cross_candidates(
+        train, evalset, id_col=id_col, text_col=text_col, ngram=ngram, k=k, bands=bands
+    ).select("left_id", "right_id")
+    sh_t = with_shingles(train, text_col, ngram, out="grams").select(
+        F.col(id_col).alias("left_id"), F.col("grams").alias("t_grams")
+    )
+    sh_e = with_shingles(evalset, text_col, ngram, out="grams").select(
+        F.col(id_col).alias("right_id"), F.col("grams").alias("e_grams")
+    )
+    hits = (
+        cands.join(sh_t, "left_id")
+        .join(F.broadcast(sh_e), "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(jaccard(F.col("t_grams"), F.col("e_grams")), 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= tau)
+    )
+    best = hits.groupBy("left_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max(F.struct(F.col("jac"), (-F.col("right_id")).alias("neg_id"))).alias("_b"),
+    )
+    return (
+        train.select(F.col(id_col).alias("left_id"))
+        .join(best, "left_id", "left")
+        .select(
+            F.col("left_id").alias(id_col),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.coalesce(-F.col("_b.neg_id"), F.lit(-1)).cast("bigint").alias("best_eval_id"),
+            F.coalesce(F.col("_b.jac"), F.lit(0.0)).alias("best_jac"),
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
     )
 
 

@@ -91,26 +91,23 @@ def minhash_signature(shingles_col: str, k: int = 32) -> Column:
     )
 
 
-def minhash_lsh_candidates(
+def _banded_signatures(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    ngram: int = 2,
-    k: int = 32,
-    bands: int = 8,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    k: int,
+    bands: int,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash-LSH.
-
-    Rows whose signatures agree on ALL rows of any band land in the same
-    bucket; within-bucket self-join emits (a_id, b_id, est_jaccard) with
-    est_jaccard = fraction of agreeing signature positions. a_id < b_id.
-    """
+    """(id, sig, band, bucket) rows: one row per (document, LSH band), where
+    ``bucket`` hashes that band's signature slice. Shared by the self-join
+    (near-dup) and cross-table (decontamination) candidate generators."""
     rows_per_band = k // bands
     sigs = with_shingles(df, text_col, ngram, out="_grams").select(
         F.col(id_col).alias("id"),
         minhash_signature("_grams", k).alias("sig"),
     )
-    banded = sigs.select(
+    return sigs.select(
         "id",
         "sig",
         F.explode(
@@ -128,6 +125,61 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
 
+
+def minhash_cross_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Cross-table banded-LSH candidates: (left_id, right_id, est_jaccard)
+    for left/right rows sharing any band bucket. The join is an equi-join on
+    (band, bucket) — when ``right`` is an eval/benchmark set it is orders of
+    magnitude smaller than the corpus, so Spark broadcasts it and the corpus
+    never shuffles (the decontamination scale path)."""
+    a = _banded_signatures(left, id_col, text_col, ngram, k, bands).alias("a")
+    b = _banded_signatures(right, id_col, text_col, ngram, k, bands).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.id").alias("left_id"),
+            F.col("b.id").alias("right_id"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.lit(k)
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Rows whose signatures agree on ALL rows of any band land in the same
+    bucket; within-bucket self-join emits (a_id, b_id, est_jaccard) with
+    est_jaccard = fraction of agreeing signature positions. a_id < b_id.
+    """
+    banded = _banded_signatures(df, id_col, text_col, ngram, k, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
