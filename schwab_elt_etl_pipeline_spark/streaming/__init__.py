@@ -2,6 +2,12 @@
 (SURVEY §2.9): micro-batched partitioned parquet sink, latest-per-key view
 with TTL, freshness monitoring with a 2-strike alert."""
 
+from schwab_elt_etl_pipeline_spark.streaming.corpus import (
+    curate_stream,
+    read_document_stream,
+    update_minhash_index,
+    write_curated_stream,
+)
 from schwab_elt_etl_pipeline_spark.streaming.quotes import (
     dedup_stream,
     latest_per_key,
@@ -11,9 +17,13 @@ from schwab_elt_etl_pipeline_spark.streaming.quotes import (
 )
 
 __all__ = [
+    "curate_stream",
     "dedup_stream",
     "latest_per_key",
+    "read_document_stream",
     "read_quote_stream",
+    "update_minhash_index",
     "windowed_candles",
     "write_bronze_stream",
+    "write_curated_stream",
 ]

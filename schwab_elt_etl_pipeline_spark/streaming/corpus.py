@@ -1,0 +1,177 @@
+"""Streaming corpus ingestion — the LLM-data twin of the quotes stream.
+
+A 100 TB training corpus is not built in one batch job: crawl shards arrive
+continuously and the curation cascade (dedup → quality → index) has to keep
+up incrementally. This module runs the batch curation operators
+(operators/text.py, operators/dedup.py) inside Structured Streaming:
+
+- ``read_document_stream``: parquet-directory document stream (the same
+  swappable-transport pattern as streaming/quotes.py — a Kafka topic of
+  crawl records drops in via ``format("kafka")`` + the same downstream).
+- ``curate_stream``: per-batch quality gate + fingerprinting — pure native
+  column expressions, so the streaming plan stays whole-stage-codegen'd.
+- ``write_curated_stream``: exact-dedup + append to Bronze. In-stream
+  ``dropDuplicates`` on the content fingerprint dedups WITHIN the watermark
+  horizon; cross-batch idempotence against everything already ingested is
+  the same anti-join protocol as the batch engine (operators/merge.py) via
+  ``foreachBatch`` — the streaming and batch paths share one dedup
+  definition.
+- ``update_minhash_index``: incremental MinHash signature index — the scale
+  path. Re-LSHing the whole corpus per batch is O(corpus) per trigger;
+  instead the signature/band table is maintained incrementally (only NEW
+  fingerprints are signed), and near-dup candidates for a batch are found by
+  joining the BATCH's band buckets against the persistent index — O(batch)
+  work per trigger, exactly how an at-scale dedup service amortizes LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from schwab_elt_etl_pipeline_spark.operators.dedup import _banded_signatures
+from schwab_elt_etl_pipeline_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    token_count,
+)
+from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
+
+#: Schema of a crawl record stream (mirrors testdata documents.parquet plus
+#: an ingest timestamp the watermark rides on).
+DOCUMENT_STREAM_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+    "n_chars BIGINT, ingest_ts TIMESTAMP"
+)
+
+
+def read_document_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Parquet-directory stream of crawl records. ``maxFilesPerTrigger``
+    bounds per-trigger work (the batch-size knob — crawl shards are files)."""
+    return (
+        spark.readStream.schema(DOCUMENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def curate_stream(docs: DataFrame, min_tokens: int = 5) -> DataFrame:
+    """Quality gate + content fingerprint, all native expressions.
+
+    Keeps documents with ≥ ``min_tokens`` whitespace tokens and a language
+    the n-gram heuristic recognizes; attaches the rolling-hash fingerprint
+    the dedup layer keys on. Order-insensitive per-row logic → identical
+    semantics in batch and streaming (the operators are shared)."""
+    return (
+        docs.withColumn("n_tok", token_count("text"))
+        .withColumn("lang_pred", lang_id("text"))
+        .filter(F.col("n_tok") >= min_tokens)
+        .withColumn("fp", fingerprint("text"))
+    )
+
+
+def write_curated_stream(
+    curated: DataFrame,
+    bronze: ParquetTable,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Exact-dedup ingest: watermark-bounded ``dropDuplicates`` on the
+    fingerprint removes within-horizon repeats; the ``foreachBatch`` sink
+    anti-joins against Bronze (keys=[fp]) so replays and cross-batch
+    repeats are dropped — the same insert-if-absent protocol as the batch
+    engine, giving end-to-end exactly-once on the content key.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``): the
+    fingerprint key carries no event time, so only the WithinWatermark form
+    evicts dedup state as the watermark advances — plain dropDuplicates on a
+    non-time key grows state forever (same reasoning as the quote stream,
+    streaming/quotes.py)."""
+    deduped = curated.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["fp"]
+    )
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        if bronze.exists():
+            bronze.insert_new(batch, keys=["fp"])
+        else:
+            bronze.overwrite_versioned(batch)
+
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def update_minhash_index(
+    batch: DataFrame,
+    index: ParquetTable,
+    ngram: int = 2,
+    k: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Incrementally maintain a MinHash band index and return the batch's
+    near-dup candidates against the ENTIRE corpus seen so far.
+
+    Per call: (1) sign only the batch's documents (O(batch) shingling);
+    (2) candidates = batch bands ⋈ index bands on (band, bucket) — the
+    index side is pre-bucketed, so this probes, never rescans, the corpus;
+    (3) append the batch's bands to the index (insert_new on (id, band) —
+    idempotent under replay). Returns (batch_id, index_id, est_jaccard).
+
+    At 100 TB the index table is cluster_by=("bucket",) so file footer
+    stats prune probe I/O to the touched buckets.
+    """
+    # Sign once, cut lineage: the signatures feed BOTH the candidate probe
+    # and the index append; localCheckpoint materializes them so the
+    # shingling/hashing runs once per batch, not once per consumer.
+    signed = _banded_signatures(batch, "doc_id", "text", ngram, k, bands).localCheckpoint(
+        eager=True
+    )
+    if index.exists():
+        idx = index.read()
+        cands = (
+            signed.alias("a")
+            .join(
+                idx.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("batch_id"),
+                F.col("b.id").alias("index_id"),
+                (
+                    F.size(
+                        F.filter(
+                            F.zip_with(
+                                "a.sig", "b.sig", lambda x, y: (x == y).cast("int")
+                            ),
+                            lambda v: v == 1,
+                        )
+                    )
+                    / F.lit(k)
+                ).alias("est_jaccard"),
+            )
+            .dropDuplicates(["batch_id", "index_id"])
+        )
+        index.insert_new(signed, keys=["id", "band"])
+        return cands
+    index.overwrite_versioned(signed)
+    return signed.select(
+        F.col("id").alias("batch_id"),
+        F.col("id").alias("index_id"),
+        F.lit(0.0).alias("est_jaccard"),
+    ).limit(0)

@@ -1,0 +1,113 @@
+"""Streaming corpus ingestion: quality gate, exact-dedup exactly-once on the
+content fingerprint, and incremental MinHash index maintenance."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
+from schwab_elt_etl_pipeline_spark.streaming.corpus import (
+    curate_stream,
+    read_document_stream,
+    update_minhash_index,
+    write_curated_stream,
+)
+
+_TS = dt.datetime(2024, 6, 17, 12, 0, tzinfo=dt.timezone.utc)
+
+
+def _doc(doc_id: int, text: str, minute: int = 0):
+    return (
+        doc_id,
+        text,
+        "en",
+        "src0",
+        len(text),
+        _TS + dt.timedelta(minutes=minute),
+    )
+
+
+_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT, ingest_ts TIMESTAMP"
+
+
+@pytest.fixture()
+def dirs():
+    made = [tempfile.mkdtemp(prefix=p) for p in ("docs_src_", "bronze_", "ckpt_")]
+    yield made
+    for d in made:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_curated_stream_dedups_and_gates(spark, dirs):
+    src, bronze_dir, ckpt = dirs
+    rows = [
+        _doc(1, "the quick brown fox jumps over the lazy dog"),
+        _doc(2, "the quick brown fox jumps over the lazy dog", minute=1),  # exact dup
+        _doc(3, "tiny"),  # fails min_tokens gate
+        _doc(4, "a completely different document about spark engines at scale"),
+    ]
+    spark.createDataFrame(rows, _SCHEMA).write.mode("append").parquet(src)
+
+    bronze = ParquetTable(spark, bronze_dir)
+    stream = read_document_stream(spark, src)
+    assert stream.isStreaming
+    q = write_curated_stream(curate_stream(stream), bronze, ckpt)
+    q.awaitTermination(120)
+
+    out = bronze.read()
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 3 not in ids  # quality gate
+    assert len(ids) == 2  # one of {1,2} survived the fp dedup
+    assert len({1, 2} & ids) == 1
+    assert 4 in ids
+
+    # replaying the same shard is a no-op (anti-join on fp in the sink)
+    ckpt2 = tempfile.mkdtemp(prefix="ckpt2_")
+    try:
+        q2 = write_curated_stream(
+            curate_stream(read_document_stream(spark, src)), bronze, ckpt2
+        )
+        q2.awaitTermination(120)
+        assert bronze.read().count() == 2
+    finally:
+        shutil.rmtree(ckpt2, ignore_errors=True)
+
+
+def test_incremental_minhash_index(spark, dirs):
+    _, idx_dir, _ = dirs
+    index = ParquetTable(spark, idx_dir)
+    b1 = spark.createDataFrame(
+        [
+            _doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            _doc(2, "one two three four five six seven eight nine ten"),
+        ],
+        _SCHEMA,
+    )
+    out1 = update_minhash_index(b1, index)
+    assert out1.count() == 0  # first batch seeds the index, no candidates
+    assert index.exists()
+
+    # batch 2: doc 11 near-duplicates doc 1, doc 12 is novel
+    b2 = spark.createDataFrame(
+        [
+            _doc(11, "alpha beta gamma delta epsilon zeta eta iota"),
+            _doc(12, "unrelated text with entirely different content here"),
+        ],
+        _SCHEMA,
+    )
+    out2 = update_minhash_index(b2, index)
+    pairs = {(r["batch_id"], r["index_id"]) for r in out2.collect()}
+    assert (11, 1) in pairs
+    assert all(b != 12 for b, _ in pairs)
+
+    # index now holds bands for all four docs; replaying batch 2 adds nothing
+    n_rows = index.read().count()
+    update_minhash_index(b2, index)
+    assert index.read().count() == n_rows  # insert_new on (id, band) is idempotent
+    ids = {r["id"] for r in index.read().select("id").distinct().collect()}
+    assert ids == {1, 2, 11, 12}
