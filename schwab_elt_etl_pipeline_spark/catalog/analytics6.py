@@ -429,6 +429,64 @@ FROM w1 JOIN w2 ON w1.src = w2.src JOIN w3 ON w1.src = w3.src
 
 
 # ---------------------------------------------------------------------------
+# token-budget corpus mixing
+# ---------------------------------------------------------------------------
+
+def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token quotas: within each source, rank documents by a
+    quality key (unique-token ratio desc, doc_id asc as tiebreaker) and keep
+    documents while the source's cumulative token count stays ≤ 3000 — the
+    shape of assembling a pretraining mix against per-domain budgets.
+
+    One projection pass for features, one window keyed on source (single
+    shuffle; sources are the natural partition and the budget makes the
+    per-source state a running integer). The quality key is a ratio of
+    exact integers → bit-identical ordering across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = _toks()
+    feat = docs.select(
+        "doc_id",
+        "source",
+        F.size(t).alias("n_tok"),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")).alias(
+            "quality"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        feat.withColumn(
+            "cum_tokens", F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("kept", F.col("cum_tokens") <= 3000)
+        .select("doc_id", "source", "n_tok", "quality", "cum_tokens", "kept")
+    )
+
+
+TOKEN_BUDGET_SQL = r"""
+WITH feat AS (
+  SELECT doc_id, source,
+         LEN(string_split_regex(TRIM(LOWER(text)), '\s+')) AS n_tok,
+         CAST(LEN(list_distinct(string_split_regex(TRIM(LOWER(text)), '\s+'))) AS DOUBLE)
+           / CAST(LEN(string_split_regex(TRIM(LOWER(text)), '\s+')) AS DOUBLE) AS quality
+  FROM documents
+)
+SELECT doc_id, source, n_tok, quality,
+       CAST(SUM(n_tok) OVER (
+         PARTITION BY source ORDER BY quality DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_tokens,
+       SUM(n_tok) OVER (
+         PARTITION BY source ORDER BY quality DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) <= 3000 AS kept
+FROM feat
+"""
+
+
+# ---------------------------------------------------------------------------
 # fuzzy (MinHash) benchmark decontamination
 # ---------------------------------------------------------------------------
 
@@ -497,4 +555,6 @@ SPECS = [
               doc="integer walk counts on co-click graph (power-iteration skeleton)"),
     QuerySpec("decontam_fuzzy", decontam_fuzzy, DECONTAM_FUZZY_SQL,
               doc="cross-table MinHash fuzzy decontamination, recall-certified"),
+    QuerySpec("corpus_token_budget_mix", corpus_token_budget_mix, TOKEN_BUDGET_SQL,
+              doc="per-source token-budget quota mixing"),
 ]
