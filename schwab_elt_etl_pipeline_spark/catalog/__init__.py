@@ -100,7 +100,7 @@ _FRONT = [
     # (a) new this round
     "unigram_rarity", "tfidf_topk_keywords", "quality_logit_score",
     "event_funnel", "retention_cohorts", "item_walk_counts", "decontam_fuzzy",
-    "corpus_token_budget_mix",
+    "corpus_token_budget_mix", "dq_expectations_orders",
     # (a) new late in round 3 / never driver-checked
     "semantic_dedup_lsh",
     # (b) oracle upgraded rows-only → verdict-level SQL this round

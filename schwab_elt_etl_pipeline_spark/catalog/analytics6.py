@@ -540,6 +540,60 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# unified data-quality expectations report
+# ---------------------------------------------------------------------------
+
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations suite over orders: row rules (one conditional-agg scan),
+    key uniqueness (map-side-combined groupBy), and referential integrity
+    against customer (anti-join, dimension broadcast) — one long-format
+    report, one job."""
+    from schwab_elt_etl_pipeline_spark.operators.quality import dq_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return dq_report(
+        orders,
+        rules={
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "totalprice_nonneg": F.col("o_totalprice") >= 0,
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+        unique=[["o_orderkey"]],
+        foreign_keys=[(["o_custkey"], customer, ["c_custkey"])],
+    )
+
+
+DQ_EXPECTATIONS_SQL = """
+SELECT 'custkey_not_null' AS check_name, COUNT(*) AS total,
+       CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS violations,
+       CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'totalprice_nonneg', COUNT(*),
+       CAST(SUM(CASE WHEN COALESCE(o_totalprice >= 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT),
+       CAST(SUM(CASE WHEN COALESCE(o_totalprice >= 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) = 0
+FROM orders
+UNION ALL
+SELECT 'status_known', COUNT(*),
+       CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END) AS BIGINT),
+       CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) = 0
+FROM orders
+UNION ALL
+SELECT 'unique_o_orderkey', CAST(SUM(c) AS BIGINT), CAST(SUM(c - 1) AS BIGINT),
+       CAST(SUM(c - 1) AS BIGINT) = 0
+FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'fk_o_custkey',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL),
+       (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL) = 0
+"""
+
+
 SPECS = [
     QuerySpec("unigram_rarity", unigram_rarity, UNIGRAM_RARITY_SQL,
               doc="log-free unigram pseudo-perplexity quality filter"),
@@ -557,4 +611,6 @@ SPECS = [
               doc="cross-table MinHash fuzzy decontamination, recall-certified"),
     QuerySpec("corpus_token_budget_mix", corpus_token_budget_mix, TOKEN_BUDGET_SQL,
               doc="per-source token-budget quota mixing"),
+    QuerySpec("dq_expectations_orders", dq_expectations_orders, DQ_EXPECTATIONS_SQL,
+              doc="unified expectations report: row rules + uniqueness + FK"),
 ]

@@ -56,3 +56,86 @@ def quarantine(
     clean = tagged.filter(F.size(reasons_col) == 0).drop(reasons_col)
     bad = tagged.filter(F.size(reasons_col) > 0)
     return clean, bad
+
+
+def dq_unique(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
+    """Set-level uniqueness check: one row ``(check_name, total, violations,
+    passed)`` where violations = rows beyond the first per duplicate key.
+
+    groupBy on the key then a 1-row aggregate — map-side combine keeps the
+    shuffle at one row per distinct key, never a raw-row shuffle."""
+    label = name or ("unique_" + "_".join(cols))
+    per_key = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_c"))
+    return per_key.agg(
+        F.lit(label).alias("check_name"),
+        F.sum("_c").alias("total"),
+        F.sum(F.col("_c") - 1).alias("violations"),
+    ).select(
+        "check_name", "total", "violations", (F.col("violations") == 0).alias("passed")
+    )
+
+
+def dq_foreign_key(
+    df: DataFrame,
+    cols: list[str],
+    ref: DataFrame,
+    ref_cols: list[str],
+    name: str | None = None,
+) -> DataFrame:
+    """Referential-integrity check: violations = rows whose key has no match
+    in ``ref`` (NULL keys are orphans too — unknown is not a pass).
+
+    Left-anti join on the key; when the referenced dimension is small Spark
+    broadcasts it (the usual case: facts validate against dimensions)."""
+    label = name or ("fk_" + "_".join(cols))
+    cond = [df[c] == ref[r] for c, r in zip(cols, ref_cols)]
+    orphans = df.join(ref.select(*ref_cols), cond, "left_anti")
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        orphans.agg(F.count(F.lit(1)).alias("violations"))
+        .crossJoin(total)  # two 1-row aggregates
+        .select(
+            F.lit(label).alias("check_name"),
+            "total",
+            "violations",
+            (F.col("violations") == 0).alias("passed"),
+        )
+    )
+
+
+def dq_report(
+    df: DataFrame,
+    rules: Mapping[str, Column] | None = None,
+    unique: list[list[str]] | None = None,
+    foreign_keys: list[tuple[list[str], DataFrame, list[str]]] | None = None,
+) -> DataFrame:
+    """Unified expectations report, long format: one row per check —
+    ``(check_name, total, violations, passed)``.
+
+    Row rules evaluate in ONE conditional-aggregation scan (then unpivot the
+    1-row result — driver-free); each uniqueness / foreign-key check adds its
+    own bounded aggregate. The union is a union of 1-row frames, so the
+    report materializes in a single job regardless of check count.
+    """
+    parts: list[DataFrame] = []
+    if rules:
+        wide = dq_summary(df, rules)  # 1 row: n_rows + viol_* columns
+        for rule_name in rules:
+            parts.append(
+                wide.select(
+                    F.lit(rule_name).alias("check_name"),
+                    F.col("n_rows").alias("total"),
+                    F.col(f"viol_{rule_name}").alias("violations"),
+                    (F.col(f"viol_{rule_name}") == 0).alias("passed"),
+                )
+            )
+    for cols in unique or []:
+        parts.append(dq_unique(df, cols))
+    for cols, ref, ref_cols in foreign_keys or []:
+        parts.append(dq_foreign_key(df, cols, ref, ref_cols))
+    if not parts:
+        raise ValueError("dq_report: no checks given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
