@@ -27,6 +27,7 @@ import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.operators.merge import insert_new, merge_upsert
 
@@ -259,6 +260,52 @@ class ParquetTable:
         raise last if last is not None else RuntimeError("merge failed")
 
     # -- maintenance ---------------------------------------------------------
+    def diff(
+        self,
+        keys: Sequence[str],
+        old_version: int,
+        new_version: int | None = None,
+    ) -> DataFrame:
+        """Change-data-feed between two versions: one row per changed key
+        with ``_change_type`` ∈ {insert, delete, update}.
+
+        Full outer join on the key between the two version snapshots;
+        non-key columns are compared as a struct (null-safe). Output carries
+        the NEW row's columns for inserts/updates and the OLD row's for
+        deletes — the shape downstream incremental consumers (sync jobs,
+        cache invalidation, audit) replay. At scale both sides shuffle once
+        on the key; with ``cluster_by`` on the key, footer-stat pruning keeps
+        a partial diff (key-range predicate pushed before calling) cheap.
+        """
+        key_list = list(keys)
+        new_df = self.read(new_version)
+        old_df = self.read(old_version)
+        value_cols = [c for c in new_df.columns if c not in key_list]
+        n = new_df.select(
+            *key_list, F.struct(*value_cols).alias("_new"), F.lit(1).alias("_in_new")
+        )
+        o = old_df.select(
+            *key_list, F.struct(*value_cols).alias("_old"), F.lit(1).alias("_in_old")
+        )
+        joined = n.join(o, key_list, "full_outer")
+        change = (
+            F.when(F.col("_in_old").isNull(), F.lit("insert"))
+            .when(F.col("_in_new").isNull(), F.lit("delete"))
+            .when(~F.col("_new").eqNullSafe(F.col("_old")), F.lit("update"))
+        )
+        picked = F.when(F.col("_in_new").isNotNull(), F.col("_new")).otherwise(
+            F.col("_old")
+        )
+        return (
+            joined.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(
+                *key_list,
+                "_change_type",
+                *[picked[c].alias(c) for c in value_cols],
+            )
+        )
+
     def data_files(self, version: int | None = None) -> list[str]:
         """Parquet data files of a version (for size/compaction accounting)."""
         if version is None:

@@ -320,3 +320,38 @@ def test_merge_replay_idempotent_after_conflict_retry(spark, table_dir):
     n = t.read().count()
     t.merge(batch, keys=["k"], insert_only=True)  # replay
     assert t.read().count() == n
+
+
+def test_diff_change_data_feed(spark, table_dir):
+    t = ParquetTable(spark, table_dir)
+    t.overwrite_versioned(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+        )
+    )
+    t.overwrite_versioned(
+        spark.createDataFrame(
+            [(2, "b", 20.0), (3, "c2", 30.0), (4, "d", 40.0)], "k long, v string, x double"
+        )
+    )
+    rows = {r["k"]: r for r in t.diff(["k"], old_version=1).collect()}
+    assert rows[4]["_change_type"] == "insert" and rows[4]["v"] == "d"
+    assert rows[1]["_change_type"] == "delete" and rows[1]["v"] == "a"
+    assert rows[3]["_change_type"] == "update" and rows[3]["v"] == "c2"
+    assert 2 not in rows  # unchanged rows are not in the feed
+    assert set(t.diff(["k"], old_version=1).columns) == {"k", "_change_type", "v", "x"}
+
+
+def test_diff_null_safe_and_identity(spark, table_dir):
+    t = ParquetTable(spark, table_dir)
+    t.overwrite_versioned(
+        spark.createDataFrame([(1, None), (2, "b")], "k long, v string")
+    )
+    t.overwrite_versioned(
+        spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+    )
+    rows = {r["k"]: r for r in t.diff(["k"], old_version=1).collect()}
+    assert 1 not in rows  # NULL == NULL under eqNullSafe: unchanged
+    assert rows[2]["_change_type"] == "update"
+    # diffing a version against itself is empty
+    assert t.diff(["k"], old_version=2, new_version=2).count() == 0
