@@ -51,6 +51,7 @@ def all_specs() -> list[QuerySpec]:
         analytics4,
         analytics5,
         analytics6,
+        analytics7,
         curation2,
         domain,
         domain_pipeline,
@@ -64,6 +65,7 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (
         analytics6,
+        analytics7,
         curation2,
         analytics5,
         analytics,
@@ -101,6 +103,7 @@ _FRONT = [
     "unigram_rarity", "tfidf_topk_keywords", "quality_logit_score",
     "event_funnel", "retention_cohorts", "item_walk_counts", "decontam_fuzzy",
     "corpus_token_budget_mix", "dq_expectations_orders",
+    "w_distribution_family", "a_grouping_sets", "t_calendar_arithmetic",
     # (a) new late in round 3 / never driver-checked
     "semantic_dedup_lsh",
     # (b) oracle upgraded rows-only → verdict-level SQL this round
