@@ -12,6 +12,7 @@ from schwab_elt_etl_pipeline_spark.streaming.quotes import (
     dedup_stream,
     latest_per_key,
     read_quote_stream,
+    tick_sessions,
     windowed_candles,
     write_bronze_stream,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "latest_per_key",
     "read_document_stream",
     "read_quote_stream",
+    "tick_sessions",
     "update_minhash_index",
     "windowed_candles",
     "write_bronze_stream",

@@ -218,3 +218,45 @@ def windowed_candles(
             "O", "H", "L", "C", "V",
         )
     )
+
+
+def tick_sessions(
+    quotes: DataFrame,
+    gap: str = "2 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Per-symbol activity sessions: consecutive ticks closer than ``gap``
+    merge into one session (native ``session_window`` — dynamic-length
+    windows, unlike the fixed panes of :func:`windowed_candles`).
+
+    Emits (symbol, session_start, session_end, n_ticks, first/last mark)
+    once the watermark passes a session's close — the burst/lull structure a
+    liquidity monitor consumes. State per open session is one small tuple;
+    merging adjacent sessions on late-but-in-watermark ticks is handled by
+    the operator (sessions are NOT finalized until the gap is watermark-aged).
+    Works identically on batch DataFrames (same expression, no watermark
+    needed there).
+    """
+    ticks = quotes.filter(F.col("37").isNotNull()).select(
+        "symbol",
+        F.timestamp_millis(F.col("38")).alias("event_time"),
+        F.col("37").alias("mark"),
+    )
+    if ticks.isStreaming:
+        ticks = ticks.withWatermark("event_time", watermark)
+    return (
+        ticks.groupBy("symbol", F.session_window("event_time", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.min_by("mark", "event_time").alias("first_mark"),
+            F.max_by("mark", "event_time").alias("last_mark"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_ticks",
+            "first_mark",
+            "last_mark",
+        )
+    )

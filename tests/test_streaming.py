@@ -286,3 +286,57 @@ def test_stream_restart_resumes_from_checkpoint(spark, tick_rows):
     finally:
         for d in (src, sink, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tick_sessions_batch_and_stream(spark):
+    """Session windows: ticks within the gap merge, a gap splits sessions;
+    the same expression runs batch and (with watermark) streaming."""
+    from schwab_elt_etl_pipeline_spark.streaming import tick_sessions
+
+    sym = "SPXW  240621C05500000"
+    rows = [
+        (_ms(17, 14, 0), sym, 20.0, _ms(17, 14, 0), None, None),
+        (_ms(17, 14, 1), sym, 21.0, _ms(17, 14, 1), None, None),  # +1min: same session
+        (_ms(17, 14, 30), sym, 25.0, _ms(17, 14, 30), None, None),  # +29min: new session
+    ]
+    quotes = spark.createDataFrame(rows, QUOTES_STREAM)
+    out = {r["session_start"]: r for r in tick_sessions(quotes, gap="2 minutes").collect()}
+    assert len(out) == 2
+    s1 = out[dt.datetime(2024, 6, 17, 14, 0)]
+    assert s1["n_ticks"] == 2 and s1["first_mark"] == 20.0 and s1["last_mark"] == 21.0
+    # session end = last event + gap (session_window semantics)
+    assert s1["session_end"] == dt.datetime(2024, 6, 17, 14, 3)
+    s2 = out[dt.datetime(2024, 6, 17, 14, 30)]
+    assert s2["n_ticks"] == 1
+
+    # streaming: two batches; watermark from batch-2 sentinel finalizes
+    # batch-1's sessions (append mode emits only closed sessions)
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    sink = tempfile.mkdtemp(prefix="sess_sink_")
+    try:
+        spark.createDataFrame(rows, QUOTES_STREAM).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        late = [(_ms(18, 9, 0), sym, 30.0, _ms(18, 9, 0), None, None)]
+        spark.createDataFrame(late, QUOTES_STREAM).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = read_quote_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            tick_sessions(stream, gap="2 minutes", watermark="1 minute")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = spark.read.parquet(sink)
+        starts = {r["session_start"] for r in emitted.collect()}
+        assert dt.datetime(2024, 6, 17, 14, 0) in starts
+        assert dt.datetime(2024, 6, 17, 14, 30) in starts
+    finally:
+        for d in (src, ckpt, sink):
+            shutil.rmtree(d, ignore_errors=True)
