@@ -156,9 +156,15 @@ class ParquetTable:
         return self.current_version() is not None
 
     # -- read/write ---------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
         """Read the current version, or time-travel to an earlier one (older
-        ``_v{n}`` dirs stay on disk until :meth:`vacuum`)."""
+        ``_v{n}`` dirs stay on disk until :meth:`vacuum`).
+
+        ``merge_schema=True`` unions the schemas of all data files (columns
+        added by an evolved :meth:`append` read as NULL in pre-evolution
+        files) — the Delta/Iceberg schema-evolution read, at the cost of a
+        footer read per file; without it the scan trusts one file's schema.
+        """
         if version is None:
             version = self.current_version()
         if version is None:
@@ -166,7 +172,10 @@ class ParquetTable:
         vdir = self._version_dir(version)
         if not os.path.isdir(vdir):
             raise FileNotFoundError(f"version {version} not found (vacuumed?): {vdir}")
-        return self.spark.read.parquet(vdir)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(vdir)
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Delete all but the newest ``keep_last`` versions (never the

@@ -412,3 +412,17 @@ def test_zorder_layout_prunes_both_dimensions(spark, table_dir):
     # correctness unchanged
     assert tz.read().count() == rows
     assert tz.read().filter((F.col("x") == 5) & (F.col("y") == 7)).count() == 1
+
+
+def test_schema_evolution_on_append(spark, table_dir):
+    """Appending a batch with a new column evolves the table: mergeSchema
+    reads see the union schema with NULLs for pre-evolution files."""
+    t = ParquetTable(spark, table_dir)
+    t.overwrite_versioned(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    )
+    evolved = t.read(merge_schema=True)
+    assert set(evolved.columns) == {"k", "v", "score"}
+    rows = {r["k"]: r for r in evolved.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
