@@ -111,6 +111,57 @@ FROM orders
 """
 
 
+def j11_merge_full_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-branch MERGE (update / delete / insert) over a derived target
+    and source: target = orders with key % 4 ≠ 3, source = doubled-price
+    rows with key % 2 = 0, tombstone when status = 'F'. One key-shuffle —
+    the action branches are expressions over a single join, not three
+    passes (operators/merge.py merge_full)."""
+    from schwab_elt_etl_pipeline_spark.operators.merge import merge_full
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 4 != 3).select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double").alias("price")
+    )
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("double") * F.lit(2.0)).alias("price"),
+    )
+    return merge_full(
+        source, target, keys=["o_orderkey"],
+        delete_condition=F.col("o_orderstatus") == "F",
+    )
+
+
+J11_MERGE_FULL_SQL = """
+WITH tgt AS (
+  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 4 <> 3
+),
+src AS (
+  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) * 2.0 AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+actions AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'update' END AS a
+  FROM src
+)
+SELECT t.o_orderkey, t.o_orderstatus, t.price
+FROM tgt t LEFT JOIN actions USING (o_orderkey) WHERE a IS NULL
+UNION ALL
+SELECT s.o_orderkey, s.o_orderstatus, s.price
+FROM src s JOIN actions USING (o_orderkey)
+JOIN tgt USING (o_orderkey) WHERE a = 'update'
+UNION ALL
+SELECT s.o_orderkey, s.o_orderstatus, s.price
+FROM src s JOIN actions USING (o_orderkey)
+LEFT JOIN tgt USING (o_orderkey)
+WHERE a <> 'delete' AND tgt.o_orderkey IS NULL
+"""
+
+
 SPECS = [
     QuerySpec("w_distribution_family", w_distribution_family, W_DISTRIBUTION_SQL,
               doc="ntile/percent_rank/cume_dist distribution windows"),
@@ -118,4 +169,6 @@ SPECS = [
               doc="arbitrary GROUPING SETS with grouping_id"),
     QuerySpec("t_calendar_arithmetic", t_calendar_arithmetic, T_CALENDAR_SQL,
               doc="add_months/last_day/quarter calendar intrinsics"),
+    QuerySpec("j11_merge_full_delete", j11_merge_full_delete, J11_MERGE_FULL_SQL,
+              doc="three-branch MERGE with delete tombstones"),
 ]

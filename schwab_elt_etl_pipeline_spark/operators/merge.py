@@ -85,3 +85,53 @@ def merge_upsert(
     updated_or_new = source.dropDuplicates(list(keys))
     retained = target.join(updated_or_new.select(*keys), on=list(keys), how="left_anti")
     return retained.unionByName(updated_or_new.select(*target.columns))
+
+
+def merge_full(
+    source: DataFrame,
+    target: DataFrame,
+    keys: Sequence[str],
+    delete_condition: Column | None = None,
+    update_condition: Column | None = None,
+) -> DataFrame:
+    """Full three-branch MERGE (T-SQL ``MERGE`` parity, docs/sql_server.md:
+    315-329): WHEN MATCHED [AND update_condition] THEN UPDATE · WHEN MATCHED
+    AND delete_condition THEN DELETE · WHEN NOT MATCHED THEN INSERT.
+
+    Conditions are evaluated on the SOURCE row of a matched pair (the
+    tombstone/update payload): a matched key is deleted when
+    ``delete_condition`` holds, updated when ``update_condition`` holds (or
+    always, if None), otherwise the target row is retained unchanged.
+    Returns the merged table contents — same overwrite contract as
+    :func:`merge_upsert`, one key-shuffle total (the branches are column
+    expressions over a single join, not three passes).
+    """
+    src = source.dropDuplicates(list(keys))
+    del_cond = delete_condition if delete_condition is not None else F.lit(False)
+    upd_cond = update_condition if update_condition is not None else F.lit(True)
+
+    # Matched pairs resolve in one join: tag each source row with its action.
+    actioned = src.withColumn(
+        "_action",
+        F.when(del_cond, F.lit("delete"))
+        .when(upd_cond, F.lit("update"))
+        .otherwise(F.lit("keep_target")),
+    )
+    key_actions = actioned.select(*keys, "_action")
+
+    tgt = target.join(key_actions, on=list(keys), how="left")
+    retained_target = tgt.filter(
+        F.col("_action").isNull() | (F.col("_action") == "keep_target")
+    ).select(*target.columns)
+
+    updates = (
+        actioned.filter(F.col("_action") == "update")
+        .join(target.select(*keys), on=list(keys), how="inner")
+        .select(*target.columns)
+    )
+    inserts = (
+        actioned.filter(F.col("_action") != "delete")
+        .join(target.select(*keys), on=list(keys), how="left_anti")
+        .select(*target.columns)
+    )
+    return retained_target.unionByName(updates).unionByName(inserts)

@@ -113,3 +113,32 @@ def test_account_hash_multirow_snapshot_keeps_newest(spark):
     )
     rows = {r["Name"]: r["Hash"] for r in upsert_account_hash(snap).collect()}
     assert rows == {"acct1": "NEW"}
+
+
+def test_merge_full_three_branches(spark):
+    from schwab_elt_etl_pipeline_spark.operators.merge import merge_full
+
+    target = spark.createDataFrame(
+        [(1, "a", False), (2, "b", False), (3, "c", False)], "k long, v string, del boolean"
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "B", False),   # matched → update
+            (3, "c2", True),   # matched + delete condition → delete
+            (4, "d", False),   # not matched → insert
+            (5, "e", True),    # not matched + tombstone → NOT inserted
+        ],
+        "k long, v string, del boolean",
+    )
+    out = merge_full(source, target, keys=["k"], delete_condition=F.col("del"))
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {1: "a", 2: "B", 4: "d"}
+
+    # conditional update: only rows passing update_condition change
+    out2 = merge_full(
+        source, target, keys=["k"],
+        delete_condition=F.col("del"),
+        update_condition=F.col("v") == "NOPE",
+    )
+    rows2 = {r["k"]: r["v"] for r in out2.collect()}
+    assert rows2 == {1: "a", 2: "b", 4: "d"}  # 2 retained unchanged
