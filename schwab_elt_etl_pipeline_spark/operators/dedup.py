@@ -371,7 +371,10 @@ def connected_components(
             .agg(F.min("comp").alias("ncomp"))
         )
         hooked = labels.join(neigh, labels.node == neigh.s, "left").select(
-            "node", F.least("comp", F.coalesce("ncomp", F.col("comp"))).alias("comp")
+            "node",
+            F.least("comp", F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+            F.col("comp").alias("prev"),  # ride the old label along: the
+            # convergence probe below then needs no join back to `labels`
         )
         # pointer jump: comp is always itself a node, so chase one level
         ptr = hooked.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
@@ -380,17 +383,12 @@ def connected_components(
             .select(
                 "node",
                 F.least("comp", F.coalesce("p_comp", F.col("comp"))).alias("comp"),
+                "prev",
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter("n.comp <> o.comp")
-            .limit(1)
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter("comp <> prev").limit(1).count()
+        labels = jumped.select("node", "comp")
         if changed == 0:
             break
     return labels
