@@ -69,6 +69,8 @@ def test_no_python_udfs_in_relational_catalog(spark, sf_dir):
 
 #: Queries allowed to contain BroadcastNestedLoopJoin: each one broadcasts a
 #: provably tiny side (a 1-row scalar aggregate, or the ANN query vector set).
+#: (kept in sync with test_plan_shapes._BNLJ_OK — same invariant, the two
+#: sweeps inspect different plan stages: optimized here, executed there)
 _SANCTIONED_BNLJ = {
     "ann_cosine_topk",       # brute-force baseline: corpus × broadcast queries
     "ann_ivf_kmeans",        # centroid assignment: corpus × broadcast centroids
@@ -76,6 +78,10 @@ _SANCTIONED_BNLJ = {
     "kmeans_assign_fixed",   # E-step: corpus × broadcast centroid set (8 rows)
     "q11_important_suppliers",  # 1-row global-total broadcast
     "q22_global_avg_anti",   # 1-row scalar-average broadcast
+    "unigram_rarity",        # 1-row corpus-total broadcast
+    "tfidf_topk_keywords",   # 1-row doc-count broadcast
+    "event_funnel",          # 1-row base-population broadcast
+    "dq_expectations_orders",  # crossJoin of two 1-row check aggregates
 }
 
 

@@ -120,6 +120,7 @@ _BNLJ_OK = {
     "kmeans_assign_fixed",   # ≤16-row centroid table
     "q11_important_suppliers",  # 1-row global-threshold scalar
     "q22_global_avg_anti",   # 1-row global-average scalar
+    "dq_expectations_orders",  # crossJoin of two 1-row check aggregates
 }
 
 
