@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (minhash/simhash
-    signatures are xxhash64-based → rows-only checks by design)."""
+    """DuckDB-equivalent SQL for every SQL-expressible query. MinHash/SimHash
+    near-dup queries emit VERDICTS (verified pairs), so they oracle against
+    brute-force exact Jaccard; only sketch-valued outputs (HLL, approx
+    quantiles/top-k, trained-IVF ANN) remain rows-only by design."""
     return catalog.oracle_sql()
