@@ -111,6 +111,90 @@ FROM orders
 """
 
 
+def a_ols_trend_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of purchase values over time — slope and intercept
+    from EXACT decimal moment sums (n, Σx, Σx², Σy, Σxy), finished by one
+    IEEE division each.
+
+    ``regr_slope``-style streaming aggregates accumulate floating partials
+    whose combination order varies with parallelism; the decimal-moment form
+    is order-independent (the engine-wide exactness discipline,
+    ARCHITECTURE.md "Aggregation correctness at any parallelism"), so the
+    same query is bit-equal on 4 cores and 4000 — and hash-matches DuckDB.
+    One map-side-combinable aggregation; x is seconds since 2024-01-01 to
+    keep moments inside decimal(38) headroom.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # Determinism bounds: x is HOURS since 2024-01-01 (decimal(6,0)) and
+    # value is exactly 2-decimal data (decimal(12,2)), so every moment's
+    # SCALED integer stays far below 2^53 — each DECIMAL→DOUBLE cast is a
+    # single correct rounding of an exactly-held rational, identical across
+    # engines. (Second-granularity x pushes n·Σx² past 2^53, where the
+    # engines' decimal→double paths can disagree by an ulp.) The intercept
+    # is derived from the means and the already-cast slope — same IEEE
+    # expression both sides.
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        ((F.unix_timestamp("ts") - F.lit(1704067200)) / F.lit(3600))
+        .cast("long")
+        .alias("x"),
+        F.col("value").cast("decimal(12,2)").alias("y"),
+    )
+    m = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(6,0)") * F.col("x").cast("decimal(6,0)")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(6,0)") * F.col("y")).alias("sxy"),
+    )
+    n_d = F.col("n").cast("decimal(20,0)")
+    sx_d = F.col("sx").cast("decimal(20,0)")
+    den = (n_d * F.col("sxx") - sx_d * sx_d).cast("double")
+    num_s = (n_d * F.col("sxy") - sx_d * F.col("sy")).cast("double")
+    slope = num_s / den
+    intercept = (
+        F.col("sy").cast("double") / F.col("n").cast("double")
+        - slope * (F.col("sx").cast("double") / F.col("n").cast("double"))
+    )
+    ok = (F.col("n") >= 2) & (den != 0.0)
+    return m.select(
+        "user_id",
+        "n",
+        F.when(ok, slope).alias("slope"),
+        F.when(ok, intercept).alias("intercept"),
+    )
+
+
+A_OLS_SQL = """
+WITH pts AS (
+  SELECT user_id,
+         -- floor, not cast: Spark's unix_timestamp truncates sub-seconds,
+         -- DuckDB's BIGINT cast would round them; // floors the hour
+         (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200) // 3600 AS x,
+         CAST(value AS DECIMAL(12,2)) AS y
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(x) AS sx,
+         SUM(CAST(x AS DECIMAL(6,0)) * CAST(x AS DECIMAL(6,0))) AS sxx,
+         SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(6,0)) * y) AS sxy
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n,
+       CASE WHEN n >= 2 AND (n*sxx - sx*sx) <> 0
+            THEN CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+       END AS slope,
+       CASE WHEN n >= 2 AND (n*sxx - sx*sx) <> 0
+            THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+       END AS intercept
+FROM m
+"""
+
+
 def j11_merge_full_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-branch MERGE (update / delete / insert) over a derived target
     and source: target = orders with key % 4 ≠ 3, source = doubled-price
@@ -171,4 +255,6 @@ SPECS = [
               doc="add_months/last_day/quarter calendar intrinsics"),
     QuerySpec("j11_merge_full_delete", j11_merge_full_delete, J11_MERGE_FULL_SQL,
               doc="three-branch MERGE with delete tombstones"),
+    QuerySpec("a_ols_trend_exact", a_ols_trend_exact, A_OLS_SQL,
+              doc="per-group OLS slope/intercept from exact decimal moments"),
 ]
