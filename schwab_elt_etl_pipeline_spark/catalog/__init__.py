@@ -104,7 +104,7 @@ _FRONT = [
     "event_funnel", "retention_cohorts", "item_walk_counts", "decontam_fuzzy",
     "corpus_token_budget_mix", "dq_expectations_orders",
     "w_distribution_family", "a_grouping_sets", "t_calendar_arithmetic",
-    "j11_merge_full_delete", "a_ols_trend_exact",
+    "j11_merge_full_delete", "a_ols_trend_exact", "pagerank_fixed_point",
     # (a) new late in round 3 / never driver-checked
     "semantic_dedup_lsh",
     # (b) oracle upgraded rows-only → verdict-level SQL this round

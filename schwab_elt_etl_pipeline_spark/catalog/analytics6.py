@@ -428,6 +428,92 @@ FROM w1 JOIN w2 ON w1.src = w2.src JOIN w3 ON w1.src = w3.src
 """
 
 
+def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, damping 0.85) over the co-click item
+    graph — in FIXED-POINT integer arithmetic so the iteration is bit-exact
+    and oracle-checkable.
+
+    Ranks are scaled by 1e9 and every update is integer ops only:
+    ``r' = 0.15·1e9 + (85 · Σ_in (r div deg)) div 100``. Floating PageRank
+    accumulates partials whose combination order varies with parallelism;
+    the fixed-point form floors deterministically (bounded 1e-9-scale bias —
+    irrelevant for ranking) and hash-matches an unrolled-CTE DuckDB oracle.
+    Each iteration: one equi-join of edges to the rank table (node-keyed,
+    broadcastable at this vocabulary size) + one map-side-combinable sum —
+    the same shuffle shape GraphX/Pregel runs, expressed relationally. The
+    co-click graph is symmetric, so there are no dangling nodes to patch.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.from_json("props", "k INT")["k"].alias("item"))
+        .distinct()
+    )
+    other = clicks.select(F.col("user_id"), F.col("item").alias("dst"))
+    edges = (
+        clicks.join(other, "user_id")
+        .filter(F.col("item") != F.col("dst"))
+        .select(F.col("item").alias("src"), "dst")
+        .distinct()
+    )
+    nodes = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("src").alias("node"), "d"
+    )
+    r = nodes.withColumn("r", F.lit(1_000_000_000).cast("long"))
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                r.select(F.col("node").alias("p_node"), "d", "r"),
+                edges.src == F.col("p_node"),
+            )
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            "d",
+            (
+                F.lit(150_000_000)
+                + F.expr("85 * coalesce(s, 0L) div 100")
+            ).alias("r"),
+        )
+    return r.select("node", F.col("r").cast("bigint").alias("rank_fp"))
+
+
+PAGERANK_SQL = """
+WITH clicks AS (
+  SELECT DISTINCT user_id, CAST(props->>'$.k' AS INT) AS item
+  FROM events WHERE event_type = 'click'
+),
+edges AS (
+  SELECT DISTINCT a.item AS src, b.item AS dst
+  FROM clicks a JOIN clicks b USING (user_id) WHERE a.item <> b.item
+),
+nodes AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, d, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+r1 AS (
+  SELECT n.node, n.d, 150000000 + (85 * COALESCE(SUM(p.r // p.d), 0)) // 100 AS r
+  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r0 p ON p.node = e.src
+  GROUP BY n.node, n.d
+),
+r2 AS (
+  SELECT n.node, n.d, 150000000 + (85 * COALESCE(SUM(p.r // p.d), 0)) // 100 AS r
+  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r1 p ON p.node = e.src
+  GROUP BY n.node, n.d
+),
+r3 AS (
+  SELECT n.node, n.d, 150000000 + (85 * COALESCE(SUM(p.r // p.d), 0)) // 100 AS r
+  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r2 p ON p.node = e.src
+  GROUP BY n.node, n.d
+)
+SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+"""
+
+
 # ---------------------------------------------------------------------------
 # token-budget corpus mixing
 # ---------------------------------------------------------------------------
@@ -613,4 +699,6 @@ SPECS = [
               doc="per-source token-budget quota mixing"),
     QuerySpec("dq_expectations_orders", dq_expectations_orders, DQ_EXPECTATIONS_SQL,
               doc="unified expectations report: row rules + uniqueness + FK"),
+    QuerySpec("pagerank_fixed_point", pagerank_fixed_point, PAGERANK_SQL,
+              doc="bit-exact fixed-point PageRank, 3 power iterations"),
 ]
