@@ -83,82 +83,11 @@ def run_streaming_medallion(
     (docs/sql_server.md:511-520,553-575), so replays and late data never
     duplicate and a crashed batch resumes exactly-once-effective.
     """
-    import pyspark.sql.functions as F
-
-    from schwab_elt_etl_pipeline_spark.plans.gold import gold_scope
-    from schwab_elt_etl_pipeline_spark.plans.silver import parse_underlying
-
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        und = parse_underlying(batch)
-        has_und = not und.isEmpty()
-        if has_und:
-            underlying_table.insert_new(und, keys=["T"])
-        parsed = parse_quotes(batch)
-        has_parsed = not parsed.isEmpty()
-        if has_parsed:
-            if opt_table.exists():
-                opt_table.insert_new(
-                    build_opt(parsed, opt_table.read()), keys=["Strike", "CP", "Expiry"]
-                )
-            else:
-                opt_table.overwrite_versioned(build_opt(parsed))
-            optm_table.insert_new(
-                build_optm_increment(parsed, opt_table.read()), keys=["OPT_ID", "T"]
-            )
-
-        if not underlying_table.exists() or not optm_table.exists():
-            return  # Gold needs both marks and an $SPX strike range
-        # Gold reruns for every day this batch touched — via option ticks OR
-        # via underlying marks (a $SPX-only batch can complete a day whose
-        # option ticks arrived earlier; driving the loop off parsed alone
-        # would silently leave that day's VERT/VERT_TS unbuilt). ONE driver
-        # action computes the touched-day set (union of both projections);
-        # a second computes, for all touched days at once, each day's
-        # min mark time and whether both sides are present — replacing the
-        # former per-day isEmpty/agg round-trips in this hot loop.
-        sides = []
-        if has_und:
-            sides.append(und.select(F.to_date("T").alias("d")))
-        if has_parsed:
-            sides.append(parsed.select(F.to_date("T").alias("d")))
-        if not sides:
-            return
-        touched = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
-        days = sorted(r["d"] for r in touched.distinct().collect())
-        if not days:
-            return
-        opt_all = opt_table.read()
-        optm_all = optm_table.read()
-        und_all = underlying_table.read()
-        day_info = (
-            optm_all.withColumn("d", F.to_date("T"))
-            .filter(F.col("d").isin(days))
-            .groupBy("d")
-            .agg(F.min("T").alias("min_time"))
-            .join(und_all.select(F.to_date("T").alias("d")).distinct(), "d")
-            .collect()
-        )  # days missing either side drop out via the groupBy/semi-join
-        for r in sorted(day_info, key=lambda row: row["d"]):
-            day, min_time = r["d"], r["min_time"]
-            day_optm = optm_all.filter(F.to_date("T") == F.lit(day))
-            day_und = und_all.filter(F.to_date("T") == F.lit(day))
-            vert_prev = vert_table.read() if vert_table.exists() else None
-            ts_prev = vert_ts_table.read() if vert_ts_table.exists() else None
-            # gold_scope persists the day's diamond intermediates across the
-            # two writes below and releases them on exit — the hot loop never
-            # accumulates storage memory across micro-batches.
-            with gold_scope(
-                day_optm, opt_all, day_und, min_time=min_time, width=width,
-                opt_range=opt_range, vert=vert_prev, vert_ts=ts_prev,
-            ) as (vert_all, ts_all):
-                if vert_prev is None:
-                    vert_table.overwrite_versioned(vert_all)
-                else:
-                    vert_table.insert_new(vert_all, keys=["SID", "LID"])
-                if ts_prev is None:
-                    vert_ts_table.overwrite_versioned(ts_all)
-                else:
-                    vert_ts_table.insert_new(ts_all, keys=["VID", "T"])
+        apply_medallion_batch(
+            batch, opt_table, optm_table, underlying_table, vert_table,
+            vert_ts_table, width=width, opt_range=opt_range,
+        )
 
     writer = quotes_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -168,3 +97,98 @@ def run_streaming_medallion(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_medallion_batch(
+    batch: DataFrame,
+    opt_table: ParquetTable,
+    optm_table: ParquetTable,
+    underlying_table: ParquetTable,
+    vert_table: ParquetTable,
+    vert_ts_table: ParquetTable,
+    width: int = 5,
+    opt_range: int = 100,
+) -> None:
+    """One Bronze→Silver→Gold maintenance pass over a batch of raw ticks.
+
+    The SHARED batch unit: ``run_streaming_medallion`` calls this per
+    micro-batch, ``plans/backfill.py`` calls it per historical slice — one
+    definition of the medallion increment, so reprocessing and live
+    ingestion can never drift apart. All writes are insert-new/anti-join
+    keyed, so applying any slice twice is a no-op.
+    """
+    import pyspark.sql.functions as F
+
+    from schwab_elt_etl_pipeline_spark.plans.gold import gold_scope
+    from schwab_elt_etl_pipeline_spark.plans.silver import parse_underlying
+
+    und = parse_underlying(batch)
+    has_und = not und.isEmpty()
+    if has_und:
+        underlying_table.insert_new(und, keys=["T"])
+    parsed = parse_quotes(batch)
+    has_parsed = not parsed.isEmpty()
+    if has_parsed:
+        if opt_table.exists():
+            opt_table.insert_new(
+                build_opt(parsed, opt_table.read()), keys=["Strike", "CP", "Expiry"]
+            )
+        else:
+            opt_table.overwrite_versioned(build_opt(parsed))
+        optm_table.insert_new(
+            build_optm_increment(parsed, opt_table.read()), keys=["OPT_ID", "T"]
+        )
+
+    if not underlying_table.exists() or not optm_table.exists():
+        return  # Gold needs both marks and an $SPX strike range
+    # Gold reruns for every day this batch touched — via option ticks OR
+    # via underlying marks (a $SPX-only batch can complete a day whose
+    # option ticks arrived earlier; driving the loop off parsed alone
+    # would silently leave that day's VERT/VERT_TS unbuilt). ONE driver
+    # action computes the touched-day set (union of both projections);
+    # a second computes, for all touched days at once, each day's
+    # min mark time and whether both sides are present — replacing the
+    # former per-day isEmpty/agg round-trips in this hot loop.
+    sides = []
+    if has_und:
+        sides.append(und.select(F.to_date("T").alias("d")))
+    if has_parsed:
+        sides.append(parsed.select(F.to_date("T").alias("d")))
+    if not sides:
+        return
+    touched = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+    days = sorted(r["d"] for r in touched.distinct().collect())
+    if not days:
+        return
+    opt_all = opt_table.read()
+    optm_all = optm_table.read()
+    und_all = underlying_table.read()
+    day_info = (
+        optm_all.withColumn("d", F.to_date("T"))
+        .filter(F.col("d").isin(days))
+        .groupBy("d")
+        .agg(F.min("T").alias("min_time"))
+        .join(und_all.select(F.to_date("T").alias("d")).distinct(), "d")
+        .collect()
+    )  # days missing either side drop out via the groupBy/semi-join
+    for r in sorted(day_info, key=lambda row: row["d"]):
+        day, min_time = r["d"], r["min_time"]
+        day_optm = optm_all.filter(F.to_date("T") == F.lit(day))
+        day_und = und_all.filter(F.to_date("T") == F.lit(day))
+        vert_prev = vert_table.read() if vert_table.exists() else None
+        ts_prev = vert_ts_table.read() if vert_ts_table.exists() else None
+        # gold_scope persists the day's diamond intermediates across the
+        # two writes below and releases them on exit — the hot loop never
+        # accumulates storage memory across micro-batches.
+        with gold_scope(
+            day_optm, opt_all, day_und, min_time=min_time, width=width,
+            opt_range=opt_range, vert=vert_prev, vert_ts=ts_prev,
+        ) as (vert_all, ts_all):
+            if vert_prev is None:
+                vert_table.overwrite_versioned(vert_all)
+            else:
+                vert_table.insert_new(vert_all, keys=["SID", "LID"])
+            if ts_prev is None:
+                vert_ts_table.overwrite_versioned(ts_all)
+            else:
+                vert_ts_table.insert_new(ts_all, keys=["VID", "T"])
