@@ -8,6 +8,7 @@ from schwab_elt_etl_pipeline_spark.streaming.corpus import (
     update_minhash_index,
     write_curated_stream,
 )
+from schwab_elt_etl_pipeline_spark.streaming.monitor import ProgressRecorder
 from schwab_elt_etl_pipeline_spark.streaming.quotes import (
     dedup_stream,
     latest_per_key,
@@ -21,6 +22,7 @@ __all__ = [
     "curate_stream",
     "dedup_stream",
     "latest_per_key",
+    "ProgressRecorder",
     "read_document_stream",
     "read_quote_stream",
     "tick_sessions",

@@ -1,0 +1,94 @@
+"""Streaming observability: per-micro-batch progress metrics as a table.
+
+The reference scatters operational visibility across log files and a Redis
+freshness cache (tools/logger.py, tools/redis_cache.py); the engine's
+equivalent is a ``StreamingQueryListener`` that captures every micro-batch's
+progress event (rows, duration, per-source offsets, state-store size) and
+exposes it as a DataFrame / warehouse table — queryable with the same engine
+(lag dashboards, throughput regressions, state-growth alerts are then just
+catalog-style queries over ``stream_progress``).
+
+Driver-side cost: progress events are kilobyte-scale JSON at trigger
+cadence — bounded by ``max_events`` (ring buffer), never by stream volume.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import deque
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+#: Typed schema for the flattened progress record.
+PROGRESS_SCHEMA = (
+    "query_id STRING, run_id STRING, batch_id BIGINT, ts STRING, "
+    "num_input_rows BIGINT, input_rows_per_second DOUBLE, "
+    "process_rows_per_second DOUBLE, batch_duration_ms BIGINT, "
+    "state_rows BIGINT, state_bytes BIGINT, sources STRING"
+)
+
+
+class ProgressRecorder(StreamingQueryListener):
+    """Ring-buffer recorder of micro-batch progress across all queries on
+    the session. Attach with ``spark.streams.addListener(rec)``; flatten
+    with :meth:`to_df`; persist with :meth:`flush_to`."""
+
+    def __init__(self, max_events: int = 10_000):
+        self._events: deque[dict] = deque(maxlen=max_events)
+
+    # -- listener callbacks (called on the driver's listener bus) ----------
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = json.loads(event.progress.json)
+        durations = p.get("durationMs") or {}
+        state = (p.get("stateOperators") or [{}])[0]
+        self._events.append(
+            {
+                "query_id": p.get("id"),
+                "run_id": p.get("runId"),
+                "batch_id": p.get("batchId"),
+                "ts": p.get("timestamp"),
+                "num_input_rows": p.get("numInputRows", 0),
+                "input_rows_per_second": float(p.get("inputRowsPerSecond") or 0.0),
+                "process_rows_per_second": float(
+                    p.get("processedRowsPerSecond") or 0.0
+                ),
+                "batch_duration_ms": durations.get("triggerExecution", 0),
+                "state_rows": state.get("numRowsTotal", 0),
+                "state_bytes": state.get("memoryUsedBytes", 0),
+                "sources": json.dumps(
+                    [s.get("description") for s in p.get("sources") or []]
+                ),
+            }
+        )
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    # -- consumption --------------------------------------------------------
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """The recorded progress as a typed DataFrame (empty-safe)."""
+        return spark.createDataFrame(list(self._events), PROGRESS_SCHEMA)
+
+    def flush_to(self, table) -> int:
+        """Append the buffered events to a warehouse table and clear the
+        buffer. Returns the number of events flushed. ``table`` is a
+        ``ParquetTable``; events are keyed (run_id, batch_id) so a re-flush
+        after a crash inserts nothing twice."""
+        events = list(self._events)
+        if not events:
+            return 0
+        spark = SparkSession.getActiveSession()
+        df = spark.createDataFrame(events, PROGRESS_SCHEMA)
+        if table.exists():
+            table.insert_new(df, keys=["run_id", "batch_id"])
+        else:
+            table.overwrite_versioned(df)
+        self._events.clear()
+        return len(events)

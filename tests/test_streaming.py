@@ -340,3 +340,43 @@ def test_tick_sessions_batch_and_stream(spark):
     finally:
         for d in (src, ckpt, sink):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_progress_recorder_captures_batches(spark, tick_rows):
+    """StreamingQueryListener observability: per-batch progress lands in the
+    recorder, flattens to a typed DataFrame, and flushes idempotently."""
+    import time
+
+    from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
+    from schwab_elt_etl_pipeline_spark.streaming.monitor import ProgressRecorder
+
+    src = tempfile.mkdtemp(prefix="mon_src_")
+    sink = tempfile.mkdtemp(prefix="mon_sink_")
+    ckpt = tempfile.mkdtemp(prefix="mon_ckpt_")
+    wh = tempfile.mkdtemp(prefix="mon_wh_")
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        spark.createDataFrame(tick_rows, QUOTES_STREAM).write.mode("append").parquet(src)
+        q = write_bronze_stream(read_quote_stream(spark, src), sink, ckpt)
+        q.awaitTermination(120)
+        # listener bus is async: wait briefly for progress delivery
+        for _ in range(40):
+            if rec.to_df(spark).count() > 0:
+                break
+            time.sleep(0.25)
+        prog = rec.to_df(spark)
+        rows = prog.collect()
+        assert rows, "no progress events captured"
+        assert sum(r["num_input_rows"] for r in rows) == len(tick_rows)
+        assert all(r["batch_duration_ms"] >= 0 for r in rows)
+
+        t = ParquetTable(spark, f"{wh}/progress")
+        n = rec.flush_to(t)
+        assert n == len(rows)
+        assert t.read().count() == n
+        assert rec.flush_to(t) == 0  # buffer cleared; second flush is a no-op
+    finally:
+        spark.streams.removeListener(rec)
+        for d in (src, sink, ckpt, wh):
+            shutil.rmtree(d, ignore_errors=True)
