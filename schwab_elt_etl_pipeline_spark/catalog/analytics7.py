@@ -111,6 +111,84 @@ FROM orders
 """
 
 
+def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per customer, revenue over the trailing 90 DAYS
+    of orders (value-based frame — peers by date distance, not row count;
+    rowsBetween cannot express this when order cadence varies).
+
+    One window exchange on o_custkey; the frame bound is an integer day
+    ordinal so Spark's rangeBetween and DuckDB's RANGE BETWEEN agree
+    exactly; the sum is exact decimal cast to double at output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("day_ord"))
+        .rangeBetween(-90, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            day.alias("day_ord"),
+            F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        )
+        .withColumn("rev_90d", F.sum("price").over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "day_ord", "rev_90d")
+    )
+
+
+W_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey, day_ord,
+       CAST(SUM(price) OVER (
+         PARTITION BY o_custkey ORDER BY day_ord
+         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rev_90d
+FROM (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_ord,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS price
+  FROM orders
+)
+"""
+
+
+def a_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: lineitem grouped by l_returnflag (three
+    hot keys — the worst-case skew shape at 100 TB) through the two-phase
+    salted aggregation (operators/skew.py), oracle-checked against the
+    plain GROUP BY. Exact decimal partials make the result independent of
+    the random salt assignment, which is what lets a salted plan be
+    verified by value, not just by shape."""
+    from schwab_elt_etl_pipeline_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "_s": F.sum(F.col("l_extendedprice").cast("decimal(18,4)")),
+            "_c": F.count(F.lit(1)),
+        },
+        {"revenue": F.sum("_s"), "n_items": F.sum("_c")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("n_items").cast("bigint").alias("n_items"),
+    )
+
+
+A_SALTED_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def a_ols_trend_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS trend of purchase values over time — slope and intercept
     from EXACT decimal moment sums (n, Σx, Σx², Σy, Σxy), finished by one
@@ -257,4 +335,8 @@ SPECS = [
               doc="three-branch MERGE with delete tombstones"),
     QuerySpec("a_ols_trend_exact", a_ols_trend_exact, A_OLS_SQL,
               doc="per-group OLS slope/intercept from exact decimal moments"),
+    QuerySpec("w_range_frame", w_range_frame, W_RANGE_FRAME_SQL,
+              doc="trailing-90-day RANGE window frame"),
+    QuerySpec("a_salted_hot_keys", a_salted_hot_keys, A_SALTED_SQL,
+              doc="two-phase salted aggregation vs plain GROUP BY oracle"),
 ]
