@@ -5,6 +5,7 @@ with TTL, freshness monitoring with a 2-strike alert."""
 from schwab_elt_etl_pipeline_spark.streaming.corpus import (
     curate_stream,
     read_document_stream,
+    update_ann_index,
     update_minhash_index,
     write_curated_stream,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "read_document_stream",
     "read_quote_stream",
     "tick_sessions",
+    "update_ann_index",
     "update_minhash_index",
     "windowed_candles",
     "write_bronze_stream",

@@ -175,3 +175,64 @@ def update_minhash_index(
         F.col("id").alias("index_id"),
         F.lit(0.0).alias("est_jaccard"),
     ).limit(0)
+
+
+def update_ann_index(
+    batch: DataFrame,
+    index: ParquetTable,
+    bits: int = 6,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incrementally maintain a sign-LSH ANN index over an embedding stream
+    and return the batch's top-k nearest indexed neighbors.
+
+    The embedding twin of :func:`update_minhash_index`: per call, (1) bucket
+    only the batch's vectors (sign-LSH — deterministic, no training step to
+    go stale); (2) candidates = batch ⋈ index on the bucket id, scored by
+    exact cosine, top-k per batch vector (window with (cos desc, id) order —
+    deterministic); (3) append the batch to the index, insert_new on the
+    vector id so replays add nothing. O(batch × cell occupancy) per call,
+    never O(corpus). At 100 TB the index table is cluster_by=("bucket",) so
+    the probe prunes to the touched cells' files.
+    """
+    from pyspark.sql.window import Window
+
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        as_double,
+        cosine,
+        sign_bucket,
+    )
+
+    signed = batch.select(
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("vec"),
+    ).withColumn("bucket", sign_bucket(F.col("vec"), bits)).localCheckpoint(eager=True)
+    if not index.exists():
+        index.overwrite_versioned(signed)
+        return signed.select(
+            F.col("id").alias("batch_id"),
+            F.col("id").alias("index_id"),
+            F.lit(0.0).alias("cos"),
+        ).limit(0)
+    idx = index.read()
+    w = Window.partitionBy("batch_id").orderBy(F.col("cos").desc(), F.col("index_id"))
+    cands = (
+        signed.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("batch_id"),
+            F.col("b.id").alias("index_id"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+    index.insert_new(signed, keys=["id"])
+    return cands

@@ -111,3 +111,38 @@ def test_incremental_minhash_index(spark, dirs):
     assert index.read().count() == n_rows  # insert_new on (id, band) is idempotent
     ids = {r["id"] for r in index.read().select("id").distinct().collect()}
     assert ids == {1, 2, 11, 12}
+
+
+def test_incremental_ann_index(spark, dirs):
+    import numpy as np
+
+    _, _, idx_dir = dirs
+    index = ParquetTable(spark, idx_dir + "_ann")
+    rng = np.random.default_rng(11)
+
+    def emb_rows(ids, base):
+        return [
+            (int(i), [float(x) for x in (base + 0.01 * rng.standard_normal(8))])
+            for i in ids
+        ]
+
+    base_a = rng.standard_normal(8)
+    base_b = -base_a  # opposite orthant → different sign bucket
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_ann_index
+
+    b1 = spark.createDataFrame(emb_rows([1, 2], base_a) + emb_rows([3], base_b), schema)
+    assert update_ann_index(b1, index).count() == 0  # seeds the index
+
+    # batch 2: vector near cluster A must retrieve ids 1/2, not 3
+    b2 = spark.createDataFrame(emb_rows([10], base_a), schema)
+    out = update_ann_index(b2, index).collect()
+    got = {r["index_id"] for r in out}
+    assert got and got <= {1, 2}
+    assert all(r["cos"] > 0.9 for r in out)
+
+    # replay: index unchanged, same neighbors
+    n = index.read().count()
+    out2 = update_ann_index(b2, index).collect()
+    assert index.read().count() == n
+    assert {r["index_id"] for r in out2} == got
