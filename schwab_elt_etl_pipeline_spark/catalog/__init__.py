@@ -105,7 +105,7 @@ _FRONT = [
     "corpus_token_budget_mix", "dq_expectations_orders",
     "w_distribution_family", "a_grouping_sets", "t_calendar_arithmetic",
     "j11_merge_full_delete", "a_ols_trend_exact", "pagerank_fixed_point",
-    "w_range_frame", "a_salted_hot_keys",
+    "w_range_frame", "a_salted_hot_keys", "set_intersect_except",
     # (a) new late in round 3 / never driver-checked
     "semantic_dedup_lsh",
     # (b) oracle upgraded rows-only → verdict-level SQL this round

@@ -700,5 +700,6 @@ SPECS = [
     QuerySpec("dq_expectations_orders", dq_expectations_orders, DQ_EXPECTATIONS_SQL,
               doc="unified expectations report: row rules + uniqueness + FK"),
     QuerySpec("pagerank_fixed_point", pagerank_fixed_point, PAGERANK_SQL,
+              headline=True,
               doc="bit-exact fixed-point PageRank, 3 power iterations"),
 ]

@@ -324,6 +324,35 @@ WHERE a <> 'delete' AND tgt.o_orderkey IS NULL
 """
 
 
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit INTERSECT / EXCEPT set operators (§2.7 beyond the anti-join
+    form): customers with both an open ('O') and a finished ('F') order,
+    minus customers who ever placed a 'P' order — intersect + except over
+    key projections, each a distinct-combining shuffle on the key.
+
+    (`intersect`/`exceptAll` map to Catalyst's INTERSECT/EXCEPT DISTINCT
+    nodes, planned as aggregating joins — no row-at-a-time set logic.)
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    pend_c = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return open_c.intersect(done_c).exceptAll(pend_c.distinct()).select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+SET_INTERSECT_EXCEPT_SQL = """
+SELECT o_custkey AS custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
 SPECS = [
     QuerySpec("w_distribution_family", w_distribution_family, W_DISTRIBUTION_SQL,
               doc="ntile/percent_rank/cume_dist distribution windows"),
@@ -339,4 +368,6 @@ SPECS = [
               doc="trailing-90-day RANGE window frame"),
     QuerySpec("a_salted_hot_keys", a_salted_hot_keys, A_SALTED_SQL,
               doc="two-phase salted aggregation vs plain GROUP BY oracle"),
+    QuerySpec("set_intersect_except", set_intersect_except, SET_INTERSECT_EXCEPT_SQL,
+              doc="INTERSECT + EXCEPT set operators"),
 ]

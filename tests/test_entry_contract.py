@@ -45,3 +45,30 @@ def test_every_oracle_parses_in_duckdb(sf_dir):
                 pytest.fail(f"{name}: oracle SQL failed to bind: {exc}")
     finally:
         con.close()
+
+
+def test_coverage_doc_references_resolve():
+    """Every catalog-query name claimed in COVERAGE.md's gating column (the
+    LAST cell of a table row) must exist in the registry — guards doc drift
+    as the surface grows. Test names and function refs are exempt."""
+    import re
+
+    from schwab_elt_etl_pipeline_spark.catalog import all_specs
+
+    names = {s.name for s in all_specs()}
+    missing = set()
+    for line in open("COVERAGE.md").read().splitlines():
+        if not line.startswith("|"):
+            continue
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        if len(cells) < 2:
+            continue
+        last = cells[-1]
+        m = re.fullmatch(r"`([a-z][a-z0-9_]{3,40})`(?:\s*\(.*\))?", last)
+        if not m:
+            continue
+        ref = m.group(1)
+        if ref.startswith("test_") or ref in names:
+            continue
+        missing.add(ref)
+    assert not missing, f"COVERAGE.md gating column references unknown catalog queries: {sorted(missing)}"
