@@ -197,3 +197,36 @@ def test_gapfill_locf_off_grid_observations(spark):
         base + dt.timedelta(minutes=4): 12.0,
     }
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    tgt_keys=st.lists(st.integers(min_value=0, max_value=12), min_size=0, max_size=15, unique=True),
+    src=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),   # key
+            st.booleans(),                             # delete tombstone
+        ),
+        min_size=0, max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_full_matches_reference_model(spark, tgt_keys, src):
+    """merge_full vs a dict-based reference MERGE: update on match, delete on
+    tombstone, insert on no-match (tombstoned non-matches dropped)."""
+    from schwab_elt_etl_pipeline_spark.operators.merge import merge_full
+
+    schema = "k long, v string, del boolean"
+    target = spark.createDataFrame([(k, f"t{k}", False) for k in tgt_keys], schema)
+    source = spark.createDataFrame([(k, f"s{k}", d) for k, d in src], schema)
+
+    expected = {k: f"t{k}" for k in tgt_keys}
+    for k, d in src:
+        if d:
+            expected.pop(k, None)          # matched → delete; unmatched → skip
+        else:
+            expected[k] = f"s{k}"          # matched → update; unmatched → insert
+
+    out = merge_full(source, target, keys=["k"], delete_condition=F.col("del"))
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == expected
