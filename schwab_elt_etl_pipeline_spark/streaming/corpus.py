@@ -184,6 +184,7 @@ def update_ann_index(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Incrementally maintain a sign-LSH ANN index over an embedding stream
     and return the batch's top-k nearest indexed neighbors.
@@ -196,6 +197,11 @@ def update_ann_index(
     vector id so replays add nothing. O(batch × cell occupancy) per call,
     never O(corpus). At 100 TB the index table is cluster_by=("bucket",) so
     the probe prunes to the touched cells' files.
+
+    ``multi_probe=True`` additionally probes every bucket at Hamming
+    distance 1 (flip each sign bit) — the standard sign-LSH recall lever for
+    vectors near a hyperplane boundary, at (bits+1)× probe cost. The probe
+    set is a per-row explode, so it scales with the batch, not the index.
     """
     from pyspark.sql.window import Window
 
@@ -217,9 +223,19 @@ def update_ann_index(
             F.lit(0.0).alias("cos"),
         ).limit(0)
     idx = index.read()
+    probes = signed
+    if multi_probe:
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(bits)
+            ],
+        )
+        probes = signed.withColumn("bucket", F.explode(flips))
     w = Window.partitionBy("batch_id").orderBy(F.col("cos").desc(), F.col("index_id"))
     cands = (
-        signed.alias("a")
+        probes.alias("a")
         .join(
             idx.alias("b"),
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -230,6 +246,8 @@ def update_ann_index(
             F.col("b.id").alias("index_id"),
             F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
         )
+        # multi-probe can reach the same index row via two buckets
+        .dropDuplicates(["batch_id", "index_id"])
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .drop("rk")

@@ -146,3 +146,36 @@ def test_incremental_ann_index(spark, dirs):
     out2 = update_ann_index(b2, index).collect()
     assert index.read().count() == n
     assert {r["index_id"] for r in out2} == got
+
+
+def test_ann_index_multi_probe_superset(spark, dirs):
+    """Hamming-1 multi-probe must retrieve a superset of single-probe
+    neighbors (same index, same query batch)."""
+    import numpy as np
+
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_ann_index
+
+    idx_dir = dirs[0] + "_mp"
+    index = ParquetTable(spark, idx_dir)
+    rng = np.random.default_rng(5)
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    seed_rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(40)
+    ]
+    update_ann_index(spark.createDataFrame(seed_rows, schema), index)
+
+    probe = spark.createDataFrame(
+        [(100, [float(x) for x in rng.standard_normal(8)])], schema
+    )
+    single = {
+        r["index_id"]
+        for r in update_ann_index(probe, index, k=50).collect()
+    }
+    # re-probing: the probe vector itself is now indexed; exclude it
+    multi = {
+        r["index_id"]
+        for r in update_ann_index(probe, index, k=50, multi_probe=True).collect()
+        if r["index_id"] != 100
+    }
+    assert single - {100} <= multi
+    assert len(multi) >= len(single - {100})
