@@ -110,6 +110,8 @@ _FRONT = [
     "semantic_dedup_lsh",
     # (b) oracle upgraded rows-only → verdict-level SQL this round
     "minhash_lsh_neardup", "simhash_neardup",
+    "a_approx_distinct", "a_approx_quantiles", "a_heavy_hitters_sketch",
+    "a_hll_partitioned_merge", "ann_ivf_kmeans",
     # (c) last green in round 1
     "j8_merge_upsert", "j10_join_aggregate", "a1_dedup_distinct",
     "a2_distinct_entities", "j9_batch_dedup", "p9_content_filter",

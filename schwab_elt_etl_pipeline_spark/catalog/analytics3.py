@@ -70,14 +70,42 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ sketch counting — the 100 TB path (one pass, fixed
-    memory, no distinct shuffle). Sketch values are engine-specific →
-    rows-only check; the exact twin above is the oracle-checked baseline."""
+    """HyperLogLog++ sketch counting, certified at verdict level.
+
+    The sketch estimate itself is engine-specific, so the emitted row is the
+    SQL-expressible certificate: the exact distinct counts (anchoring the
+    grouping + distinct semantics to the oracle) plus per-column verdicts
+    that the one-pass HLL++ estimate (rsd=0.02) landed within 8% of exact
+    (4σ — the sketch's own guarantee is 2%). At 100 TB you run ONLY the
+    approx aggregate (no distinct shuffle, fixed memory); this query is the
+    certification harness that pins its error."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supps_approx"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.countDistinct("l_suppkey").alias("n_supps_exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_pa"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("_sa"),
     )
+    tol = 0.08
+    return agg.select(
+        "l_returnflag",
+        "n_parts_exact",
+        "n_supps_exact",
+        (F.abs(F.col("_pa") - F.col("n_parts_exact"))
+         <= tol * F.col("n_parts_exact")).alias("parts_within_tol"),
+        (F.abs(F.col("_sa") - F.col("n_supps_exact"))
+         <= tol * F.col("n_supps_exact")).alias("supps_within_tol"),
+    )
+
+
+A_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts_exact,
+       COUNT(DISTINCT l_suppkey) AS n_supps_exact,
+       TRUE AS parts_within_tol,
+       TRUE AS supps_within_tol
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def t_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,8 +275,8 @@ SPECS = [
               doc="session-window aggregation (30-min gap)"),
     QuerySpec("a_count_distinct", a_count_distinct, A_COUNT_DISTINCT_SQL,
               doc="exact distinct counts per group"),
-    QuerySpec("a_approx_distinct", a_approx_distinct, None,
-              doc="HLL++ sketch counts (rows-only; engine-specific values)"),
+    QuerySpec("a_approx_distinct", a_approx_distinct, A_APPROX_DISTINCT_SQL,
+              doc="HLL++ certified: exact anchors + within-tolerance verdicts"),
     QuerySpec("t_asof_enrich", t_asof_enrich, T_ASOF_SQL,
               doc="as-of join via union + LOCF window"),
 ]

@@ -580,30 +580,60 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
-# Approximate quantiles (sketch; no SQL oracle — accuracy pinned in tests)
+# Approximate quantiles (sketch), certified at verdict level
 # --------------------------------------------------------------------------
 
 
 def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (KLL-style mergeable sketch) per event_type — the
+    """approx_percentile (mergeable quantile sketch) per event_type — the
     scale path for quantiles: one pass, map-side mergeable partial sketches,
     error bounded by 1/accuracy in RANK (not value), vs the exact
-    percentile's full sort. Cross-engine sketch internals differ, so this is
-    a rows-only check; tests/test_sketch_accuracy.py pins the rank error
-    against the exact quantiles."""
+    percentile's full sort.
+
+    Sketch outputs are engine-specific, so the emitted row is the
+    SQL-expressible certificate: the exact interpolated quantiles (anchoring
+    grouping + percentile semantics to the oracle) plus per-quantile
+    verdicts that each sketch value landed inside the exact rank window
+    [p−0.01, p+0.01] — 100× looser than the sketch's own 1e-4 rank
+    guarantee at accuracy=10000, so the verdict is deterministic while still
+    pinning the estimate to its rank neighborhood."""
     ev = load_table(spark, sf_dir, "events")
-    q = F.expr(
-        "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
-    ).alias("qs")
-    return ev.groupBy("event_type").agg(
-        q, F.count(F.lit(1)).alias("n")
-    ).select(
-        "event_type",
-        F.col("qs")[0].alias("p50"),
-        F.col("qs")[1].alias("p90"),
-        F.col("qs")[2].alias("p99"),
-        "n",
+    agg = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("_aq"),
+        F.expr(
+            "percentile(value, array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91, 0.98, 0.99, 1.0))"
+        ).alias("_eq"),
+        F.count(F.lit(1)).alias("n"),
     )
+
+    def ok(i_approx: int, lo: int, hi: int):
+        return (F.col("_aq")[i_approx] >= F.col("_eq")[lo] - 1e-9) & (
+            F.col("_aq")[i_approx] <= F.col("_eq")[hi] + 1e-9
+        )
+
+    return agg.select(
+        "event_type",
+        F.round(F.col("_eq")[1], 6).alias("exact_p50"),
+        F.round(F.col("_eq")[4], 6).alias("exact_p90"),
+        F.round(F.col("_eq")[7], 6).alias("exact_p99"),
+        "n",
+        ok(0, 0, 2).alias("p50_in_window"),
+        ok(1, 3, 5).alias("p90_in_window"),
+        ok(2, 6, 8).alias("p99_in_window"),
+    )
+
+
+A_APPROX_QUANTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS exact_p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS exact_p99,
+       COUNT(*) AS n,
+       TRUE AS p50_in_window,
+       TRUE AS p90_in_window,
+       TRUE AS p99_in_window
+FROM events GROUP BY event_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -757,8 +787,8 @@ SPECS = [
               doc="deterministic hash-mod sampling"),
     QuerySpec("w_rank_family", w_rank_family, W_RANK_SQL,
               doc="ntile/percent_rank/cume_dist with deterministic tiebreak"),
-    QuerySpec("a_approx_quantiles", a_approx_quantiles, None,
-              doc="approx_percentile sketch (mergeable; accuracy pinned in tests)"),
+    QuerySpec("a_approx_quantiles", a_approx_quantiles, A_APPROX_QUANTILES_SQL,
+              doc="quantile sketch certified: exact anchors + rank-window verdicts"),
     QuerySpec("a_collect_sorted", a_collect_sorted, A_COLLECT_SQL,
               doc="ordered string aggregation (sorted collect_set)"),
     QuerySpec("p_unpivot_candles", p_unpivot_candles, P_UNPIVOT_SQL,

@@ -137,57 +137,122 @@ GROUP BY 1, 2
 
 
 def a_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-counting: per-(event_type, day) HLL sketches
-    (Apache DataSketches) UNION-merged to a per-type distinct-user estimate.
+    """Mergeable distinct-counting, certified at verdict level.
 
-    THE incremental pattern for distinct metrics at 100 TB: daily partitions
+    Per-(event_type, day) HLL sketches (Apache DataSketches, lgK=12 →
+    rsd ≈ 1.6%) UNION-merged to a per-type distinct-user estimate — THE
+    incremental pattern for distinct metrics at 100 TB: daily partitions
     each keep a kilobyte sketch; any rollup (weekly, global, ad-hoc window)
-    is a cheap sketch union — raw data is never rescanned. Rows-only check
-    (sketch internals are engine-specific); the estimate's relative error vs
-    exact is gated in tests/test_sketch_accuracy.py."""
+    is a cheap sketch union, raw data is never rescanned.
+
+    Sketch internals are engine-specific, so the emitted row is the
+    SQL-expressible certificate: exact distinct users + daily-partition
+    count (anchors the partitioned-merge semantics) and a verdict that the
+    merged estimate landed within 8% (5σ) of exact."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
-    ).agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    ).agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
+        F.countDistinct("user_id").alias("_daily_exact"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_approx"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"),
-            F.count(F.lit(1)).alias("n_daily_sketches"),
-        )
+        exact.join(merged, "event_type")
         .select(
             "event_type",
-            F.col("approx_users").cast("long").alias("approx_users"),
+            "exact_users",
             "n_daily_sketches",
+            (F.abs(F.col("_approx") - F.col("exact_users"))
+             <= 0.08 * F.col("exact_users")).alias("within_tol"),
         )
     )
 
 
+A_HLL_MERGE_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_daily_sketches,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
+"""
+
+
+# Heavy-hitter certification parameters. Threshold freq ≥ total/200 (0.5%)
+# against a frequent-items sketch tracking 65536 counters: the sketch's
+# additive error is ≤ ~3.5/65536 · N ≈ 5e-5 · N, two orders below the
+# threshold, so (a) every true-heavy token is guaranteed inside the sketch
+# top-256 (≤ ~205 tokens can sit above threshold − 2ε) and (b) its estimate
+# sits within 0.05% · N of exact. Both are emitted as verdicts.
+_HH_DEN = 200
+_HH_K = 256
+
+
 def a_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketched heavy hitters: approx_top_k over corpus tokens — the
-    bounded-memory path for frequent-item mining (vs token_vocab_topk's
-    exact shuffle). Rows-only check; precision vs the exact top-k is gated
-    in tests/test_sketch_accuracy.py."""
+    """Sketched heavy hitters, certified at verdict level.
+
+    ``approx_top_k`` over corpus tokens is the bounded-memory path for
+    frequent-item mining (vs token_vocab_topk's exact shuffle). The emitted
+    rows are the exact heavy hitters (freq ≥ 0.5% of all tokens — exact
+    counts anchor tokenization + thresholding to the oracle) with verdicts
+    that the sketch (a) surfaced the token in its top-256 and (b) estimated
+    its count within 0.05% · N (the sketch's own error bound at 65536
+    tracked counters; see module constants)."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     toks = docs.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
     )
-    return (
-        toks.agg(F.expr("approx_top_k(token, 50, 65536)").alias("tk"))
-        .select(F.explode("tk").alias("e"))
-        .select(F.col("e.item").alias("token"), F.col("e.count").alias("freq"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_freq"))
+    tot = freq.agg(F.sum("exact_freq").alias("_total"))
+    heavy = (
+        freq.join(F.broadcast(tot))
+        .filter(F.col("exact_freq") * _HH_DEN >= F.col("_total"))
     )
+    sketch = (
+        toks.agg(F.expr(f"approx_top_k(token, {_HH_K}, 65536)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("token"), F.col("e.count").alias("_est"))
+    )
+    return (
+        heavy.join(F.broadcast(sketch), "token", "left")
+        .select(
+            "token",
+            "exact_freq",
+            F.col("_est").isNotNull().alias("in_sketch_topk"),
+            (F.abs(F.coalesce(F.col("_est"), F.lit(0)) - F.col("exact_freq")) * 2000
+             <= F.col("_total")).alias("est_within_tol"),
+        )
+    )
+
+
+A_HEAVY_HITTERS_SQL = rf"""
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS token FROM documents
+), freq AS (
+  SELECT token, COUNT(*) AS exact_freq FROM toks GROUP BY token
+), tot AS (
+  SELECT SUM(exact_freq) AS total FROM freq
+)
+SELECT token, exact_freq, TRUE AS in_sketch_topk, TRUE AS est_within_tol
+FROM freq, tot WHERE exact_freq * {_HH_DEN} >= total
+"""
 
 
 SPECS = [
     QuerySpec("a_mad_robust", a_mad_robust, A_MAD_SQL,
               doc="grouped median + MAD (robust scale statistic)"),
-    QuerySpec("a_hll_partitioned_merge", a_hll_partitioned_merge, None,
-              doc="per-day HLL sketches union-merged to distinct counts (rows-only)"),
-    QuerySpec("a_heavy_hitters_sketch", a_heavy_hitters_sketch, None,
-              doc="approx_top_k heavy hitters over corpus tokens (rows-only)"),
+    QuerySpec("a_hll_partitioned_merge", a_hll_partitioned_merge, A_HLL_MERGE_SQL,
+              doc="per-day HLL sketch union certified: exact anchors + tolerance verdict"),
+    QuerySpec("a_heavy_hitters_sketch", a_heavy_hitters_sketch, A_HEAVY_HITTERS_SQL,
+              doc="frequent-items sketch certified: exact heavy set + error verdicts"),
     QuerySpec("a_histogram_binned", a_histogram_binned, A_HISTOGRAM_SQL,
               doc="two-pass equi-width histogram per group"),
     QuerySpec("t_vwap_weighted", t_vwap_weighted, T_VWAP_SQL,

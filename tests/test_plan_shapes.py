@@ -121,6 +121,7 @@ _BNLJ_OK = {
     "q11_important_suppliers",  # 1-row global-threshold scalar
     "q22_global_avg_anti",   # 1-row global-average scalar
     "dq_expectations_orders",  # crossJoin of two 1-row check aggregates
+    "a_heavy_hitters_sketch",  # 1-row token-total scalar + 1-row sketch list
 }
 
 

@@ -1,8 +1,16 @@
-"""Accuracy gates for sketch operators (no SQL oracle possible — sketch
-internals are engine-specific, so correctness is a bounded-error property
-against the exact answer, same pattern as test_minhash_accuracy)."""
+"""Accuracy gates for sketch operators.
+
+The catalog queries now emit verdict-level certificates (exact anchors +
+within-tolerance booleans, the same pattern as the MinHash/SimHash verified
+pairs), so these tests assert (a) every verdict is TRUE on real data and
+(b) the exact anchors agree with an independently computed exact answer —
+i.e. the certificate itself is checked against ground truth, not just
+trusted.
+"""
 
 from __future__ import annotations
+
+import bisect
 
 from pyspark.sql import functions as F
 
@@ -10,61 +18,80 @@ from schwab_elt_etl_pipeline_spark.catalog.analytics4 import a_approx_quantiles
 from schwab_elt_etl_pipeline_spark.sources import load_table
 
 
-def test_approx_quantiles_rank_error(spark, sf_dir):
-    """approx_percentile(…, 10000) guarantees rank error ≤ n/10000 ≈ exact at
-    test scale; assert the sketch answer's true rank is within 1 % of the
-    requested quantile for every event_type."""
-    approx = {r["event_type"]: r for r in a_approx_quantiles(spark, sf_dir).collect()}
+def test_approx_quantiles_certificate(spark, sf_dir):
+    """All rank-window verdicts must hold, and the exact anchors must match
+    a driver-side sorted-list quantile computed independently."""
+    rows = {r["event_type"]: r for r in a_approx_quantiles(spark, sf_dir).collect()}
     ev = load_table(spark, sf_dir, "events")
-    for etype, row in approx.items():
+    for etype, row in rows.items():
+        assert row["p50_in_window"] and row["p90_in_window"] and row["p99_in_window"], row
         vals = sorted(
-            r["value"] for r in ev.filter(F.col("event_type") == etype).select("value").collect()
+            r["value"]
+            for r in ev.filter(F.col("event_type") == etype).select("value").collect()
         )
         n = len(vals)
         assert row["n"] == n
-        for p, got in ((0.5, row["p50"]), (0.9, row["p90"]), (0.99, row["p99"])):
-            # true rank of the sketch's answer (rightmost position ≤ got)
-            import bisect
+        for p, got in (
+            (0.5, row["exact_p50"]),
+            (0.9, row["exact_p90"]),
+            (0.99, row["exact_p99"]),
+        ):
+            # exact continuous (interpolated) percentile over the sorted list
+            idx = p * (n - 1)
+            lo, hi = int(idx), min(int(idx) + 1, n - 1)
+            expect = vals[lo] + (idx - lo) * (vals[hi] - vals[lo])
+            assert abs(got - expect) <= 1e-6, (etype, p, got, expect)
 
-            rank = bisect.bisect_right(vals, got) / n
-            assert abs(rank - p) <= 0.01 + 1.0 / n, (etype, p, got, rank)
 
-
-def test_hll_partitioned_merge_accuracy(spark, sf_dir):
-    """Union-merged daily HLL sketches must estimate per-type distinct users
-    within the sketch's error envelope (lgK=12 -> ~1.6% RSE; allow 5%)."""
+def test_hll_partitioned_merge_certificate(spark, sf_dir):
+    """within_tol must hold for every type; the exact anchor must equal an
+    independent exact distinct count; the daily-sketch count must equal the
+    number of distinct days."""
     from schwab_elt_etl_pipeline_spark.catalog.analytics5 import a_hll_partitioned_merge
-    from schwab_elt_etl_pipeline_spark.sources import load_table
-    from pyspark.sql import functions as F
 
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in a_hll_partitioned_merge(spark, sf_dir).collect()
-    }
+    rows = {r["event_type"]: r for r in a_hll_partitioned_merge(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
     exact = {
-        r["event_type"]: r["n"]
-        for r in load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
+        r["event_type"]: (r["nu"], r["nd"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("nu"),
+            F.countDistinct(F.to_date("ts")).alias("nd"),
+        )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k, est in approx.items():
-        assert abs(est - exact[k]) <= max(0.05 * exact[k], 2), (k, est, exact[k])
+    assert set(rows) == set(exact)
+    for k, row in rows.items():
+        assert row["within_tol"], (k, row)
+        assert row["exact_users"] == exact[k][0]
+        assert row["n_daily_sketches"] == exact[k][1]
 
 
-def test_heavy_hitters_sketch_matches_exact_head(spark, sf_dir):
-    """With a sketch budget far above the vocabulary size the sketch is
-    exact: its top-20 must equal the exact top-20 (count-keyed)."""
-    from schwab_elt_etl_pipeline_spark.catalog.analytics5 import a_heavy_hitters_sketch
-    from schwab_elt_etl_pipeline_spark.catalog.llm_text import token_vocab_topk
+def test_heavy_hitters_sketch_certificate(spark, sf_dir):
+    """Every exact heavy hitter (freq ≥ total/200) must be found in the
+    sketch top-k with a within-tolerance estimate, and the emitted heavy set
+    must exactly equal the threshold set computed from the exact vocabulary."""
+    from schwab_elt_etl_pipeline_spark.catalog.analytics5 import (
+        _HH_DEN,
+        a_heavy_hitters_sketch,
+    )
 
-    sk = {
-        r["token"]: r["freq"]
-        for r in a_heavy_hitters_sketch(spark, sf_dir).collect()
-    }
-    exact = [
-        (r["token"], r["freq"]) for r in token_vocab_topk(spark, sf_dir).collect()
-    ][:20]
-    for token, freq in exact:
-        assert sk.get(token) == freq, (token, freq, sk.get(token))
+    rows = a_heavy_hitters_sketch(spark, sf_dir).collect()
+    assert rows, "no heavy hitters emitted"
+    for r in rows:
+        assert r["in_sketch_topk"], r
+        assert r["est_within_tol"], r
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    )
+    total = sum(r["freq"] for r in freq)
+    expect = {r["token"]: r["freq"] for r in freq if r["freq"] * _HH_DEN >= total}
+    got = {r["token"]: r["exact_freq"] for r in rows}
+    assert got == expect
