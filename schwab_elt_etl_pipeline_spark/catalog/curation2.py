@@ -463,6 +463,97 @@ FROM starts
 
 
 # ---------------------------------------------------------------------------
+# Passage-level exact dedup (RefinedWeb/Gopher-style sub-document dedup)
+# ---------------------------------------------------------------------------
+
+_PASSAGE = 20  # tokens per non-overlapping passage
+
+
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: split every document into non-overlapping
+    20-token passages, keep only the FIRST corpus-wide occurrence of each
+    passage (ordered by doc_id, then position), and rebuild each document
+    from its surviving passages — the passage-granular dedup used by
+    RefinedWeb/Gopher-style curation, where boilerplate repeats across
+    documents that are not whole-document duplicates.
+
+    Shape: one explode (rows × tokens/20), one hash shuffle keyed on the
+    passage text to pick first-occurrence winners, one shuffle back on
+    doc_id to reassemble. Map-side the passage key would be a 128-bit
+    fingerprint at 100 TB (as in ``dedup_exact``) so the wide text column
+    never shuffles twice; here the window keys the raw passage so the
+    first-occurrence rule is exact and oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    passages = (
+        docs.withColumn("_toks", toks)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_toks"), F.lit(_PASSAGE))
+            ).alias("start"),
+            "_toks",
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / _PASSAGE).cast("int").alias("passage_id"),
+            F.array_join(F.slice("_toks", F.col("start"), _PASSAGE), " ").alias(
+                "passage"
+            ),
+        )
+    )
+    w = Window.partitionBy("passage").orderBy("doc_id", "passage_id")
+    ranked = passages.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.count(F.when(F.col("rk") == 1, 1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rk") == 1,
+                                F.struct("passage_id", "passage"),
+                            )
+                        )
+                    ),
+                    lambda x: x["passage"],
+                ),
+                " ",
+            ).alias("deduped_text"),
+        )
+    )
+
+
+PASSAGE_DEDUP_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), p AS (
+  SELECT doc_id,
+         CAST((start - 1) // {_PASSAGE} AS INT) AS passage_id,
+         array_to_string(ts[start : start + {_PASSAGE} - 1], ' ') AS passage
+  FROM (SELECT doc_id, ts, UNNEST(generate_series(1, LEN(ts), {_PASSAGE})) AS start
+        FROM tok)
+), r AS (
+  SELECT doc_id, passage_id, passage,
+         ROW_NUMBER() OVER (PARTITION BY passage ORDER BY doc_id, passage_id) AS rk
+  FROM p
+)
+SELECT doc_id,
+       COUNT(*) AS n_passages,
+       COUNT(*) FILTER (WHERE rk = 1) AS n_kept,
+       COALESCE(string_agg(passage, ' ' ORDER BY passage_id)
+                FILTER (WHERE rk = 1), '') AS deduped_text
+FROM r
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hopping (sliding) windows — overlapping twin of t_tumbling_candles
 # ---------------------------------------------------------------------------
 
@@ -641,6 +732,8 @@ SPECS = [
               doc="fixed-centroid k-means E-step assignment"),
     QuerySpec("bpe_pair_stats", bpe_pair_stats, BPE_PAIR_SQL,
               doc="BPE training pair-count step (non-distinct adjacent pairs)"),
+    QuerySpec("passage_dedup", passage_dedup, PASSAGE_DEDUP_SQL,
+              doc="sub-document passage-level exact dedup with text rebuild"),
     QuerySpec("doc_chunking", doc_chunking, DOC_CHUNK_SQL,
               doc="overlapping token-window chunking (size 32 / stride 24)"),
     QuerySpec("t_hopping_windows", t_hopping_windows, HOPPING_SQL, headline=True,
