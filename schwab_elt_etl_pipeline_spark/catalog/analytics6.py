@@ -680,7 +680,125 @@ SELECT 'fk_o_custkey',
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (rational idf — log-free, fixed-order)
+# ---------------------------------------------------------------------------
+
+#: Fixed retrieval query terms (present across the synthetic corpus at
+#: mid frequency, so tf saturation and idf weighting both engage).
+_BM25_TERMS = ("merge", "stream", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document scoring for a fixed 3-term query — the retrieval-side
+    ranking an LLM-data pipeline uses for quality-aware sampling and
+    eval-set mining.
+
+    Determinism discipline (module docstring): idf stays RATIONAL —
+    ``(N − df + 0.5)/(df + 0.5)`` instead of its log — so the score is a
+    fixed-order arithmetic expression over exact integers and single IEEE
+    divisions; the per-term saturation ``tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``
+    uses one shared dl/avgdl division. Terms contribute in FIXED column
+    order (conditional aggregation, not a per-row sum over an exploded term
+    set), so no float-summation-order nondeterminism exists anywhere.
+
+    Scale shape: one token explode → per-doc conditional-agg tf (map-side
+    combinable); df/N/avgdl are 1-row scalars broadcast back; no shuffle
+    keyed on anything wider than doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t1, t2, t3 = _BM25_TERMS
+    tok = docs.select("doc_id", F.size(_toks()).alias("dl"), F.explode(_toks()).alias("token"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.first("dl").alias("dl"),
+        F.count(F.when(F.col("token") == t1, 1)).alias("tf1"),
+        F.count(F.when(F.col("token") == t2, 1)).alias("tf2"),
+        F.count(F.when(F.col("token") == t3, 1)).alias("tf3"),
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        F.count(F.when(F.col("tf1") > 0, 1)).alias("df1"),
+        F.count(F.when(F.col("tf2") > 0, 1)).alias("df2"),
+        F.count(F.when(F.col("tf3") > 0, 1)).alias("df3"),
+    )
+
+    def term_score(tf: str, df: str) -> F.Column:
+        idf = (
+            (F.col("n_docs") - F.col(df)).cast("double") + F.lit(0.5)
+        ) / (F.col(df).cast("double") + F.lit(0.5))
+        norm_len = F.col("dl").cast("double") / (
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+        )
+        sat = (F.col(tf).cast("double") * F.lit(_BM25_K1 + 1)) / (
+            F.col(tf).cast("double")
+            + F.lit(_BM25_K1) * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * norm_len)
+        )
+        return idf * sat
+
+    return (
+        per_doc.crossJoin(F.broadcast(stats))  # 1-row corpus-stats scalar
+        .filter((F.col("tf1") > 0) | (F.col("tf2") > 0) | (F.col("tf3") > 0))
+        .select(
+            "doc_id",
+            "tf1",
+            "tf2",
+            "tf3",
+            "dl",
+            F.round(
+                term_score("tf1", "df1")
+                + term_score("tf2", "df2")
+                + term_score("tf3", "df3"),
+                6,
+            ).alias("bm25"),
+        )
+    )
+
+
+def _bm25_term_sql(tf: str, df: str) -> str:
+    k1, b = _BM25_K1, _BM25_B
+    idf = f"((CAST(n_docs - {df} AS DOUBLE) + 0.5) / (CAST({df} AS DOUBLE) + 0.5))"
+    norm_len = "(CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))"
+    sat = (
+        f"((CAST({tf} AS DOUBLE) * {k1 + 1}) / "
+        f"(CAST({tf} AS DOUBLE) + {k1} * ({round(1.0 - b, 10)} + {b} * {norm_len})))"
+    )
+    return f"({idf} * {sat})"
+
+
+BM25_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         LEN(string_split_regex(TRIM(LOWER(text)), '\s+')) AS dl,
+         UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS token
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, ANY_VALUE(dl) AS dl,
+         COUNT(*) FILTER (WHERE token = '{_BM25_TERMS[0]}') AS tf1,
+         COUNT(*) FILTER (WHERE token = '{_BM25_TERMS[1]}') AS tf2,
+         COUNT(*) FILTER (WHERE token = '{_BM25_TERMS[2]}') AS tf3
+  FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens,
+         COUNT(*) FILTER (WHERE tf1 > 0) AS df1,
+         COUNT(*) FILTER (WHERE tf2 > 0) AS df2,
+         COUNT(*) FILTER (WHERE tf3 > 0) AS df3
+  FROM per_doc
+)
+SELECT doc_id, tf1, tf2, tf3, dl,
+       ROUND({_bm25_term_sql("tf1", "df1")}
+             + {_bm25_term_sql("tf2", "df2")}
+             + {_bm25_term_sql("tf3", "df3")}, 6) AS bm25
+FROM per_doc CROSS JOIN stats
+WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0
+"""
+
+
 SPECS = [
+    QuerySpec("bm25_retrieval", bm25_retrieval, BM25_SQL,
+              doc="BM25 document scoring, rational idf (log-free, fixed order)"),
     QuerySpec("unigram_rarity", unigram_rarity, UNIGRAM_RARITY_SQL,
               doc="log-free unigram pseudo-perplexity quality filter"),
     QuerySpec("tfidf_topk_keywords", tfidf_topk_keywords, TFIDF_SQL,

@@ -122,6 +122,7 @@ _BNLJ_OK = {
     "q22_global_avg_anti",   # 1-row global-average scalar
     "dq_expectations_orders",  # crossJoin of two 1-row check aggregates
     "a_heavy_hitters_sketch",  # 1-row token-total scalar + 1-row sketch list
+    "bm25_retrieval",        # 1-row corpus-stats scalar
 }
 
 
