@@ -24,6 +24,7 @@ from schwab_elt_etl_pipeline_spark.operators.curation import (
     repetition_stats,
     semantic_dedup_verdicts,
 )
+from schwab_elt_etl_pipeline_spark.operators.dedup import passage_dedup_rebuild
 from schwab_elt_etl_pipeline_spark.operators.rollup import (
     rollup_coarser,
     rollup_minutes,
@@ -482,51 +483,13 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id to reassemble. Map-side the passage key would be a 128-bit
     fingerprint at 100 TB (as in ``dedup_exact``) so the wide text column
     never shuffles twice; here the window keys the raw passage so the
-    first-occurrence rule is exact and oracle-checkable."""
+    first-occurrence rule is exact and oracle-checkable. Core in
+    ``operators/dedup.py`` ``passage_dedup_rebuild`` (property-tested
+    against a Python reference model)."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    passages = (
-        docs.withColumn("_toks", toks)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size("_toks"), F.lit(_PASSAGE))
-            ).alias("start"),
-            "_toks",
-        )
-        .select(
-            "doc_id",
-            ((F.col("start") - 1) / _PASSAGE).cast("int").alias("passage_id"),
-            F.array_join(F.slice("_toks", F.col("start"), _PASSAGE), " ").alias(
-                "passage"
-            ),
-        )
-    )
-    w = Window.partitionBy("passage").orderBy("doc_id", "passage_id")
-    ranked = passages.withColumn("rk", F.row_number().over(w))
-    return (
-        ranked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_passages"),
-            F.count(F.when(F.col("rk") == 1, 1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("rk") == 1,
-                                F.struct("passage_id", "passage"),
-                            )
-                        )
-                    ),
-                    lambda x: x["passage"],
-                ),
-                " ",
-            ).alias("deduped_text"),
-        )
-    )
+    return passage_dedup_rebuild(docs, passage_tokens=_PASSAGE)
 
 
 PASSAGE_DEDUP_SQL = rf"""

@@ -440,3 +440,67 @@ def simhash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def passage_dedup_rebuild(
+    docs: DataFrame,
+    passage_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document exact dedup with text rebuild (RefinedWeb/Gopher-style).
+
+    Splits each document into non-overlapping ``passage_tokens``-token
+    passages, keeps only the FIRST corpus-wide occurrence of each passage
+    (ordered by id then position), and reassembles each document from its
+    surviving passages. Output: (id, n_passages, n_kept, deduped_text).
+
+    One explode + one passage-keyed shuffle (first-occurrence window) + one
+    id-keyed shuffle (reassembly). At 100 TB the window key would be a
+    128-bit passage fingerprint so the wide text column shuffles once, not
+    twice; the raw-text key here keeps the rule exact and oracle-checkable.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    passages = (
+        docs.withColumn("_toks", toks)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("_toks"), F.lit(passage_tokens))
+            ).alias("start"),
+            "_toks",
+        )
+        .select(
+            "_id",
+            ((F.col("start") - 1) / passage_tokens).cast("int").alias("passage_id"),
+            F.array_join(F.slice("_toks", F.col("start"), passage_tokens), " ").alias(
+                "passage"
+            ),
+        )
+    )
+    w = Window.partitionBy("passage").orderBy("_id", "passage_id")
+    ranked = passages.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.count(F.when(F.col("rk") == 1, 1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rk") == 1,
+                                F.struct("passage_id", "passage"),
+                            )
+                        )
+                    ),
+                    lambda x: x["passage"],
+                ),
+                " ",
+            ).alias("deduped_text"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

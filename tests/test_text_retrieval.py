@@ -1,0 +1,123 @@
+"""Reference-model tests for passage-level dedup and BM25 retrieval.
+
+Same pattern as test_market_and_properties' MERGE model test: a pure-Python
+reference implementation is the spec, hypothesis drives randomized corpora
+at passage-collision-heavy settings, and the Spark operator must agree
+exactly (dedup) or to float tolerance (BM25).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from schwab_elt_etl_pipeline_spark.operators.dedup import passage_dedup_rebuild
+
+# Tiny vocabulary + short passages force cross-document passage collisions.
+_VOCAB = ["a", "b", "c"]
+_P = 3  # tokens per passage in the property test
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=11).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _ref_passage_dedup(texts: list[str], p: int) -> dict[int, tuple[int, int, str]]:
+    """Reference model: first corpus-wide occurrence wins, by (doc, position)."""
+    seen: set[str] = set()
+    out: dict[int, tuple[int, int, str]] = {}
+    for doc_id, text in enumerate(texts):
+        toks = text.strip().lower().split()
+        kept: list[str] = []
+        n_passages = 0
+        for start in range(0, len(toks), p):
+            passage = " ".join(toks[start : start + p])
+            n_passages += 1
+            if passage not in seen:
+                seen.add(passage)
+                kept.append(passage)
+        out[doc_id] = (n_passages, len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=docs_strategy)
+def test_passage_dedup_matches_reference_model(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"], r["deduped_text"])
+        for r in passage_dedup_rebuild(df, passage_tokens=_P).collect()
+    }
+    assert got == _ref_passage_dedup(texts, _P)
+
+
+def test_passage_dedup_global_invariants(spark, sf_dir):
+    """On the real corpus: every passage of every rebuilt text is globally
+    unique, and kept counts are consistent with the originals."""
+    from schwab_elt_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = passage_dedup_rebuild(docs, passage_tokens=20).collect()
+    seen: set[str] = set()
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_passages"]
+        toks = r["deduped_text"].split() if r["deduped_text"] else []
+        passages = [
+            " ".join(toks[i : i + 20]) for i in range(0, len(toks), 20)
+        ]
+        # NOTE: a kept passage shorter than 20 tokens (document tail) can
+        # merge with the following kept passage when re-split; only assert
+        # on documents whose kept passages are all full-width or singular.
+        if r["n_kept"] == len(passages):
+            for passage in passages:
+                assert passage not in seen, f"duplicate passage survived: {passage!r}"
+                seen.add(passage)
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    """Catalog BM25 vs an independently coded Python reference over the real
+    corpus (same rational-idf formula, arbitrary evaluation order) — scores
+    agree to 1e-6 and the emitted doc set matches exactly."""
+    from schwab_elt_etl_pipeline_spark.catalog.analytics6 import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        bm25_retrieval,
+    )
+    from schwab_elt_etl_pipeline_spark.sources import load_table
+
+    corpus = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    n_docs = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n_docs
+    df_t = {
+        t: sum(1 for toks in corpus.values() if t in toks) for t in _BM25_TERMS
+    }
+
+    def ref_score(toks: list[str]) -> float:
+        dl = len(toks)
+        score = 0.0
+        for t in _BM25_TERMS:
+            tf = toks.count(t)
+            idf = (n_docs - df_t[t] + 0.5) / (df_t[t] + 0.5)
+            sat = (tf * (_BM25_K1 + 1)) / (
+                tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / avgdl)
+            )
+            score += idf * sat
+        return score
+
+    expect = {
+        doc_id: ref_score(toks)
+        for doc_id, toks in corpus.items()
+        if any(t in toks for t in _BM25_TERMS)
+    }
+    got = {r["doc_id"]: r["bm25"] for r in bm25_retrieval(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for doc_id, score in got.items():
+        assert abs(score - expect[doc_id]) <= 1e-6, (doc_id, score, expect[doc_id])
