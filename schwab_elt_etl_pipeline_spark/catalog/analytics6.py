@@ -704,18 +704,28 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (conditional aggregation, not a per-row sum over an exploded term
     set), so no float-summation-order nondeterminism exists anywhere.
 
-    Scale shape: one token explode → per-doc conditional-agg tf (map-side
-    combinable); df/N/avgdl are 1-row scalars broadcast back; no shuffle
-    keyed on anything wider than doc_id.
+    Scale shape: ZERO data shuffles — per-doc tf comes from an array
+    ``filter``+``size`` on the token array (map-only, no explode), the
+    corpus stats (N, total tokens, per-term df) are one all-reduce to a
+    1-row scalar broadcast back, and the per-doc side's lineage is cut
+    (lazy localCheckpoint) so the corpus scans once, not three times.
     """
     docs = load_table(spark, sf_dir, "documents")
     t1, t2, t3 = _BM25_TERMS
-    tok = docs.select("doc_id", F.size(_toks()).alias("dl"), F.explode(_toks()).alias("token"))
-    per_doc = tok.groupBy("doc_id").agg(
-        F.first("dl").alias("dl"),
-        F.count(F.when(F.col("token") == t1, 1)).alias("tf1"),
-        F.count(F.when(F.col("token") == t2, 1)).alias("tf2"),
-        F.count(F.when(F.col("token") == t3, 1)).alias("tf3"),
+
+    def tf(term: str) -> F.Column:
+        return F.size(F.filter("_toks", lambda t: t == F.lit(term)))
+
+    per_doc = (
+        docs.select("doc_id", _toks().alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            tf(t1).alias("tf1"),
+            tf(t2).alias("tf2"),
+            tf(t3).alias("tf3"),
+        )
+        .localCheckpoint(eager=False)
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -797,7 +807,7 @@ WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0
 
 
 SPECS = [
-    QuerySpec("bm25_retrieval", bm25_retrieval, BM25_SQL,
+    QuerySpec("bm25_retrieval", bm25_retrieval, BM25_SQL, headline=True,
               doc="BM25 document scoring, rational idf (log-free, fixed order)"),
     QuerySpec("unigram_rarity", unigram_rarity, UNIGRAM_RARITY_SQL,
               doc="log-free unigram pseudo-perplexity quality filter"),

@@ -695,7 +695,7 @@ SPECS = [
               doc="fixed-centroid k-means E-step assignment"),
     QuerySpec("bpe_pair_stats", bpe_pair_stats, BPE_PAIR_SQL,
               doc="BPE training pair-count step (non-distinct adjacent pairs)"),
-    QuerySpec("passage_dedup", passage_dedup, PASSAGE_DEDUP_SQL,
+    QuerySpec("passage_dedup", passage_dedup, PASSAGE_DEDUP_SQL, headline=True,
               doc="sub-document passage-level exact dedup with text rebuild"),
     QuerySpec("doc_chunking", doc_chunking, DOC_CHUNK_SQL,
               doc="overlapping token-window chunking (size 32 / stride 24)"),
