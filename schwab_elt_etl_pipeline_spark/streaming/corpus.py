@@ -22,6 +22,10 @@ up incrementally. This module runs the batch curation operators
   fingerprints are signed), and near-dup candidates for a batch are found by
   joining the BATCH's band buckets against the persistent index — O(batch)
   work per trigger, exactly how an at-scale dedup service amortizes LSH.
+- ``update_passage_index``: incremental SUB-document dedup — the streaming
+  twin of ``operators/dedup.py passage_dedup_rebuild``, probing a persistent
+  passage-fingerprint table so cross-batch boilerplate is dropped with
+  O(batch) work and 8-byte join keys.
 """
 
 from __future__ import annotations
@@ -254,3 +258,96 @@ def update_ann_index(
     )
     index.insert_new(signed, keys=["id"])
     return cands
+
+
+def update_passage_index(
+    batch: DataFrame,
+    index: ParquetTable,
+    passage_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incrementally maintain a passage-fingerprint index and return the
+    batch's documents with passages deduped against the ENTIRE corpus seen
+    so far (plus first-occurrence dedup within the batch itself).
+
+    The sub-document twin of :func:`update_minhash_index`, giving the
+    streaming path the same semantics as the batch
+    ``operators/dedup.py passage_dedup_rebuild``: a passage survives iff it
+    is (a) absent from the index (never seen in any prior batch) and (b) the
+    first occurrence within this batch by (id, position). Per call:
+    (1) passage-split only the batch (O(batch) explode), fingerprinting each
+    passage to 64 bits so the probe join and the index carry 8-byte keys,
+    never the text; (2) drop passages whose fingerprint hits the index
+    (left_anti probe — O(batch) lookups, never a corpus rescan); (3) rebuild
+    per-doc text from survivors; (4) append the batch's fingerprints,
+    ``insert_new`` on fp so replays add nothing and re-emitted batches
+    rebuild identically (replay-idempotent output requires replaying against
+    the pre-batch index version, which Structured Streaming's checkpointed
+    epoch guarantees via exactly-once foreachBatch semantics).
+
+    Output: (id, n_passages, n_kept, deduped_text) for every batch document.
+    At 100 TB the index table is ``cluster_by=("fp",)`` so footer stats
+    prune probe I/O to the touched fingerprint ranges.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    passages = (
+        batch.withColumn("_toks", toks)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("_toks"), F.lit(passage_tokens))
+            ).alias("start"),
+            "_toks",
+        )
+        .select(
+            "_id",
+            ((F.col("start") - 1) / passage_tokens).cast("int").alias("passage_id"),
+            F.array_join(F.slice("_toks", F.col("start"), passage_tokens), " ").alias(
+                "passage"
+            ),
+        )
+        .withColumn("fp", F.xxhash64("passage"))
+        .localCheckpoint(eager=True)  # feeds the probe, the rebuild AND the
+        # index append — materialize once per batch
+    )
+    if index.exists():
+        fresh = passages.join(index.read().select("fp"), "fp", "left_anti")
+    else:
+        fresh = passages
+    w = Window.partitionBy("fp").orderBy("_id", "passage_id")
+    kept = fresh.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    out = (
+        passages.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_passages"))
+        .join(
+            kept.groupBy("_id").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("passage_id", "passage"))
+                        ),
+                        lambda x: x["passage"],
+                    ),
+                    " ",
+                ).alias("deduped_text"),
+            ),
+            "_id",
+            "left",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_passages",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+        )
+    )
+    new_fps = kept.select("fp", F.col("_id").alias("first_doc_id"))
+    if index.exists():
+        index.insert_new(new_fps, keys=["fp"])
+    else:
+        index.overwrite_versioned(new_fps)
+    return out

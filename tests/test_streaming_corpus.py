@@ -179,3 +179,86 @@ def test_ann_index_multi_probe_superset(spark, dirs):
     }
     assert single - {100} <= multi
     assert len(multi) >= len(single - {100})
+
+
+def test_incremental_passage_index_matches_batch_semantics(spark, dirs):
+    """Two-batch incremental passage dedup must equal the one-shot batch
+    operator over the union, and replaying a batch against the pre-batch
+    index must be a no-op on the index and reproduce the same output."""
+    from schwab_elt_etl_pipeline_spark.operators.dedup import passage_dedup_rebuild
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_passage_index
+
+    src, idx_dir, _ = dirs
+    p = 3  # small passages so cross-batch collisions actually occur
+
+    batch1 = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),            # passages: "a b c", "d e f"
+            (1, "a b c x y z"),            # "a b c" dups doc 0 within batch
+        ],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (2, "d e f g h i"),            # "d e f" dups doc 0 from batch 1
+            (3, "g h i g h i"),            # "g h i" dups doc 2 within batch
+            (4, "q r s"),                  # all fresh
+        ],
+        "doc_id long, text string",
+    )
+
+    index = ParquetTable(spark, idx_dir, cluster_by=("fp",))
+    out1 = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"], r["deduped_text"])
+        for r in update_passage_index(batch1, index, passage_tokens=p).collect()
+    }
+    ref1 = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"], r["deduped_text"])
+        for r in passage_dedup_rebuild(batch1, passage_tokens=p).collect()
+    }
+    assert out1 == ref1
+
+    # snapshot the pre-batch-2 index state (append() adds files to the
+    # CURRENT version, so a version pin alone is not an epoch snapshot —
+    # a real stream gets this snapshot from the checkpointed epoch)
+    pre_batch2_fps = index.read().collect()
+
+    out2 = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"], r["deduped_text"])
+        for r in update_passage_index(batch2, index, passage_tokens=p).collect()
+    }
+    union_ref = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"], r["deduped_text"])
+        for r in passage_dedup_rebuild(
+            batch1.unionByName(batch2), passage_tokens=p
+        ).collect()
+        if r["doc_id"] >= 2
+    }
+    assert out2 == union_ref
+    assert out2[2] == (2, 1, "g h i")
+    assert out2[3] == (2, 0, "")
+
+    # replay batch 2 against the pre-batch-2 snapshot (what the checkpointed
+    # foreachBatch epoch replays against): identical output, and the real
+    # index gains nothing from re-appending (insert_new on fp)
+    n_fps_after = index.read().count()
+    import tempfile as _tf
+
+    replay_dir = _tf.mkdtemp(prefix="passage_replay_")
+    try:
+        replay_index = ParquetTable(spark, replay_dir, cluster_by=("fp",))
+        replay_index.overwrite_versioned(
+            spark.createDataFrame(pre_batch2_fps, index.read().schema)
+        )
+        out2_replay = {
+            r["doc_id"]: (r["n_passages"], r["n_kept"], r["deduped_text"])
+            for r in update_passage_index(
+                batch2, replay_index, passage_tokens=p
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+    assert out2_replay == out2
+    n2 = update_passage_index(batch2, index, passage_tokens=p)  # re-append
+    n2.collect()
+    assert index.read().count() == n_fps_after  # replayed append was a no-op
