@@ -126,6 +126,24 @@ _BNLJ_OK = {
 }
 
 
+def test_bm25_is_shuffle_free(spark, sf_dir):
+    """bm25_retrieval's only exchanges are the 1-row corpus-stats all-reduce
+    (SinglePartition) and its broadcast — no data-keyed shuffle may appear
+    (the per-doc tf path is map-only by design)."""
+    plan = plan_of(spark, sf_dir, "bm25_retrieval")
+    assert "hashpartitioning" not in plan, "data-keyed shuffle crept into BM25"
+
+
+def test_passage_dedup_two_data_shuffles(spark, sf_dir):
+    """passage_dedup shuffles exactly twice by construction: once keyed on
+    the passage (first-occurrence window) and once on the doc (reassembly).
+    More means a lost partitioning reuse; the input repartition on doc_id is
+    the explicitly keyed scan spread (small single-file local input)."""
+    plan = plan_of(spark, sf_dir, "passage_dedup")
+    n_hash = plan.count("hashpartitioning")
+    assert n_hash <= 3, f"extra shuffle in passage_dedup plan: {n_hash}"
+
+
 @pytest.mark.parametrize("spec", list(SPECS.values()), ids=lambda s: s.name)
 def test_no_scale_killer_nodes(spark, sf_dir, spec):
     """No catalog plan may contain a CartesianProduct (non-broadcast
