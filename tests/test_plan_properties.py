@@ -82,6 +82,8 @@ _SANCTIONED_BNLJ = {
     "tfidf_topk_keywords",   # 1-row doc-count broadcast
     "event_funnel",          # 1-row base-population broadcast
     "dq_expectations_orders",  # crossJoin of two 1-row check aggregates
+    "a_heavy_hitters_sketch",  # 1-row token-total + 1-row sketch broadcast
+    "bm25_retrieval",        # 1-row corpus-stats broadcast
 }
 
 
