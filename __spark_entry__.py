@@ -36,8 +36,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query. MinHash/SimHash
-    near-dup queries emit VERDICTS (verified pairs), so they oracle against
-    brute-force exact Jaccard; only sketch-valued outputs (HLL, approx
-    quantiles/top-k, trained-IVF ANN) remain rows-only by design."""
+    """DuckDB-equivalent SQL for EVERY catalog query (128/128). Probabilistic
+    operators emit verdict-level certificates: MinHash/SimHash near-dup
+    queries emit verified pairs oracled against brute-force exact Jaccard;
+    sketch queries (HLL++, partitioned HLL merge, approx quantiles,
+    frequent items) and the trained-IVF ANN emit exact SQL-expressible
+    anchors plus within-tolerance verdicts the oracle asserts literally —
+    a hash match certifies both the exact semantics and the sketch's error
+    bound. No rows-only checks remain."""
     return catalog.oracle_sql()

@@ -3,11 +3,15 @@ recall@10 against the exact brute-force baseline."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from schwab_elt_etl_pipeline_spark.catalog.similarity import (
     ann_bucketed_topk,
     ann_cosine_topk,
     ann_ivf_kmeans,
 )
+from schwab_elt_etl_pipeline_spark.operators.similarity import ivf_kmeans_topk
+from schwab_elt_etl_pipeline_spark.sources import load_table
 
 
 def _topk_sets(df):
@@ -18,12 +22,14 @@ def _topk_sets(df):
 
 
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
     exact = _topk_sets(ann_cosine_topk(spark, sf_dir))
-    ivf = _topk_sets(ann_ivf_kmeans(spark, sf_dir))
+    ivf = _topk_sets(ivf_kmeans_topk(emb, q, k=10, n_centroids=16, n_probe=2))
     lsh = _topk_sets(ann_bucketed_topk(spark, sf_dir))
 
     def recall(approx):
-        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        hits = sum(len(exact[qq] & approx.get(qq, set())) for qq in exact)
         total = sum(len(v) for v in exact.values())
         return hits / total
 
@@ -35,10 +41,23 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall(ivf) >= 0.10, f"IVF recall below probed fraction: {recall(ivf)}"
     assert recall(lsh) >= 0.03, f"LSH recall below probed fraction: {recall(lsh)}"
     # structure: ≤ k results per query, drawn from the corpus, no self-matches
-    for q, ids in ivf.items():
-        assert len(ids) <= 10 and q not in ids
+    for qq, ids in ivf.items():
+        assert len(ids) <= 10 and qq not in ids
     # determinism: seeded k-means + tiebreaks → identical re-run
-    assert _topk_sets(ann_ivf_kmeans(spark, sf_dir)) == ivf
+    assert _topk_sets(ivf_kmeans_topk(emb, q, k=10, n_centroids=16, n_probe=2)) == ivf
+
+
+def test_ann_ivf_certificate_verdicts(spark, sf_dir):
+    """The certified catalog query's recall verdict must hold on real data,
+    and its exact-top-1 anchor must match the brute-force baseline."""
+    rows = {r["q_id"]: r for r in ann_ivf_kmeans(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    top1 = {}
+    for r in ann_cosine_topk(spark, sf_dir).collect():
+        top1[r["q_id"]] = max(top1.get(r["q_id"], -2.0), r["cos"])
+    for qq, r in rows.items():
+        assert r["recall_ok"], r
+        assert abs(r["exact_top1_cos"] - top1[qq]) < 1e-9
 
 
 def test_semantic_dedup_lsh_recall_on_clustered_data(spark):
