@@ -517,6 +517,76 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing (concatenate-and-chunk training-sequence assignment)
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 256  # training-sequence length in tokens
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to its fixed-length training sequences by
+    concatenate-and-chunk: within each source shard, documents concatenate
+    in doc_id order and the token stream is cut into ``_SEQ_LEN``-token
+    sequences — the packing stage between curation and training, which
+    determines how many sequences a corpus yields and how often documents
+    straddle a boundary (attention-masking cost).
+
+    Per doc: its token offset in the shard stream (exclusive prefix sum),
+    the first/last sequence it lands in, and how many boundaries it crosses.
+    Scale shape: ONE window (per-source running sum ordered by doc_id) — the
+    cumsum is partitioned by the shard key, never a global single-partition
+    ordering; at 100 TB shards are sized so each source's stream fits a
+    task's sort budget (or sub-sharded by hash, same algebra).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # integer division end-to-end (offsets are non-negative) so both engines
+    # emit BIGINT, never a float floor
+    seq_first = F.expr(f"tok_offset DIV {_SEQ_LEN}")
+    seq_last = F.expr(f"(tok_offset + n_tok - 1) DIV {_SEQ_LEN}")
+    return (
+        docs.select("doc_id", "source", n_tok.cast("long").alias("n_tok"))
+        .withColumn(
+            "tok_offset", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "tok_offset",
+            seq_first.alias("seq_first"),
+            seq_last.alias("seq_last"),
+            (seq_last - seq_first).alias("boundaries_crossed"),
+        )
+    )
+
+
+SEQUENCE_PACKING_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source, CAST(LEN({_TOKS}) AS BIGINT) AS n_tok FROM documents
+), o AS (
+  SELECT doc_id, source, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM t
+)
+SELECT doc_id, source, n_tok, tok_offset,
+       tok_offset // {_SEQ_LEN} AS seq_first,
+       (tok_offset + n_tok - 1) // {_SEQ_LEN} AS seq_last,
+       (tok_offset + n_tok - 1) // {_SEQ_LEN} - tok_offset // {_SEQ_LEN}
+         AS boundaries_crossed
+FROM o
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hopping (sliding) windows — overlapping twin of t_tumbling_candles
 # ---------------------------------------------------------------------------
 
@@ -697,6 +767,8 @@ SPECS = [
               doc="BPE training pair-count step (non-distinct adjacent pairs)"),
     QuerySpec("passage_dedup", passage_dedup, PASSAGE_DEDUP_SQL, headline=True,
               doc="sub-document passage-level exact dedup with text rebuild"),
+    QuerySpec("sequence_packing", sequence_packing, SEQUENCE_PACKING_SQL,
+              doc="concatenate-and-chunk training-sequence assignment per shard"),
     QuerySpec("doc_chunking", doc_chunking, DOC_CHUNK_SQL,
               doc="overlapping token-window chunking (size 32 / stride 24)"),
     QuerySpec("t_hopping_windows", t_hopping_windows, HOPPING_SQL, headline=True,
