@@ -144,6 +144,15 @@ def test_passage_dedup_two_data_shuffles(spark, sf_dir):
     assert n_hash <= 3, f"extra shuffle in passage_dedup plan: {n_hash}"
 
 
+def test_sequence_packing_partitions_by_shard(spark, sf_dir):
+    """The packing cumsum must window over hashpartitioning(source…), never
+    a SinglePartition global ordering — the difference between a scalable
+    per-shard plan and a driver-shaped bottleneck at 100 TB."""
+    plan = plan_of(spark, sf_dir, "sequence_packing")
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
 @pytest.mark.parametrize("spec", list(SPECS.values()), ids=lambda s: s.name)
 def test_no_scale_killer_nodes(spark, sf_dir, spec):
     """No catalog plan may contain a CartesianProduct (non-broadcast
