@@ -230,6 +230,52 @@ GROUP BY d.doc_id
 """
 
 
+#: Canonicalization threshold: 0.05 (vs dedup_clusters' 0.3) so the driver
+#: corpus actually forms multi-document clusters (120 pairs at sf0.001) and
+#: the transitive-closure → keep-list path is exercised on real groups.
+_CANON_TAU = 0.05
+
+
+def neardup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup loop closed end-to-end: Jaccard pairs (jac ≥ 0.05) →
+    connected components → one CANONICAL document per cluster (its minimum
+    doc_id) — the row set a dedup pass actually retains. Emits, per
+    canonical doc, the cluster size and how many near-dups it absorbed;
+    singletons appear with cluster_size 1. Downstream this is the keep-list
+    a 100 TB corpus rewrite semi-joins against."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jac") >= _CANON_TAU)
+    comp = connected_components(pairs, src="a_id", dst="b_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labeled = docs.join(comp, docs.doc_id == comp.node, "left").select(
+        F.coalesce("comp", F.col("doc_id")).alias("component")
+    )
+    return (
+        labeled.groupBy(F.col("component").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select("doc_id", "cluster_size", (F.col("cluster_size") - 1).alias("n_dropped"))
+    )
+
+
+# the recursive-CTE body is shared with DEDUP_CLUSTERS_SQL; the pair
+# threshold drops to _CANON_TAU and the final projection groups the per-doc
+# component labels into clusters
+_CLUSTERS_FINAL = """SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.t), d.doc_id)) AS component
+FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+GROUP BY d.doc_id
+"""
+NEARDUP_CANON_SQL = (
+    DEDUP_CLUSTERS_SQL.replace(">= 0.3", f">= {_CANON_TAU}").replace(_CLUSTERS_FINAL, "")
+    + f""", comp AS (
+  {_CLUSTERS_FINAL})
+SELECT component AS doc_id,
+       COUNT(*) AS cluster_size,
+       COUNT(*) - 1 AS n_dropped
+FROM comp GROUP BY component
+"""
+)
+
+
 def token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-500 whitespace tokens by frequency. The
     classic heavy-shuffle corpus statistic — partial (map-side) aggregation
@@ -441,6 +487,8 @@ SPECS = [
               doc="banded exact n-gram Jaccard near-dup"),
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL, headline=True,
               doc="near-dup clusters: pairs → connected components → canonical id"),
+    QuerySpec("neardup_canonicalize", neardup_canonicalize, NEARDUP_CANON_SQL,
+              doc="end-to-end dedup keep-list: one canonical doc per near-dup cluster"),
     QuerySpec("token_vocab_topk", token_vocab_topk, TOKEN_VOCAB_SQL,
               doc="corpus vocabulary top-k by frequency"),
     QuerySpec("minhash_lsh_neardup", minhash_lsh_neardup, NEARDUP_VERIFIED_SQL,
