@@ -488,6 +488,7 @@ SPECS = [
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL, headline=True,
               doc="near-dup clusters: pairs → connected components → canonical id"),
     QuerySpec("neardup_canonicalize", neardup_canonicalize, NEARDUP_CANON_SQL,
+              headline=True,
               doc="end-to-end dedup keep-list: one canonical doc per near-dup cluster"),
     QuerySpec("token_vocab_topk", token_vocab_topk, TOKEN_VOCAB_SQL,
               doc="corpus vocabulary top-k by frequency"),

@@ -378,6 +378,12 @@ def connected_components(
         )
         # pointer jump: comp is always itself a node, so chase one level
         ptr = hooked.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
+        # lazy checkpoint + probe in ONE action: the unlimited count scans
+        # every partition, so it fully materializes the round's labels
+        # (truncating lineage) and reads the convergence flag from the same
+        # job — an eager checkpoint would pay a second full pass per round,
+        # and a limit(1) probe could stop early and leave the checkpoint
+        # partially materialized (lineage regrowth across rounds)
         jumped = (
             hooked.join(ptr, hooked.comp == ptr.p_node, "left")
             .select(
@@ -385,9 +391,9 @@ def connected_components(
                 F.least("comp", F.coalesce("p_comp", F.col("comp"))).alias("comp"),
                 "prev",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = jumped.filter("comp <> prev").limit(1).count()
+        changed = jumped.filter("comp <> prev").count()
         labels = jumped.select("node", "comp")
         if changed == 0:
             break
