@@ -91,6 +91,8 @@ def all_specs() -> list[QuerySpec]:
     # (c) the set whose last green hash-match is oldest (round-1 cohort),
     # (d) as many of the next-oldest (round-2) cohort as fit. Everything
     # else keeps registry order behind them (verified most recently).
+    unknown = set(_FRONT) - set(names)
+    assert not unknown, f"_FRONT names not in registry (typo?): {sorted(unknown)}"
     front_rank = {name: i for i, name in enumerate(_FRONT)}
     specs.sort(key=lambda s: (front_rank.get(s.name, len(_FRONT)),))
     return specs
