@@ -191,7 +191,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (jac ≥ 0.3) → connected components → every document labeled with its
     cluster's minimum doc_id (singletons label themselves). The canonical-doc
     selection step of a dedup pass — pairs alone under-delete transitive
-    chains (A~B, B~C keeps both A and C)."""
+    chains (A~B, B~C keeps both A and C).
+
+    At this conservative threshold the synthetic corpus yields singletons
+    only (the oracle still certifies the full plumbing); the MULTI-document
+    clustering path is exercised on real groups by ``neardup_canonicalize``
+    (τ=0.05) and on adversarial graphs by test_connected_components."""
     pairs = ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jac") >= 0.3)
     comp = connected_components(pairs, src="a_id", dst="b_id")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
