@@ -34,3 +34,46 @@ def test_long_path_converges_via_pointer_jumping(spark):
 def test_edge_order_and_duplicates_are_irrelevant(spark):
     got = _cc(spark, [(5, 3), (3, 5), (5, 3), (9, 3)])
     assert got == {3: 3, 5: 3, 9: 3}
+
+
+def test_cc_matches_union_find_reference(spark):
+    """Hypothesis: on random graphs the Spark labeling must equal a plain
+    union-find computed driver-side (the reference model for the operator,
+    guarding the lazy-checkpoint convergence-probe rewrite)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def ref_cc(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min node id in component
+        return {n: find(n) for n in parent}
+
+    @settings(
+        max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(
+                lambda e: e[0] != e[1]
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(edges):
+        got = _cc(spark, edges)
+        assert got == ref_cc(edges)
+
+    check()
