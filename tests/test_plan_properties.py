@@ -84,6 +84,7 @@ _SANCTIONED_BNLJ = {
     "dq_expectations_orders",  # crossJoin of two 1-row check aggregates
     "a_heavy_hitters_sketch",  # 1-row token-total + 1-row sketch broadcast
     "bm25_retrieval",        # 1-row corpus-stats broadcast
+    "a_theta_set_ops",       # |event_types|^2 pair join (5x5) on broadcast sketches
 }
 
 

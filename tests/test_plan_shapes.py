@@ -123,6 +123,7 @@ _BNLJ_OK = {
     "dq_expectations_orders",  # crossJoin of two 1-row check aggregates
     "a_heavy_hitters_sketch",  # 1-row token-total scalar + 1-row sketch list
     "bm25_retrieval",        # 1-row corpus-stats scalar
+    "a_theta_set_ops",       # |event_types|^2 pair join (5x5) on broadcast sketches
 }
 
 
