@@ -445,6 +445,32 @@ GROUP BY fp
 """
 
 
+def sample_exact_k_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k-per-source sample (k=5): rank by the hash-mix
+    ordering key, tie-break on doc_id — the fixed-size complement to the
+    rate-based mix below, for eval subsets and per-source quotas where
+    "exactly k" matters. Fully oracle-checkable because the ordering key is
+    plain int64 arithmetic both engines compute bit-identically."""
+    from schwab_elt_etl_pipeline_spark.operators.sampling import exact_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return exact_k_per_group(docs, key="doc_id", strata_col="source", k=5).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+SAMPLE_EXACT_K_SQL = """
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % 1000003) * 2654435761) % 999983, doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 5
+"""
+
+
 def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus mixing: per-source sampling rates (the
     training-data "10 % of web, 50 % of books" mix), decided by a key hash so
@@ -482,6 +508,9 @@ SPECS = [
               doc="exact dedup keeping the best doc per group"),
     QuerySpec("corpus_mix_sample", corpus_mix_sample, CORPUS_MIX_SQL,
               doc="deterministic per-source corpus mixing"),
+    QuerySpec("sample_exact_k_stratified", sample_exact_k_stratified,
+              SAMPLE_EXACT_K_SQL,
+              doc="deterministic exact-k-per-source sample (hash-rank order)"),
     QuerySpec("curation_pipeline", curation_pipeline, CURATION_SQL, headline=True,
               doc="composite curation: dedup + quality + lang → keep/drop verdicts"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, headline=True,

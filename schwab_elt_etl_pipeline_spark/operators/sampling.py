@@ -21,7 +21,15 @@ from pyspark.sql import functions as F
 _PRIME = 1_000_003
 _MIX = 2_654_435_761  # Knuth multiplicative hash constant
 _PRIME2 = 999_983  # second reduction prime — breaks mod-`buckets` stripe phase
-_SALT_STEP = 999_979  # salt picks a distinct multiplier (mod _PRIME2)
+# Salt picks a distinct multiplier. The step's residue mod _PRIME2 must be
+# LARGE: the per-key difference between salt s and salt 0 is
+# s·step·key (mod _PRIME2), so a step ≡ tiny value — the original 999_979
+# ≡ −4 — perturbs small keys by only a few thousand and two salts' draws
+# come out ~identical instead of near-independent (caught by
+# test_text_retrieval::test_salted_draws_are_near_independent).
+# 611_957 is its own (large) residue, and the int64 bound still holds:
+# max mult ≈ 2.65e9 + 9e6·611957 ≈ 5.5e12, times a key < 1e6 < 2^63.
+_SALT_STEP = 611_957
 
 
 def hash_bucket(key: Column | str, buckets: int = 1000, salt: int = 0) -> Column:
@@ -73,3 +81,45 @@ def stratified_hash_sample(
             F.col(strata_col) == stratum, F.lit(int(round(frac * 1000)))
         ).otherwise(expr)
     return df.filter(hash_bucket(key, 1000, salt) < expr)
+
+
+def hash_rank_key(key: Column | str, salt: int = 0) -> Column:
+    """The pre-bucket hash value in [0, _PRIME2): a deterministic
+    pseudo-random TOTAL ordering key (same arithmetic as hash_bucket minus
+    the final bucket reduction), usable for exact-k sampling. Collisions
+    (≈ n/1e6 per stratum) need a unique tiebreaker alongside it."""
+    if not 0 <= salt < 9_000_000:
+        raise ValueError("salt must be in [0, 9e6) to keep the product in int64")
+    mult = _MIX + salt * _SALT_STEP
+    if mult % _PRIME2 == 0:
+        mult += _SALT_STEP
+    k = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.pmod(k, F.lit(_PRIME)) * F.lit(mult), F.lit(_PRIME2))
+
+
+def exact_k_per_group(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic EXACT-k sample per stratum: rank rows by the hash
+    ordering key (ties broken by the row key) and keep the first ``k``.
+
+    The fixed-size complement to ``stratified_hash_sample``'s fixed-rate
+    draw — eval subsets and per-source quotas need "exactly k docs per
+    source", which a rate can only approximate. Scale shape: one window
+    per stratum (hash-partitioned, map-side top-k via rank pushdown —
+    Spark rewrites rank-filter windows to a per-partition top-k heap);
+    different salts give near-independent draws, same argument as
+    hash_bucket. Adds a ``sample_rank`` column (1..k)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_rank_key(key, salt).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

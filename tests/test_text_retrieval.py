@@ -121,3 +121,39 @@ def test_bm25_matches_python_reference(spark, sf_dir):
     assert set(got) == set(expect)
     for doc_id, score in got.items():
         assert abs(score - expect[doc_id]) <= 1e-6, (doc_id, score, expect[doc_id])
+
+
+def test_exact_k_sample_contract(spark, sf_dir):
+    """Exactly k rows per stratum, deterministic across runs."""
+    from schwab_elt_etl_pipeline_spark.operators.sampling import exact_k_per_group
+    from schwab_elt_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    got = exact_k_per_group(docs, "doc_id", "source", 5).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(v) == 5 for v in per.values())
+    again = {
+        (r["source"], r["doc_id"])
+        for r in exact_k_per_group(docs, "doc_id", "source", 5).collect()
+    }
+    assert again == {(r["source"], r["doc_id"]) for r in got}
+
+
+def test_salted_draws_are_near_independent(spark, sf_dir):
+    """Two salts must give near-independent draws (expected overlap ≈ k/n =
+    20% here). Regression: the original _SALT_STEP was ≡ −4 mod the
+    reduction prime, so salted orderings were ~identical (99% overlap)."""
+    from schwab_elt_etl_pipeline_spark.operators.sampling import exact_k_per_group
+    from schwab_elt_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = {r["doc_id"] for r in exact_k_per_group(docs, "doc_id", "source", 5).collect()}
+    for salt in (1, 3):
+        alt = {
+            r["doc_id"]
+            for r in exact_k_per_group(docs, "doc_id", "source", 5, salt=salt).collect()
+        }
+        overlap = len(base & alt) / len(base)
+        assert overlap <= 0.6, f"salt {salt}: draws not independent ({overlap:.0%})"
