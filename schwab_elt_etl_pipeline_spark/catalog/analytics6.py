@@ -806,7 +806,41 @@ WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0
 """
 
 
+def quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the bottom 20% of documents by quality score — the relative
+    (quantile) variant of the absolute ``keep = logit > 0`` gate, used when
+    a corpus must shrink by a fixed fraction rather than to a fixed bar.
+
+    Scale shape: the threshold is ONE exact percentile reduced to a 1-row
+    scalar and broadcast back — never a global percent_rank window (which
+    would sort the corpus on a single partition). Determinism: the logit is
+    the fixed-order rational expression from quality_logit_score, and
+    Spark's interpolated ``percentile`` matches DuckDB's quantile_cont
+    bit-for-bit (established by a_mad_robust)."""
+    scored = quality_logit_score(spark, sf_dir).select("doc_id", "logit")
+    thr = scored.agg(F.expr("percentile(logit, 0.2)").alias("thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))  # 1-row threshold scalar
+        .filter(F.col("logit") >= F.col("thr"))
+        .select(
+            "doc_id",
+            F.round("logit", 6).alias("logit"),
+            F.round("thr", 6).alias("threshold"),
+        )
+    )
+
+
+QUALITY_QUANTILE_SQL = f"""
+WITH scored AS ({QUALITY_LOGIT_SQL}),
+thr AS (SELECT quantile_cont(logit, 0.2) AS thr FROM scored)
+SELECT doc_id, ROUND(logit, 6) AS logit, ROUND(thr, 6) AS threshold
+FROM scored, thr WHERE logit >= thr
+"""
+
+
 SPECS = [
+    QuerySpec("quality_quantile_gate", quality_quantile_gate, QUALITY_QUANTILE_SQL,
+              doc="drop bottom-20%-by-quality via broadcast exact-percentile threshold"),
     QuerySpec("bm25_retrieval", bm25_retrieval, BM25_SQL, headline=True,
               doc="BM25 document scoring, rational idf (log-free, fixed order)"),
     QuerySpec("unigram_rarity", unigram_rarity, UNIGRAM_RARITY_SQL,

@@ -85,6 +85,7 @@ _SANCTIONED_BNLJ = {
     "a_heavy_hitters_sketch",  # 1-row token-total + 1-row sketch broadcast
     "bm25_retrieval",        # 1-row corpus-stats broadcast
     "a_theta_set_ops",       # |event_types|^2 pair join (5x5) on broadcast sketches
+    "quality_quantile_gate",  # 1-row percentile-threshold scalar
 }
 
 

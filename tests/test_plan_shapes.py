@@ -124,6 +124,7 @@ _BNLJ_OK = {
     "a_heavy_hitters_sketch",  # 1-row token-total scalar + 1-row sketch list
     "bm25_retrieval",        # 1-row corpus-stats scalar
     "a_theta_set_ops",       # |event_types|^2 pair join (5x5) on broadcast sketches
+    "quality_quantile_gate",  # 1-row percentile-threshold scalar
 }
 
 
