@@ -104,7 +104,7 @@ _FRONT = [
     # (a) new this round
     "passage_dedup", "bm25_retrieval", "sequence_packing",
     "neardup_canonicalize", "a_theta_set_ops", "sample_exact_k_stratified",
-    "quality_quantile_gate",
+    "quality_quantile_gate", "training_prep_e2e",
     "unigram_rarity", "tfidf_topk_keywords", "quality_logit_score",
     "event_funnel", "retention_cohorts", "item_walk_counts", "decontam_fuzzy",
     "corpus_token_budget_mix", "dq_expectations_orders",

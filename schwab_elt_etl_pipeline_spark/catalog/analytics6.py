@@ -163,6 +163,33 @@ SELECT doc_id, token, score, rk FROM (
 _W0, _W_TOK, _W_WLEN, _W_STOP, _W_UNIQ = -2.0, 0.5, 0.25, 3.0, 1.5
 
 
+def quality_features(text_col: str) -> list:
+    """The quality classifier's feature columns over an arbitrary text
+    column (reused by the e2e training-prep pipeline on REBUILT text)."""
+    t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_tok = F.size(t)
+    n_alpha = F.length(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", ""))
+    n_stop = F.regexp_count(F.lower(F.col(text_col)), F.lit(LANG_MARKERS["en"]))
+    n_uniq = F.size(F.array_distinct(t))
+    return [
+        n_tok.alias("n_tok"),
+        (n_alpha.cast("double") / n_tok.cast("double")).alias("mean_wlen"),
+        (n_stop.cast("double") / n_tok.cast("double")).alias("stop_ratio"),
+        (n_uniq.cast("double") / n_tok.cast("double")).alias("uniq_ratio"),
+    ]
+
+
+def quality_logit() -> F.Column:
+    """Fixed-order rational logit over the quality_features columns."""
+    return (
+        F.lit(_W0)
+        + F.lit(_W_TOK) * (F.col("n_tok").cast("double") / F.lit(1000.0))
+        + F.lit(_W_WLEN) * F.col("mean_wlen")
+        + F.lit(_W_STOP) * F.col("stop_ratio")
+        + F.lit(_W_UNIQ) * F.col("uniq_ratio")
+    )
+
+
 def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality score over native text features, keep = logit > 0.
 
@@ -173,25 +200,8 @@ def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     could differ across engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = _toks()
-    n_tok = F.size(t)
-    n_alpha = F.length(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", ""))
-    n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(LANG_MARKERS["en"]))
-    n_uniq = F.size(F.array_distinct(t))
-    feat = docs.select(
-        "doc_id",
-        n_tok.alias("n_tok"),
-        (n_alpha.cast("double") / n_tok.cast("double")).alias("mean_wlen"),
-        (n_stop.cast("double") / n_tok.cast("double")).alias("stop_ratio"),
-        (n_uniq.cast("double") / n_tok.cast("double")).alias("uniq_ratio"),
-    )
-    logit = (
-        F.lit(_W0)
-        + F.lit(_W_TOK) * (F.col("n_tok").cast("double") / F.lit(1000.0))
-        + F.lit(_W_WLEN) * F.col("mean_wlen")
-        + F.lit(_W_STOP) * F.col("stop_ratio")
-        + F.lit(_W_UNIQ) * F.col("uniq_ratio")
-    )
+    feat = docs.select("doc_id", *quality_features("text"))
+    logit = quality_logit()
     return feat.select(
         "doc_id", "n_tok", "mean_wlen", "stop_ratio", "uniq_ratio",
         logit.alias("logit"),

@@ -774,3 +774,150 @@ SPECS = [
     QuerySpec("t_hopping_windows", t_hopping_windows, HOPPING_SQL, headline=True,
               doc="hopping event-time windows (15 min / 5 min hop)"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Training-data preparation, end-to-end (the LLM twin of corpus_curation_e2e)
+# ---------------------------------------------------------------------------
+
+
+def training_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data preparation pass as ONE oracle-checked
+    query: exact dedup (fingerprint first-winner) → passage-level dedup with
+    text rebuild → quantile quality gate scored on the REBUILT text (drop
+    the bottom 20%) → concatenate-and-chunk sequence packing of the
+    survivors. Output: one row per packed document with its token offsets
+    and quality score — the manifest a training job reads.
+
+    Plan shape at scale: one fingerprint window, the passage pair of
+    shuffles, a map-only feature projection, a 1-row broadcast threshold,
+    and one per-source cumsum window — no global ordering, no unbounded
+    join, every stage individually plan-pinned by its standalone query."""
+    from schwab_elt_etl_pipeline_spark.catalog.analytics6 import (
+        quality_features,
+        quality_logit,
+    )
+    from schwab_elt_etl_pipeline_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    surv1 = (
+        docs.withColumn("_fp", fingerprint("text"))
+        .withColumn("keep_id", F.min("doc_id").over(Window.partitionBy("_fp")))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source", "text")
+    )
+    rebuilt = passage_dedup_rebuild(surv1, passage_tokens=_PASSAGE).select(
+        "doc_id", "deduped_text"
+    ).join(surv1.select("doc_id", "source"), "doc_id")
+    scored = rebuilt.select(
+        "doc_id", "source", *quality_features("deduped_text")
+    ).select(
+        "doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"),
+        quality_logit().alias("logit"),
+    )
+    thr = scored.agg(F.expr("percentile(logit, 0.2)").alias("thr"))
+    surv2 = scored.crossJoin(F.broadcast(thr)).filter(F.col("logit") >= F.col("thr"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = surv2.withColumn(
+        "tok_offset", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    )
+    seq_first = F.expr(f"tok_offset DIV {_SEQ_LEN}")
+    seq_last = F.expr(f"(tok_offset + n_tok - 1) DIV {_SEQ_LEN}")
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "tok_offset",
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        F.round("logit", 6).alias("logit"),
+    )
+
+
+def _training_prep_sql() -> str:
+    from schwab_elt_etl_pipeline_spark.catalog.analytics6 import (
+        _W0,
+        _W_STOP,
+        _W_TOK,
+        _W_UNIQ,
+        _W_WLEN,
+    )
+    from schwab_elt_etl_pipeline_spark.operators.text import LANG_MARKERS
+
+    nt = r"string_split_regex(TRIM(LOWER(new_text)), '\s+')"
+    logit = (
+        f"{_W0} + {_W_TOK} * (CAST(LEN({nt}) AS DOUBLE) / 1000.0)"
+        f" + {_W_WLEN} * (CAST(LEN(regexp_replace(TRIM(LOWER(new_text)), '\\s+', '', 'g')) AS DOUBLE)"
+        f"   / CAST(LEN({nt}) AS DOUBLE))"
+        f" + {_W_STOP} * (CAST(LEN(regexp_extract_all(LOWER(new_text), '{LANG_MARKERS['en']}')) AS DOUBLE)"
+        f"   / CAST(LEN({nt}) AS DOUBLE))"
+        f" + {_W_UNIQ} * (CAST(LEN(list_distinct({nt})) AS DOUBLE)"
+        f"   / CAST(LEN({nt}) AS DOUBLE))"
+    )
+    return rf"""
+WITH fp AS (
+  SELECT doc_id, source, text,
+         MIN(doc_id) OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+         ) AS keep_id
+  FROM documents
+), surv1 AS (
+  SELECT doc_id, source, text FROM fp WHERE doc_id = keep_id
+), tok AS (
+  SELECT doc_id, source, {_TOKS} AS ts FROM surv1
+), p AS (
+  SELECT doc_id,
+         CAST((start - 1) // {_PASSAGE} AS INT) AS passage_id,
+         array_to_string(ts[start : start + {_PASSAGE} - 1], ' ') AS passage
+  FROM (SELECT doc_id, ts, UNNEST(generate_series(1, LEN(ts), {_PASSAGE})) AS start
+        FROM tok)
+), rr AS (
+  SELECT doc_id, passage_id, passage,
+         ROW_NUMBER() OVER (PARTITION BY passage ORDER BY doc_id, passage_id) AS rk
+  FROM p
+), rebuilt AS (
+  SELECT doc_id,
+         COALESCE(string_agg(passage, ' ' ORDER BY passage_id)
+                  FILTER (WHERE rk = 1), '') AS new_text
+  FROM rr GROUP BY doc_id
+), scored AS (
+  SELECT r.doc_id, t.source,
+         CAST(LEN({nt}) AS BIGINT) AS n_tok,
+         {logit} AS logit
+  FROM rebuilt r JOIN tok t USING (doc_id)
+), thr AS (
+  SELECT quantile_cont(logit, 0.2) AS thr FROM scored
+), surv2 AS (
+  SELECT doc_id, source, n_tok, logit FROM scored, thr WHERE logit >= thr
+), o AS (
+  SELECT doc_id, source, n_tok, logit,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM surv2
+)
+SELECT doc_id, source, n_tok, tok_offset,
+       tok_offset // {_SEQ_LEN} AS seq_first,
+       (tok_offset + n_tok - 1) // {_SEQ_LEN} AS seq_last,
+       ROUND(logit, 6) AS logit
+FROM o
+"""
+
+
+TRAINING_PREP_SQL = _training_prep_sql()
+
+
+# registered here (not in the mid-file SPECS literal) because the e2e builder
+# is defined below that list
+SPECS.append(
+    QuerySpec("training_prep_e2e", training_prep_e2e, TRAINING_PREP_SQL,
+              headline=True,
+              doc="e2e training prep: exact dedup -> passage dedup -> quality gate -> packing")
+)

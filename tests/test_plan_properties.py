@@ -86,6 +86,7 @@ _SANCTIONED_BNLJ = {
     "bm25_retrieval",        # 1-row corpus-stats broadcast
     "a_theta_set_ops",       # |event_types|^2 pair join (5x5) on broadcast sketches
     "quality_quantile_gate",  # 1-row percentile-threshold scalar
+    "training_prep_e2e",     # 1-row percentile-threshold scalar
 }
 
 
