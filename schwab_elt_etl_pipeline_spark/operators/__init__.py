@@ -9,6 +9,7 @@ from schwab_elt_etl_pipeline_spark.operators.dedup import (
     jaccard,
     minhash_lsh_candidates,
     minhash_signature,
+    passage_dedup_rebuild,
     simhash64,
     simhash_near_dups,
     with_shingles,
@@ -41,7 +42,9 @@ from schwab_elt_etl_pipeline_spark.operators.rollup import (
     rollup_read,
 )
 from schwab_elt_etl_pipeline_spark.operators.sampling import (
+    exact_k_per_group,
     hash_bucket,
+    hash_rank_key,
     stratified_hash_sample,
 )
 from schwab_elt_etl_pipeline_spark.operators.scd import scd2_apply, scd2_init
@@ -70,6 +73,9 @@ from schwab_elt_etl_pipeline_spark.operators.windows import (
 
 __all__ = [
     "bpe_ish_token_count",
+    "exact_k_per_group",
+    "hash_rank_key",
+    "passage_dedup_rebuild",
     "brute_force_topk",
     "bucketed_ann_topk",
     "connected_components",
