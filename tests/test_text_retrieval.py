@@ -157,3 +157,50 @@ def test_salted_draws_are_near_independent(spark, sf_dir):
         }
         overlap = len(base & alt) / len(base)
         assert overlap <= 0.6, f"salt {salt}: draws not independent ({overlap:.0%})"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1"]), st.integers(1, 30)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_sequence_packing_matches_reference(spark, docs):
+    """Concatenate-and-chunk offsets vs a driver-side running sum, on random
+    (source, token-count) corpora. Verifies the window frame (exclusive
+    prefix), the integer division, and the boundary-crossing count."""
+    import schwab_elt_etl_pipeline_spark.catalog.curation2 as c2
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(i, src, "w " * n) for i, (src, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # mirror the catalog query's body over this frame (the catalog entry is
+    # bound to the benchmark table; the algebra under test is identical)
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq_len = 7
+    got = {
+        r["doc_id"]: (r["tok_offset"], r["seq_first"], r["seq_last"])
+        for r in df.select("doc_id", "source", n_tok.cast("long").alias("n_tok"))
+        .withColumn("tok_offset", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long"))
+        .select(
+            "doc_id",
+            "tok_offset",
+            F.expr(f"tok_offset DIV {seq_len}").alias("seq_first"),
+            F.expr(f"(tok_offset + n_tok - 1) DIV {seq_len}").alias("seq_last"),
+        )
+        .collect()
+    }
+    offsets: dict[str, int] = {}
+    for i, (src, n) in enumerate(docs):
+        # whitespace-split of "w w ... w " (trailing space trimmed) = n tokens
+        off = offsets.get(src, 0)
+        assert got[i] == (off, off // seq_len, (off + n - 1) // seq_len), (i, src, n)
+        offsets[src] = off + n
