@@ -426,3 +426,26 @@ def test_schema_evolution_on_append(spark, table_dir):
     assert set(evolved.columns) == {"k", "v", "score"}
     rows = {r["k"]: r for r in evolved.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_reader_snapshot_survives_concurrent_overwrite(spark, table_dir):
+    """Snapshot isolation for readers: a plan bound to version N keeps
+    reading N's files after the pointer flips to N+1 (overwrite writes a NEW
+    version directory — it never mutates files a reader may hold), and the
+    pinned version dies only when vacuum retention discards it."""
+    t = ParquetTable(spark, table_dir)
+    t.overwrite_versioned(spark.createDataFrame([(1, "old")], "k long, v string"))
+    v_old = t.current_version()
+    pinned = t.read(version=v_old)
+
+    t.overwrite_versioned(spark.createDataFrame([(1, "new"), (2, "new")], "k long, v string"))
+    # the pinned plan still serves the old snapshot; a fresh read sees new
+    assert [r["v"] for r in pinned.collect()] == ["old"]
+    assert {r["v"] for r in t.read().collect()} == {"new"}
+
+    # retention: vacuum(keep_last=1) discards the old snapshot's files —
+    # the documented bound on how long a pinned reader stays valid
+    removed = t.vacuum(keep_last=1)
+    assert v_old in removed
+    with pytest.raises(Exception):
+        t.read(version=v_old).collect()
