@@ -449,3 +449,28 @@ def test_reader_snapshot_survives_concurrent_overwrite(spark, table_dir):
     assert v_old in removed
     with pytest.raises(Exception):
         t.read(version=v_old).collect()
+
+
+def test_partition_spec_evolution_across_versions(spark, table_dir):
+    """Partition-spec evolution: each version directory carries its own
+    physical layout, so re-partitioning the table is just another versioned
+    overwrite — old snapshots stay readable under their ORIGINAL spec (the
+    Iceberg partition-evolution semantic on plain parquet)."""
+    df = spark.range(40).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("d"),
+        (F.col("id") % 2).cast("int").alias("e"),
+    )
+    t1 = ParquetTable(spark, table_dir, partition_by=["d"])
+    v1 = t1.overwrite_versioned(df)
+    t2 = ParquetTable(spark, table_dir, partition_by=["e"])
+    v2 = t2.overwrite_versioned(df)
+
+    old = t2.read(version=v1).filter(F.col("d") == 2)
+    new = t2.read(version=v2).filter(F.col("e") == 1)
+    assert old.count() == 10 and new.count() == 20
+    # each version prunes on ITS OWN spec
+    old_plan = old._jdf.queryExecution().executedPlan().toString()
+    new_plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(d" in old_plan
+    assert "PartitionFilters: [isnotnull(e" in new_plan
