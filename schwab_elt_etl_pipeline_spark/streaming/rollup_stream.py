@@ -97,3 +97,54 @@ def compact_stage(stage_table: ParquetTable, keys: list[str]) -> int:
         "_epoch", F.lit(max_epoch).cast("long")
     )
     return stage_table.overwrite_versioned(folded)
+
+
+def update_distinct_sketch_table(
+    batch: DataFrame,
+    table: ParquetTable,
+    keys: list[str],
+    ts: str = "ts",
+    value: str = "user_id",
+    lg_k: int = 12,
+) -> None:
+    """Incrementally maintain a per-(keys…, day) HLL sketch table — the
+    operational twin of the batch ``a_hll_partitioned_merge`` pattern:
+    distinct metrics at 100 TB are served from kilobyte sketches that any
+    rollup window can union, never from a rescan of raw events.
+
+    Per micro-batch: sketch ONLY the batch's rows, union-merge into the
+    stored sketches for the touched (keys…, day) cells (semi-join probe —
+    the sketch table is keys×days-sized, never event-sized), and MERGE the
+    combined rows back. Replays are idempotent WITHOUT an epoch ledger:
+    HLL union is a set union, so re-merging the same batch's sketch leaves
+    every estimate unchanged — sketches are the rare aggregate where
+    at-least-once delivery IS exactly-once semantics (pinned in
+    test_streaming_rollup)."""
+    new = batch.groupBy(*keys, F.to_date(ts).alias("day")).agg(
+        F.expr(f"hll_sketch_agg({value}, {lg_k})").alias("sk")
+    )
+    if not table.exists():
+        table.overwrite_versioned(new)
+        return
+    on = [*keys, "day"]
+    touched = new.select(*on).distinct()
+    cur = table.read().join(touched, on, "left_semi")
+    combined = (
+        cur.select(*on, "sk")
+        .unionByName(new)
+        .groupBy(*on)
+        .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+    )
+    table.merge(combined, keys=on)
+
+
+def read_distinct_estimates(table: ParquetTable, keys: list[str]) -> DataFrame:
+    """Serve distinct-count estimates from the sketch table: union-merge the
+    per-day sketches per key group — any coarser grouping is the same cheap
+    union, raw data is never touched."""
+    return table.read().groupBy(*keys).agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias(
+            "approx_distinct"
+        ),
+        F.count(F.lit(1)).alias("n_day_sketches"),
+    )

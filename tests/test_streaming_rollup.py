@@ -97,3 +97,57 @@ def test_compact_stage_guards_missing_and_empty(spark, tmp_path):
     v = compact_stage(empty, keys=["event_type"])
     assert v == empty.current_version()  # unchanged, no NULL-epoch write
     assert empty.read().count() == 0
+
+
+def test_incremental_distinct_sketch_table(spark):
+    """Two-batch sketch maintenance must estimate exact distincts within the
+    HLL envelope, and replaying a batch must leave every estimate unchanged
+    (sketch union is a set union — at-least-once IS exactly-once here)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from schwab_elt_etl_pipeline_spark.streaming.rollup_stream import (
+        read_distinct_estimates,
+        update_distinct_sketch_table,
+    )
+
+    d = tempfile.mkdtemp(prefix="sk_tbl_")
+    try:
+        table = ParquetTable(spark, d)
+
+        def mk(rows):
+            return spark.createDataFrame(
+                rows, "event_type string, ts timestamp_ntz, user_id long"
+            )
+
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 6, 17, 10, 0)
+        b1 = mk([("a", t0, u) for u in range(300)] + [("b", t0, u) for u in range(50)])
+        b2 = mk(
+            [("a", t0 + dt.timedelta(days=1), u) for u in range(150, 450)]
+            + [("b", t0, u) for u in range(25, 75)]
+        )
+        update_distinct_sketch_table(b1, table, keys=["event_type"])
+        update_distinct_sketch_table(b2, table, keys=["event_type"])
+
+        est = {
+            r["event_type"]: (r["approx_distinct"], r["n_day_sketches"])
+            for r in read_distinct_estimates(table, ["event_type"]).collect()
+        }
+        # exact: a = 0..449 (450), b = 0..74 (75)
+        assert est["a"][1] == 2 and est["b"][1] == 1
+        assert abs(est["a"][0] - 450) <= 0.05 * 450
+        assert abs(est["b"][0] - 75) <= max(0.05 * 75, 2)
+
+        # replay batch 2: estimates bit-identical (union idempotence)
+        update_distinct_sketch_table(b2, table, keys=["event_type"])
+        est2 = {
+            r["event_type"]: (r["approx_distinct"], r["n_day_sketches"])
+            for r in read_distinct_estimates(table, ["event_type"]).collect()
+        }
+        assert est2 == est
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
