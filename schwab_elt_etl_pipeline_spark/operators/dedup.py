@@ -361,8 +361,14 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = und.select(F.col("s").alias("node")).distinct().select(
-        "node", F.col("node").alias("comp")
+    # initial labels fold the FIRST propagation round into the node-set
+    # build: comp₀ = min(node, min neighbor) is exactly what round 1's hook
+    # would compute from identity labels, for the cost of the groupBy that
+    # derives the node set anyway — one fewer loop round on every graph
+    labels = (
+        und.groupBy(F.col("s").alias("node"))
+        .agg(F.min("t").alias("_mn"))
+        .select("node", F.least("node", "_mn").alias("comp"))
     )
     for _ in range(max_iter):
         neigh = (
