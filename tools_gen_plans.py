@@ -1,0 +1,56 @@
+"""Regenerate PLANS.md: executed physical plans of the heaviest headline
+queries at $SPARK_GRAFT_SF_DIR (default sf0.1), with the engine's session
+confs. Run after any plan-affecting change so the committed plans stay
+honest; the plan-shape invariants themselves are enforced by
+tests/test_plan_shapes.py and tests/test_plan_properties.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from schwab_elt_etl_pipeline_spark.catalog import all_specs
+from schwab_elt_etl_pipeline_spark.session import get_spark
+
+_NAMES = [
+    "pipeline_verts_e2e",
+    "training_prep_e2e",
+    "neardup_canonicalize",
+    "corpus_curation_e2e",
+    "q1_pricing_summary",
+    "bm25_retrieval",
+    "passage_dedup",
+    "t9_gapfill_locf",
+]
+
+_HEADER = """# PLANS — executed physical plans of the heaviest headline queries
+
+Auto-generated (`python tools_gen_plans.py`) at sf0.1 with the engine's
+session confs (AQE on). What to look for, per ARCHITECTURE.md: predicate
+pushdown + pruned `ReadSchema` on every scan, `BroadcastHashJoin` on dim
+sides, two `HashAggregate` levels around each exchange (map-side combine),
+`*(n)` whole-stage-codegen spans over the scalar pipelines, and no
+`CartesianProduct` / `BatchEvalPython` anywhere.
+"""
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="plansdoc")
+    specs = {s.name: s for s in all_specs()}
+    out = [_HEADER]
+    for name in _NAMES:
+        df = specs[name].build(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        df.collect()  # finalize AQE so isFinalPlan=true plans are captured
+        plan = qe.executedPlan().toString()
+        if len(plan) > 9000:
+            plan = plan[:9000] + "\n... [truncated]"
+        out.append(f"## {name}\n\n```\n{plan}\n```\n")
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
