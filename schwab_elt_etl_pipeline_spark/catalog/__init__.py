@@ -52,6 +52,7 @@ def all_specs() -> list[QuerySpec]:
         analytics5,
         analytics6,
         analytics7,
+        analytics8,
         curation2,
         domain,
         domain_pipeline,
@@ -64,6 +65,7 @@ def all_specs() -> list[QuerySpec]:
 
     specs: list[QuerySpec] = []
     for mod in (
+        analytics8,
         analytics6,
         analytics7,
         curation2,
@@ -98,10 +100,13 @@ def all_specs() -> list[QuerySpec]:
     return specs
 
 
-#: Round-4 sampling priority — see comment in all_specs(). Python's sort is
+#: Round-5 sampling priority — see comment in all_specs(). Python's sort is
 #: stable, so names not listed here keep their module order after the front.
 _FRONT = [
-    # (a) new this round
+    # (a) new in round 5
+    "graph_triangle_counts", "j_interval_overlap", "w_rolling_zscore",
+    "a_winsorized_stats", "ann_projected_rerank",
+    # (a) new in round 4 (never driver-sampled: no CORRECTNESS_r04 was recorded)
     "passage_dedup", "bm25_retrieval", "sequence_packing",
     "neardup_canonicalize", "a_theta_set_ops", "sample_exact_k_stratified",
     "quality_quantile_gate", "training_prep_e2e",

@@ -1,0 +1,318 @@
+"""Round-5 wave: distributed graph triangle counting, interval-overlap
+joins, rolling z-score anomaly flags, and winsorized robust statistics.
+
+Each query is a plan shape a 100 TB pipeline needs beyond what the reference
+exercises:
+
+- triangle counting is THE join-bounded graph motif — the degree-oriented
+  plan keeps the wedge intermediate at O(m^1.5) instead of O(Σ deg²), which
+  is the difference between feasible and not on a skewed social graph;
+- interval-overlap generalizes the point-in-interval join
+  (``operators/interval.py``) to interval×interval with an overlap-length
+  measure, via the same day-bucket equi-join blocking;
+- rolling z-score is the streaming-shaped anomaly detector (trailing frame,
+  exact decimal moments so the score is order-independent);
+- winsorization is the robust-statistics twin of the quantile quality gate
+  (clamp at exact percentiles, then exact-decimal mean).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
+from schwab_elt_etl_pipeline_spark.sources import load_table
+
+
+def _click_edges(ev: DataFrame) -> DataFrame:
+    """Canonical undirected co-click edges (u < v), one row per edge.
+
+    Same item graph as ``item_walk_counts`` (item = ``props.k`` of click
+    events); the per-user distinct-item fan-out is catalog-bounded, so the
+    edge set is |items|²-bounded, not |events|-bounded.
+    """
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.from_json("props", "k INT")["k"].alias("item"))
+        .distinct()
+    )
+    other = clicks.select("user_id", F.col("item").alias("v"))
+    return (
+        clicks.join(other, "user_id")
+        .filter(F.col("item") < F.col("v"))
+        .select(F.col("item").alias("u"), "v")
+        .distinct()
+    )
+
+
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the co-click graph.
+
+    Degree-oriented algorithm (the MapReduce-classic): orient every edge
+    from its (degree, id)-smaller endpoint to the larger one. The oriented
+    graph is a DAG where each triangle has exactly one apex with two
+    out-edges, so
+
+        triangles = (a→b ⋈ a→c on a)  ⋈  oriented(b→c)
+
+    counts each triangle exactly once. Orientation caps out-degree at
+    O(√m), so the wedge intermediate is O(m^1.5) — a plain wedge join on
+    un-oriented edges would be O(Σ deg²), quadratic in the hottest vertex.
+    Degrees are node-sized → broadcast; the only big shuffles are the wedge
+    equi-join on the apex and the closing equi-join on (b, c).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    edges = _click_edges(ev)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    o2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = o1.join(o2, "a").filter(F.col("b") != F.col("c"))
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+
+
+TRIANGLES_SQL = """
+WITH clicks AS (
+  SELECT DISTINCT user_id, CAST(props->>'$.k' AS INT) AS item
+  FROM events WHERE event_type = 'click'
+),
+edges AS (
+  SELECT DISTINCT a.item AS u, b.item AS v
+  FROM clicks a JOIN clicks b USING (user_id)
+  WHERE a.item < b.item
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT item, COUNT(*) AS n_tri FROM (
+  SELECT x AS item FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) GROUP BY item
+"""
+
+
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join with an overlap-length measure.
+
+    Left intervals: per-(user, day) activity sessions [first, last] over
+    click/view events. Right intervals: 30-minute incident windows opened
+    by that user's error events. Pairs where the intervals overlap, with
+    the overlap length in exact integer microseconds.
+
+    Plan: the join is an EQUI-join on (user_id, day) — incidents explode
+    into the ≤2 calendar days they cover (bounded fan-out), sessions carry
+    their single day — with the overlap predicate as a cheap residual.
+    A bare ``s_start <= i_end AND i_start <= s_end`` join would plan a
+    nested-loop cross product; the oracle states exactly that predicate
+    form, proving the blocked plan loses no pairs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("i_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("i_end"),
+    )
+    inc_days = incidents.withColumn(
+        "day",
+        F.explode(F.sequence(F.to_date("i_start"), F.to_date("i_end"))),
+    )
+    joined = sessions.join(inc_days, ["user_id", "day"]).filter(
+        (F.col("s_start") <= F.col("i_end"))
+        & (F.col("i_start") <= F.col("s_end"))
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        "incident_id",
+        (
+            # parquet timestamps load as NTZ; unix_micros needs an instant —
+            # the session tz is pinned UTC, so the cast is value-preserving
+            F.unix_micros(F.least("s_end", "i_end").cast("timestamp"))
+            - F.unix_micros(F.greatest("s_start", "i_start").cast("timestamp"))
+        ).alias("overlap_us"),
+    )
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH sessions AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+incidents AS (
+  SELECT user_id, event_id AS incident_id,
+         ts AS i_start, ts + INTERVAL 30 MINUTE AS i_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.day, i.incident_id,
+       CAST(epoch_us(LEAST(s.s_end, i.i_end))
+            - epoch_us(GREATEST(s.s_start, i.i_start)) AS BIGINT) AS overlap_us
+FROM sessions s JOIN incidents i
+  ON s.user_id = i.user_id
+ AND s.s_start <= i.i_end AND i.i_start <= s.s_end
+"""
+
+
+def w_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20-event rolling z-score anomaly flag per user.
+
+    The rolling mean/variance come from exact DECIMAL power sums over the
+    frame (sum, sum-of-squares), so the moments are independent of
+    evaluation order — the same discipline as ``a_stats_moments`` /
+    ``a_ols_trend_exact``, applied to a moving frame. The final score is a
+    fixed sequence of IEEE ops on those exact inputs. One window exchange
+    on user_id serves every column. Degenerate frames (zero variance)
+    yield NULL z and no flag.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    vdec = F.col("value").cast("decimal(18,6)")
+    s1 = F.sum(vdec).over(w)
+    s2 = F.sum(vdec * vdec).over(w)
+    n = F.count(F.lit(1)).over(w)
+    m = s1.cast("double") / n
+    var = s2.cast("double") / n - m * m
+    z = F.when(var > 0, F.round((F.col("value") - m) / F.sqrt(var), 6))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(m, 6).alias("roll_mean"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > 2.5, F.lit(False)).alias("is_outlier"),
+    )
+
+
+ROLLING_ZSCORE_SQL = """
+WITH scored AS (
+  SELECT user_id, event_id, value,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS m,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))
+                  * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS ex2,
+         COUNT(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, value,
+       ROUND(m, 6) AS roll_mean,
+       CASE WHEN ex2 - m * m > 0
+            THEN ROUND((value - m) / sqrt(ex2 - m * m), 6) END AS z,
+       COALESCE(CASE WHEN ex2 - m * m > 0
+                     THEN abs(ROUND((value - m) / sqrt(ex2 - m * m), 6)) > 2.5
+                END, FALSE) AS is_outlier
+FROM scored
+"""
+
+
+def a_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clamp at the exact p05/p95, then an
+    exact-decimal mean of the clamped values.
+
+    Thresholds are exact interpolated percentiles (one grouped-percentile
+    pass, group-count-sized result → broadcast back); clamping and the
+    tail counts are a second linear scan. Rounding the thresholds to 6
+    digits BEFORE the clamp pins the tie edge identically across engines.
+    The robust twin of ``quality_quantile_gate`` (which drops the tail;
+    winsorization saturates it).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_lo"),
+            F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_hi"),
+            (
+                F.sum(clamped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("win_mean"),
+        )
+    )
+
+
+WINSORIZED_SQL = """
+WITH th AS (
+  SELECT event_type,
+         ROUND(quantile_cont(value, 0.05), 6) AS lo,
+         ROUND(quantile_cont(value, 0.95), 6) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, lo, hi,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE value < lo) AS n_lo,
+       COUNT(*) FILTER (WHERE value > hi) AS n_hi,
+       CAST(SUM(CAST(LEAST(GREATEST(value, lo), hi) AS DECIMAL(18,6)))
+            AS DOUBLE) / COUNT(*) AS win_mean
+FROM events e JOIN th USING (event_type)
+GROUP BY e.event_type, lo, hi
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "graph_triangle_counts", graph_triangle_counts, TRIANGLES_SQL,
+        headline=True,
+        doc="per-vertex triangle counts, degree-oriented O(m^1.5) wedge join",
+    ),
+    QuerySpec(
+        "j_interval_overlap", j_interval_overlap, INTERVAL_OVERLAP_SQL,
+        doc="interval-overlap join via day-bucket blocking + residual",
+    ),
+    QuerySpec(
+        "w_rolling_zscore", w_rolling_zscore, ROLLING_ZSCORE_SQL,
+        headline=True,
+        doc="trailing-frame z-score anomaly flags from exact decimal moments",
+    ),
+    QuerySpec(
+        "a_winsorized_stats", a_winsorized_stats, WINSORIZED_SQL,
+        doc="winsorized robust mean at exact p05/p95 clamp",
+    ),
+]

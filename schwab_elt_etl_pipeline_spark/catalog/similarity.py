@@ -17,6 +17,8 @@ from schwab_elt_etl_pipeline_spark.operators.similarity import (
     bucketed_ann_topk,
     cosine,
     ivf_kmeans_topk,
+    projected_rerank_topk,
+    projection_signs,
 )
 from schwab_elt_etl_pipeline_spark.sources import load_table
 
@@ -161,6 +163,52 @@ WHERE ROUND({_COS_SQL.format(a="a.v", b="b.v")}, 6) >= 0.3
 """
 
 
+def ann_projected_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-then-refine ANN: coarse top-40 in an 8-d ±1 random-projection
+    sketch space, exact cosine re-rank to top-10. Both stages deterministic
+    (literal sign matrix, rounded scores, id tiebreaks) — the fully
+    oracle-checkable member of the ANN family, where the coarse pass reads
+    1/8 of the vector bytes and the exact kernel touches 40/N of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return projected_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=10, n_candidates=40
+    )
+
+
+_SIGN_LISTS = [
+    "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in row) + "]"
+    for row in projection_signs(8, 64)
+]
+_PROJ_SQL = (
+    "[" + ", ".join(f"list_dot_product(v, {row})" for row in _SIGN_LISTS) + "]"
+)
+
+ANN_PROJECTED_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), pr AS (
+  SELECT vec_id, v, {_PROJ_SQL} AS p FROM base
+), q AS (
+  SELECT vec_id AS q_id, v AS q_vec, p AS q_p FROM pr WHERE vec_id < {_N_QUERIES}
+), c AS (
+  SELECT vec_id, v AS c_vec, p AS c_p FROM pr
+), coarse AS (
+  SELECT q_id, vec_id, q_vec, c_vec,
+         ROUND(list_dot_product(q_p, c_p), 6) AS coarse
+  FROM c, q WHERE vec_id <> q_id
+), cand AS (
+  SELECT q_id, vec_id, q_vec, c_vec FROM coarse
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY coarse DESC, vec_id ASC) <= 40
+), rer AS (
+  SELECT q_id, vec_id,
+         ROUND({_COS_SQL.format(a="q_vec", b="c_vec")}, 6) AS cos
+  FROM cand
+)
+SELECT q_id, vec_id, cos FROM rer
+QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) <= 10
+"""
+
+
 SPECS = [
     QuerySpec("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_SQL, headline=True,
               doc="brute-force cosine top-k (exact baseline)"),
@@ -170,4 +218,6 @@ SPECS = [
               doc="k-means IVF ANN certified: exact top-1 anchor + recall verdict"),
     QuerySpec("embedding_near_dup", embedding_near_dup, EMBEDDING_NEAR_DUP_SQL,
               doc="banded embedding-cosine near-dup pairs"),
+    QuerySpec("ann_projected_rerank", ann_projected_rerank, ANN_PROJECTED_SQL,
+              doc="filter-then-refine ANN: 8-d sign-projection coarse pass + exact re-rank"),
 ]

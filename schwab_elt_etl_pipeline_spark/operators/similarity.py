@@ -210,3 +210,87 @@ def bucketed_ann_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", "cos")
     )
+
+
+def projection_signs(n_proj: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 random-projection matrix (n_proj × dim).
+
+    Signs come from bit 16 of an LCG mix of (j, d), computed HERE and
+    embedded as literals on both engines — no cross-engine hash function
+    is involved, so the projection is reproducible anywhere.
+    """
+    return [
+        [
+            1.0 if ((j * 1103515245 + d * 12345) >> 16) & 1 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_proj)
+    ]
+
+
+def project(vec: Column, signs: list[list[float]]) -> Column:
+    """Signed-projection sketch of ``vec``: array of n_proj dot products
+    against the literal ±1 rows (JVM array lambdas, sequential sums)."""
+    return F.array(
+        *[dot(vec, F.array(*[F.lit(s) for s in row])) for row in signs]
+    )
+
+
+def projected_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_candidates: int = 40,
+    n_proj: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-stage ANN: coarse top-``n_candidates`` by dot product in a
+    ``n_proj``-dimensional ±1 random-projection space, exact cosine re-rank
+    of the candidates to top-``k``.
+
+    This is the filter-then-refine layout every billion-vector store uses:
+    the coarse pass touches only the 8-d sketch (8/64 of the bytes — at
+    scale the sketch column is a separate, cache-resident projection of the
+    table), and the exact kernel runs on ``n_candidates/N`` of the corpus.
+    Both stages are deterministic (rounded scores, id tiebreaks), so the
+    whole pipeline is exactly reproducible — and exactly oracle-checkable —
+    unlike sample-trained ANN indexes.
+    """
+    signs = projection_signs(n_proj, dim)
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec")
+    ).withColumn("q_proj", project(F.col("q_vec"), signs))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("c_vec")
+    ).withColumn("c_proj", project(F.col("c_vec"), signs))
+    coarse = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "q_vec",
+            "c_vec",
+            F.round(dot(F.col("q_proj"), F.col("c_proj")), round_digits).alias(
+                "coarse"
+            ),
+        )
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("coarse"), F.asc("vec_id"))
+    cand = coarse.withColumn("crk", F.row_number().over(wc)).filter(
+        F.col("crk") <= n_candidates
+    )
+    rer = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos")
+    )
