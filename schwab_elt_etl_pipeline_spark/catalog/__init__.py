@@ -54,6 +54,7 @@ def all_specs() -> list[QuerySpec]:
         analytics7,
         analytics8,
         curation2,
+        curation3,
         domain,
         domain_pipeline,
         llm_text,
@@ -66,6 +67,7 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (
         analytics8,
+        curation3,
         analytics6,
         analytics7,
         curation2,
@@ -105,7 +107,8 @@ def all_specs() -> list[QuerySpec]:
 _FRONT = [
     # (a) new in round 5
     "graph_triangle_counts", "j_interval_overlap", "w_rolling_zscore",
-    "a_winsorized_stats", "ann_projected_rerank",
+    "a_winsorized_stats", "ann_projected_rerank", "bpe_apply_merges",
+    "embedding_label_centroids", "hard_negative_mining",
     # (a) new in round 4 (never driver-sampled: no CORRECTNESS_r04 was recorded)
     "passage_dedup", "bm25_retrieval", "sequence_packing",
     "neardup_canonicalize", "a_theta_set_ops", "sample_exact_k_stratified",

@@ -1,0 +1,149 @@
+"""Round-5 curation wave: tokenizer merge application and embedding-space
+class centroids — the two ops between "curated text" and "training batches".
+
+``bpe_apply_merges`` is the corpus-tokenization kernel (see
+``operators/tokenize.py``); ``embedding_label_centroids`` is the per-class
+mean-pool every semantic-dedup / clustering / IVF-training pass needs, in
+the order-independent exact-decimal form that makes it oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
+from schwab_elt_etl_pipeline_spark.operators.tokenize import (
+    apply_pair_merges,
+    explode_tokens,
+    rebuild_docs,
+)
+from schwab_elt_etl_pipeline_spark.sources import load_table
+
+# Ordered merge rules — the "trained tokenizer". Chosen from the corpus's
+# most frequent adjacent pairs; fixed literals so the query is reproducible
+# at every scale factor (a real vocab is equally static at apply time).
+MERGES = [("table", "hash"), ("part", "filter"), ("customer", "join")]
+
+_TOKS = r"string_split_regex(TRIM(LOWER(text)), '\s+')"
+
+
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 3-rule merge list to every document; emit the re-tokenized
+    text and its token count. One doc_id shuffle serves all three window
+    passes and the final reassembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = explode_tokens(docs)
+    return rebuild_docs(apply_pair_merges(toks, MERGES))
+
+
+def _merge_pass_sql(i: int, prev: str, a: str, b: str) -> str:
+    """One greedy merge pass as chained CTEs (same semantics as
+    ``operators/tokenize.py merge_pass``)."""
+    return f"""
+e{i} AS (
+  SELECT doc_id, pos, tok,
+         (tok = '{a}' AND lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) = '{b}') AS elig
+  FROM {prev}
+), r{i} AS (
+  SELECT *, (elig AND NOT COALESCE(lag(elig) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)) AS run_start
+  FROM e{i}
+), g{i} AS (
+  SELECT *, SUM(CASE WHEN run_start THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+  FROM r{i}
+), m{i} AS (
+  SELECT *, (elig AND ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY pos) % 2 = 1) AS merged
+  FROM g{i}
+), k{i} AS (
+  SELECT doc_id, pos,
+         CASE WHEN merged THEN '{a}_{b}' ELSE tok END AS tok,
+         COALESCE(lag(merged) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS absorbed
+  FROM m{i}
+), t{i} AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, tok
+  FROM k{i} WHERE NOT absorbed
+)"""
+
+
+def _bpe_sql() -> str:
+    passes = ",".join(
+        _merge_pass_sql(i, f"t{i - 1}" if i else "t0_base", a, b)
+        for i, (a, b) in enumerate(MERGES)
+    )
+    last = f"t{len(MERGES) - 1}"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), t0_base AS (
+  SELECT doc_id, i AS pos, ts[i] AS tok
+  FROM tok, UNNEST(generate_series(1, LEN(ts))) AS g(i)
+),{passes}
+SELECT doc_id, COUNT(*) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY pos) AS text_bpe
+FROM {last} GROUP BY doc_id
+"""
+
+
+BPE_APPLY_SQL = _bpe_sql()
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per (label, dim).
+
+    Elementwise mean from exact DECIMAL sums over a posexplode — the
+    aggregation is map-side combinable and order-independent, so the
+    centroid is bit-reproducible (the property that makes seeded k-means /
+    IVF training and class-prototype dedup auditable). At 100 TB this is
+    one shuffle of (label, dim) partial sums — never of vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        ),
+    )
+    return (
+        exploded.groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # one final ROUND: a float32 whose decimal expansion ties at
+            # the cast scale rounds HALF_UP in Spark vs HALF_EVEN in DuckDB
+            # (one hit in 128k cells at sf0.01, 2e-14 off) — 6 digits
+            # swallows the half-ulp without hiding real drift
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid"),
+        )
+        .select("label", F.col("dim").cast("int").alias("dim"), "n", "centroid")
+    )
+
+
+CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+), x AS (
+  SELECT label, i AS dim, v[i] AS x
+  FROM e, UNNEST(generate_series(1, LEN(v))) AS g(i)
+)
+SELECT label, CAST(dim AS INT) AS dim, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS centroid
+FROM x GROUP BY label, dim
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "bpe_apply_merges", bpe_apply_merges, BPE_APPLY_SQL,
+        headline=True,
+        doc="BPE-style greedy merge-rule application over the corpus "
+            "(one doc shuffle, M window passes)",
+    ),
+    QuerySpec(
+        "embedding_label_centroids", embedding_label_centroids, CENTROIDS_SQL,
+        doc="per-label embedding centroids from exact decimal sums",
+    ),
+]

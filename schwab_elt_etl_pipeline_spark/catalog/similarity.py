@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
 from schwab_elt_etl_pipeline_spark.operators.similarity import (
@@ -19,6 +20,7 @@ from schwab_elt_etl_pipeline_spark.operators.similarity import (
     ivf_kmeans_topk,
     projected_rerank_topk,
     projection_signs,
+    sign_bucket,
 )
 from schwab_elt_etl_pipeline_spark.sources import load_table
 
@@ -209,6 +211,60 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) <= 1
 """
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardest negative per anchor: the highest-cosine vector with a
+    DIFFERENT label inside the anchor's sign-LSH bucket — the contrastive-
+    training mining step (hard negatives dominate InfoNCE gradient quality).
+
+    The bucket equi-join bounds candidates to the anchor's cell, so mining
+    cost is O(N²/2^bits) spread across co-partitioned cells instead of the
+    all-pairs O(N²); at 100 TB the same plan runs per bucket shard. Ties
+    break by candidate id; rounded cosines pin the winner across engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        as_double("embedding").alias("a_vec"),
+    ).withColumn("bucket", sign_bucket(F.col("a_vec"), 4))
+    b = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("b_label"),
+        as_double("embedding").alias("b_vec"),
+    ).withColumn("bucket", sign_bucket(F.col("b_vec"), 4))
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("a_label") != F.col("b_label"))
+        .select(
+            "a_id",
+            "neg_id",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("a_id", "neg_id", "cos")
+    )
+
+
+HARD_NEGATIVE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         {_BUCKET_SQL.format(v="(embedding::DOUBLE[])")} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS neg_id,
+         ROUND({_COS_SQL.format(a="a.v", b="b.v")}, 6) AS cos
+  FROM e a JOIN e b USING (bucket)
+  WHERE a.label <> b.label
+)
+SELECT a_id, neg_id, cos FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, neg_id ASC) = 1
+"""
+
+
 SPECS = [
     QuerySpec("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_SQL, headline=True,
               doc="brute-force cosine top-k (exact baseline)"),
@@ -220,4 +276,6 @@ SPECS = [
               doc="banded embedding-cosine near-dup pairs"),
     QuerySpec("ann_projected_rerank", ann_projected_rerank, ANN_PROJECTED_SQL,
               doc="filter-then-refine ANN: 8-d sign-projection coarse pass + exact re-rank"),
+    QuerySpec("hard_negative_mining", hard_negative_mining, HARD_NEGATIVE_SQL,
+              doc="contrastive hard-negative mining within sign-LSH buckets"),
 ]

@@ -1,0 +1,82 @@
+"""Greedy pair-merge semantics (operators/tokenize.py).
+
+The catalog corpus has no adjacent same-token repeats, so the overlap
+(run-parity) branch is pinned here: greedy left-to-right must merge the
+1st, 3rd, ... pair of a repeat run, exactly like a sequential encoder.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from schwab_elt_etl_pipeline_spark.operators.tokenize import (
+    apply_pair_merges,
+    explode_tokens,
+    merge_pass,
+    rebuild_docs,
+)
+
+
+def _tokenize(spark, docs):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    return explode_tokens(df)
+
+
+def _texts(toks):
+    out = rebuild_docs(toks).orderBy("doc_id").collect()
+    return [r.text_bpe for r in out]
+
+
+def _reference_merge(tokens: list[str], a: str, b: str) -> list[str]:
+    """Sequential greedy left-to-right merge — the semantics contract."""
+    out, i = [], 0
+    while i < len(tokens):
+        if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+            out.append(f"{a}_{b}")
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+def test_merge_distinct_pair(spark):
+    toks = _tokenize(spark, ["x table hash y table hash", "table y hash"])
+    assert _texts(merge_pass(toks, "table", "hash")) == [
+        "x table_hash y table_hash",
+        "table y hash",
+    ]
+
+
+@pytest.mark.parametrize("run_len", [2, 3, 4, 5, 6])
+def test_merge_repeat_run_greedy_parity(spark, run_len):
+    doc = " ".join(["a"] * run_len)
+    toks = _tokenize(spark, [doc])
+    expect = " ".join(_reference_merge(["a"] * run_len, "a", "a"))
+    assert _texts(merge_pass(toks, "a", "a")) == [expect]
+
+
+def test_merge_cascade_order_matters(spark):
+    # rule 1 consumes the 'b' that rule 2 would have needed: ordered
+    # application must yield a_b c, never a b_c
+    toks = _tokenize(spark, ["a b c"])
+    assert _texts(apply_pair_merges(toks, [("a", "b"), ("b", "c")])) == ["a_b c"]
+    toks2 = _tokenize(spark, ["a b c"])
+    assert _texts(apply_pair_merges(toks2, [("b", "c"), ("a", "b")])) == ["a b_c"]
+
+
+def test_merged_token_does_not_rematch(spark):
+    # after (a, a) -> a_a, the new token must not feed the same rule again
+    # within the pass: 'a a a a' -> 'a_a a_a', not 'a_a_a_a'
+    toks = _tokenize(spark, ["a a a a"])
+    merged = _texts(merge_pass(toks, "a", "a"))
+    assert merged == ["a_a a_a"]
+
+
+def test_positions_renumber_contiguously(spark):
+    toks = merge_pass(_tokenize(spark, ["x a b y a b z"]), "a", "b")
+    rows = toks.orderBy("pos").collect()
+    assert [r.pos for r in rows] == [1, 2, 3, 4, 5]
+    assert [r.tok for r in rows] == ["x", "a_b", "y", "a_b", "z"]
