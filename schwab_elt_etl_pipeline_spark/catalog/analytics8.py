@@ -296,6 +296,190 @@ GROUP BY e.event_type, lo, hi
 """
 
 
+def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the four lineitem measures in ONE
+    scan: every power/cross sum accumulates as exact DECIMAL (so the
+    moments are partial-aggregable and order-independent — the same
+    discipline as ``a_stats_moments``/``a_ols_trend_exact`` widened to the
+    full moment matrix), then each correlation is a fixed IEEE expression
+    over the exact sums. At 100 TB: one map-side-combined all-reduce of
+    15 numbers; the correlation math runs on one row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    # DECIMAL(19,4): width > 18 forces DuckDB onto the wide decimal path so
+    # the product widens to (38,8) instead of overflowing int64 storage —
+    # Spark computes the same (38,8) product type; both sums stay exact
+    dec = {c: F.col(c).cast("decimal(19,4)") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(dec[a]).cast("double").alias(f"s_{i}"))
+        for j, b in enumerate(cols):
+            if j >= i:
+                aggs.append(
+                    F.sum(dec[a] * dec[b]).cast("double").alias(f"s_{i}_{j}")
+                )
+    m = li.agg(*aggs)
+
+    def corr(i: int, j: int) -> F.Column:
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{i}"), F.col(f"s_{j}")
+        sxx, syy = F.col(f"s_{i}_{i}"), F.col(f"s_{j}_{j}")
+        sxy = F.col(f"s_{i}_{j}")
+        return F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(cols[i]).alias("col_a"),
+                F.lit(cols[j]).alias("col_b"),
+                corr(i, j).alias("corr"),
+            )
+            for i in range(len(cols))
+            for j in range(i + 1, len(cols))
+        ]
+    )
+    return m.select(F.explode(pairs).alias("p")).select(
+        "p.col_a", "p.col_b", "p.corr"
+    )
+
+
+def _corr_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    sums = ["COUNT(*) AS n"]
+    for i, a in enumerate(cols):
+        sums.append(
+            f"CAST(SUM(CAST({a} AS DECIMAL(19,4))) AS DOUBLE) AS s_{i}"
+        )
+        for j, b in enumerate(cols):
+            if j >= i:
+                sums.append(
+                    f"CAST(SUM(CAST({a} AS DECIMAL(19,4))"
+                    f" * CAST({b} AS DECIMAL(19,4))) AS DOUBLE) AS s_{i}_{j}"
+                )
+    def corr(i: int, j: int) -> str:
+        return (
+            f"ROUND((CAST(n AS DOUBLE) * s_{i}_{j} - s_{i} * s_{j}) / "
+            f"(sqrt(CAST(n AS DOUBLE) * s_{i}_{i} - s_{i} * s_{i})"
+            f" * sqrt(CAST(n AS DOUBLE) * s_{j}_{j} - s_{j} * s_{j})), 6)"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, {corr(i, j)} AS corr FROM m"
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    )
+    return f"WITH m AS (SELECT {', '.join(sums)} FROM lineitem) {rows}"
+
+
+A_CORR_SQL = _corr_sql()
+
+
+def a_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared contingency cells for event_type × day-of-week: observed
+    count, expected count under independence, and the cell's chi² term.
+
+    The raw-data pass is ONE grouped count (map-side combinable); the
+    margin/expected math runs as window sums over the |types|×7 cell table
+    — constant-sized at any corpus scale, so no second scan and no
+    broadcast of data-sized state. Per-cell terms stay rows (no cross-cell
+    float summation → order-independent); the scalar statistic is a
+    trivial exact consumer of the rounded terms.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    w_all = Window.partitionBy()
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("dow")
+    expected = (
+        F.sum("obs").over(w_row).cast("double")
+        * F.sum("obs").over(w_col).cast("double")
+        / F.sum("obs").over(w_all).cast("double")
+    )
+    return cells.select(
+        "event_type",
+        "dow",
+        "obs",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            (F.col("obs") - expected) * (F.col("obs") - expected) / expected, 6
+        ).alias("chi2_term"),
+    )
+
+
+A_CHI2_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, COUNT(*) AS obs
+  FROM events GROUP BY event_type, CAST(dayofweek(ts) + 1 AS INT)
+), m AS (
+  SELECT event_type, dow, obs,
+         CAST(SUM(obs) OVER (PARTITION BY event_type) AS DOUBLE)
+           * CAST(SUM(obs) OVER (PARTITION BY dow) AS DOUBLE)
+           / CAST(SUM(obs) OVER () AS DOUBLE) AS expected
+  FROM cells
+)
+SELECT event_type, dow, obs,
+       ROUND(expected, 6) AS expected,
+       ROUND((obs - expected) * (obs - expected) / expected, 6) AS chi2_term
+FROM m
+"""
+
+
+def a_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equi-depth histogram of order totals WITHOUT a global
+    sort: exact decile boundaries from one grouped-percentile all-reduce
+    (1-row scalar, broadcast back), bucket assignment as a counting filter
+    over the boundary array, per-bucket count/min/max in a second linear
+    scan. The ntile() alternative is a SinglePartition global window — a
+    driver-shaped bottleneck at 100 TB; this shape scales (and degrades
+    gracefully to approx_percentile boundaries when exactness is waived).
+    Ties land in the lower bucket (strict > against each boundary).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    deciles = [i / 10 for i in range(1, 10)]
+    th = orders.agg(
+        F.transform(
+            F.expr(
+                "percentile(o_totalprice, array("
+                + ", ".join(str(d) for d in deciles)
+                + "))"
+            ),
+            lambda b: F.round(b, 6),
+        ).alias("bs")
+    )
+    bucketed = orders.crossJoin(F.broadcast(th)).select(
+        (
+            1
+            + F.size(F.filter("bs", lambda b: F.col("o_totalprice") > b))
+        ).alias("bucket"),
+        "o_totalprice",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+A_EQUIDEPTH_SQL = """
+WITH th AS (
+  SELECT list_transform(
+           quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           b -> ROUND(b, 6)) AS bs
+  FROM orders
+)
+SELECT 1 + LEN(list_filter(bs, b -> o_totalprice > b)) AS bucket,
+       COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM orders, th
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec(
         "graph_triangle_counts", graph_triangle_counts, TRIANGLES_SQL,
@@ -314,5 +498,17 @@ SPECS = [
     QuerySpec(
         "a_winsorized_stats", a_winsorized_stats, WINSORIZED_SQL,
         doc="winsorized robust mean at exact p05/p95 clamp",
+    ),
+    QuerySpec(
+        "a_corr_matrix", a_corr_matrix, A_CORR_SQL,
+        doc="pairwise Pearson correlations from one exact-moment scan",
+    ),
+    QuerySpec(
+        "a_chi2_contingency", a_chi2_contingency, A_CHI2_SQL,
+        doc="chi-squared contingency cells (margins via cell-table windows)",
+    ),
+    QuerySpec(
+        "a_equidepth_hist", a_equidepth_hist, A_EQUIDEPTH_SQL,
+        doc="equi-depth histogram via percentile boundaries, no global sort",
     ),
 ]

@@ -126,6 +126,7 @@ _BNLJ_OK = {
     "bm25_retrieval",        # 1-row corpus-stats scalar
     "a_theta_set_ops",       # |event_types|^2 pair join (5x5) on broadcast sketches
     "quality_quantile_gate",  # 1-row percentile-threshold scalar
+    "a_equidepth_hist",      # 1-row decile-boundary scalar
     "training_prep_e2e",     # 1-row percentile-threshold scalar
 }
 
