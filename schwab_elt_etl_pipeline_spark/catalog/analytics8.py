@@ -64,10 +64,12 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the apex and the closing equi-join on (b, c).
     """
     ev = load_table(spark, sf_dir, "events")
-    edges = _click_edges(ev)
+    # the edge set feeds degree counting, orientation, and the closing join
+    # (and oriented feeds three operands) — lazy localCheckpoint computes
+    # each ONCE instead of re-deriving the clicks self-join per consumer
+    edges = _click_edges(ev).localCheckpoint(eager=False)
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -80,7 +82,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = ranked.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    ).localCheckpoint(eager=False)
     o1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     o2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     wedges = o1.join(o2, "a").filter(F.col("b") != F.col("c"))

@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
+from schwab_elt_etl_pipeline_spark.operators.curation import semantic_dedup_verdicts
+from schwab_elt_etl_pipeline_spark.operators.similarity import as_double, cosine
 from schwab_elt_etl_pipeline_spark.operators.tokenize import (
     apply_pair_merges,
     explode_tokens,
@@ -135,6 +137,104 @@ FROM x GROUP BY label, dim
 """
 
 
+def embedding_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side curation flagship, ONE oracle-checked query: semantic
+    near-dup verdicts (SemDeDup id-band generator) → class centroids over
+    the SURVIVORS only → prototype-distance outlier gate → final verdict
+    cascade with reasons.
+
+    The three stages compose the round's embedding operators end-to-end the
+    way a real corpus pass runs them: dedup first (so duplicate mass cannot
+    drag the prototype), centroids from exact decimal sums (reproducible),
+    then a broadcast join of ≤|labels| centroid vectors back onto the
+    survivors. Reasons are a fixed priority cascade (near_dup > outlier >
+    keep), mirroring ``corpus_curation_e2e`` on the text side.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    verdicts = semantic_dedup_verdicts(emb, band=20, threshold=0.3)
+    labeled = emb.select("vec_id", "label", as_double("embedding").alias("v"))
+    kept = labeled.join(
+        verdicts.filter(F.col("kept") == 1).select("vec_id"),
+        "vec_id",
+        "left_semi",
+    )
+    cent_cells = (
+        kept.select("label", F.posexplode("v").alias("dim0", "x"))
+        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c")
+        )
+    )
+    cent = cent_cells.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("cvec")
+    )
+    scored = kept.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        F.round(cosine(F.col("v"), F.col("cvec")), 6).alias("cos_centroid"),
+    )
+    return (
+        verdicts.join(labeled.select("vec_id", "label"), "vec_id")
+        .join(scored, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "max_cos",
+            "cos_centroid",
+            F.when(F.col("kept") == 0, F.lit("near_dup"))
+            .when(F.col("cos_centroid") < 0.05, F.lit("outlier"))
+            .otherwise(F.lit("keep"))
+            .alias("reason"),
+        )
+    )
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+EMB_CURATION_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         ROUND({_COS.format(a="a.v", b="b.v")}, 6) AS cos
+  FROM e a JOIN e b ON b.vec_id > a.vec_id AND b.vec_id - a.vec_id <= 20
+  WHERE ROUND({_COS.format(a="a.v", b="b.v")}, 6) >= 0.3
+), d AS (
+  SELECT b_id, MIN(a_id) AS dup_of, MAX(cos) AS max_cos FROM pairs GROUP BY b_id
+), verdicts AS (
+  SELECT e.vec_id, e.label, e.v,
+         CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS kept,
+         COALESCE(d.max_cos, 0.0) AS max_cos
+  FROM e LEFT JOIN d ON d.b_id = e.vec_id
+), cent_cells AS (
+  SELECT label, i AS dim,
+         ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS c
+  FROM verdicts, UNNEST(generate_series(1, LEN(v))) AS g(i)
+  WHERE kept = 1
+  GROUP BY label, i
+), cent AS (
+  SELECT label, list(c ORDER BY dim) AS cvec FROM cent_cells GROUP BY label
+), scored AS (
+  SELECT k.vec_id, ROUND({_COS.format(a="k.v", b="c.cvec")}, 6) AS cos_centroid
+  FROM verdicts k JOIN cent c USING (label) WHERE k.kept = 1
+)
+SELECT v.vec_id, v.label, v.max_cos, s.cos_centroid,
+       CASE WHEN v.kept = 0 THEN 'near_dup'
+            WHEN s.cos_centroid < 0.05 THEN 'outlier'
+            ELSE 'keep' END AS reason
+FROM verdicts v LEFT JOIN scored s ON s.vec_id = v.vec_id
+"""
+
+
 SPECS = [
     QuerySpec(
         "bpe_apply_merges", bpe_apply_merges, BPE_APPLY_SQL,
@@ -145,5 +245,11 @@ SPECS = [
     QuerySpec(
         "embedding_label_centroids", embedding_label_centroids, CENTROIDS_SQL,
         doc="per-label embedding centroids from exact decimal sums",
+    ),
+    QuerySpec(
+        "embedding_curation_e2e", embedding_curation_e2e, EMB_CURATION_SQL,
+        headline=True,
+        doc="embedding curation flagship: semantic dedup -> survivor "
+            "centroids -> prototype-distance outlier gate",
     ),
 ]
