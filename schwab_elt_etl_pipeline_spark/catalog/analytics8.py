@@ -482,6 +482,135 @@ GROUP BY 1
 """
 
 
+def dq_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-drift monitor: flag (event_type, day) cells whose daily row
+    count deviates from that type's median by more than 3 robust sigmas
+    (MAD-based — a few bad days cannot drag the baseline the way a mean/
+    stddev gate would).
+
+    The raw scan collapses to a |types|×|days| count table in one grouped
+    pass; medians and MADs are exact percentiles over that TINY table, so
+    the two extra aggregation stages cost nothing at any corpus scale, and
+    the thresholds broadcast back. This is the ingest-monitoring twin of
+    ``dq_expectations_orders`` (row-level rules) at the volume level.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    with_med = daily.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(n - med), 0.5)").alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            (
+                (F.col("mad") > 0)
+                & (F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"))
+            ).alias("is_drift"),
+        )
+    )
+
+
+DQ_VOLUME_DRIFT_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), med AS (
+  SELECT event_type, quantile_cont(n, 0.5) AS med FROM daily GROUP BY event_type
+), mad AS (
+  SELECT d.event_type, quantile_cont(abs(d.n - m.med), 0.5) AS mad
+  FROM daily d JOIN med m USING (event_type) GROUP BY d.event_type
+)
+SELECT d.event_type, d.day, d.n,
+       ROUND(m.med, 6) AS med, ROUND(a.mad, 6) AS mad,
+       (a.mad > 0 AND abs(d.n - m.med) > 3 * a.mad) AS is_drift
+FROM daily d JOIN med m USING (event_type) JOIN mad a ON a.event_type = d.event_type
+"""
+
+
+def j_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the user's most recent
+    click at or before the purchase and within a 7-day lookback (NULL when
+    unattributed).
+
+    The join key is user_id — per-user event fan-out is bounded, so this is
+    a co-partitioned equi-join with the time band as residual, then one
+    max_by per purchase (deterministic: ts then event_id ordering packed
+    into a struct max). The same plan is the backward as-of join; the
+    catalog's ``t_asof_enrich`` covers the union+LOCF formulation, this one
+    the banded-join formulation that also carries the attribution gap.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    # the time band belongs IN the join condition: filtering after a left
+    # join would delete purchases whose clicks are all out-of-window instead
+    # of keeping them unattributed (NULL-extended)
+    joined = purchases.join(
+        clicks,
+        (purchases["user_id"] == clicks["user_id"])
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    ).select(
+        "purchase_id", purchases["user_id"].alias("user_id"), "p_ts",
+        "click_id", "c_ts",
+    )
+    best = F.max(F.struct("c_ts", "click_id"))
+    return (
+        joined.groupBy("purchase_id", "user_id", "p_ts")
+        .agg(best.alias("b"))
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("b.click_id").alias("click_id"),
+            (
+                F.unix_micros(F.col("p_ts").cast("timestamp"))
+                - F.unix_micros(F.col("b.c_ts").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+), joined AS (
+  SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.c_ts,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.c_ts DESC, c.click_id DESC) AS rk
+  FROM purchases p LEFT JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY
+)
+SELECT purchase_id, user_id, click_id,
+       CAST(epoch_us(p_ts) - epoch_us(c_ts) AS BIGINT) AS gap_us
+FROM joined WHERE rk = 1
+"""
+
+
 SPECS = [
     QuerySpec(
         "graph_triangle_counts", graph_triangle_counts, TRIANGLES_SQL,
@@ -512,5 +641,13 @@ SPECS = [
     QuerySpec(
         "a_equidepth_hist", a_equidepth_hist, A_EQUIDEPTH_SQL,
         doc="equi-depth histogram via percentile boundaries, no global sort",
+    ),
+    QuerySpec(
+        "dq_volume_drift", dq_volume_drift, DQ_VOLUME_DRIFT_SQL,
+        doc="MAD-based daily volume drift monitor per event type",
+    ),
+    QuerySpec(
+        "j_attribution_last_touch", j_attribution_last_touch, ATTRIBUTION_SQL,
+        doc="last-touch attribution: backward banded as-of join + max_by",
     ),
 ]
