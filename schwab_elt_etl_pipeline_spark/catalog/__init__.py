@@ -53,6 +53,7 @@ def all_specs() -> list[QuerySpec]:
         analytics6,
         analytics7,
         analytics8,
+        analytics9,
         curation2,
         curation3,
         domain,
@@ -67,6 +68,7 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (
         analytics8,
+        analytics9,
         curation3,
         analytics6,
         analytics7,
@@ -110,7 +112,8 @@ _FRONT = [
     "a_winsorized_stats", "ann_projected_rerank", "bpe_apply_merges",
     "embedding_label_centroids", "hard_negative_mining", "a_corr_matrix",
     "a_chi2_contingency", "a_equidepth_hist", "embedding_curation_e2e",
-    "dq_volume_drift", "j_attribution_last_touch",
+    "dq_volume_drift", "j_attribution_last_touch", "j_bloom_semi_join",
+    "j_salted_hot_join",
     # (a) new in round 4 (never driver-sampled: no CORRECTNESS_r04 was recorded)
     "passage_dedup", "bm25_retrieval", "sequence_packing",
     "neardup_canonicalize", "a_theta_set_ops", "sample_exact_k_stratified",
