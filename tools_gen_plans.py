@@ -14,6 +14,9 @@ from schwab_elt_etl_pipeline_spark.session import get_spark
 
 _NAMES = [
     "pipeline_verts_e2e",
+    "bpe_apply_merges",
+    "graph_triangle_counts",
+    "embedding_curation_e2e",
     "training_prep_e2e",
     "neardup_canonicalize",
     "corpus_curation_e2e",
