@@ -494,31 +494,13 @@ def dq_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the thresholds broadcast back. This is the ingest-monitoring twin of
     ``dq_expectations_orders`` (row-level rules) at the volume level.
     """
+    from schwab_elt_etl_pipeline_spark.operators.quality import mad_drift
+
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    med = daily.groupBy("event_type").agg(
-        F.expr("percentile(n, 0.5)").alias("med")
-    )
-    with_med = daily.join(F.broadcast(med), "event_type")
-    mad = with_med.groupBy("event_type").agg(
-        F.expr("percentile(abs(n - med), 0.5)").alias("mad")
-    )
-    return (
-        with_med.join(F.broadcast(mad), "event_type")
-        .select(
-            "event_type",
-            "day",
-            "n",
-            F.round("med", 6).alias("med"),
-            F.round("mad", 6).alias("mad"),
-            (
-                (F.col("mad") > 0)
-                & (F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"))
-            ).alias("is_drift"),
-        )
-    )
+    return mad_drift(daily, ["event_type"], k=3.0)
 
 
 DQ_VOLUME_DRIFT_SQL = """

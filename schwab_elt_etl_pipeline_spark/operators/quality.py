@@ -139,3 +139,38 @@ def dq_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def mad_drift(
+    daily: DataFrame, keys: list[str], n_col: str = "n", k: float = 3.0
+) -> DataFrame:
+    """Robust drift flags over a per-(keys, period) count table: a row
+    drifts when its count deviates from the key's median by more than
+    ``k`` MADs (median absolute deviation — a few bad periods cannot drag
+    the baseline the way mean/stddev would).
+
+    ``daily`` is already collapsed (|keys|×|periods| rows), so the two
+    percentile passes and the broadcast join-backs are free at any raw-data
+    scale; the heavy lifting happened in whatever grouped count produced
+    ``daily`` (one scan batch-side, or an incrementally maintained rollup
+    stage stream-side — see ``streaming/rollup_stream.read_volume_drift``).
+    """
+    med = daily.groupBy(*keys).agg(
+        F.expr(f"percentile({n_col}, 0.5)").alias("med")
+    )
+    with_med = daily.join(F.broadcast(med), list(keys))
+    mad = with_med.groupBy(*keys).agg(
+        F.expr(f"percentile(abs({n_col} - med), 0.5)").alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), list(keys))
+        .select(
+            *daily.columns,
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            (
+                (F.col("mad") > 0)
+                & (F.abs(F.col(n_col) - F.col("med")) > k * F.col("mad"))
+            ).alias("is_drift"),
+        )
+    )

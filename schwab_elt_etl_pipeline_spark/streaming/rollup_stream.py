@@ -148,3 +148,22 @@ def read_distinct_estimates(table: ParquetTable, keys: list[str]) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_day_sketches"),
     )
+
+
+def read_volume_drift(
+    stage_table: ParquetTable, keys: list[str], k: float = 3.0
+) -> DataFrame:
+    """MAD drift flags over an incrementally maintained DAY-grain rollup
+    stage (``run_streaming_rollup`` with ``minutes=1440``): fold the staged
+    per-epoch partials, collapse to daily counts, apply the same robust
+    gate as the batch monitor (catalog ``dq_volume_drift``) — the
+    maintained-table read never touches raw events, so monitoring cost is
+    O(|keys|×|days|) regardless of stream volume.
+    """
+    from schwab_elt_etl_pipeline_spark.operators.quality import mad_drift
+
+    folded = fold_partials(stage_table.read(), keys)
+    daily = folded.select(
+        *keys, F.col("bucket_ts").cast("date").alias("day"), "n"
+    )
+    return mad_drift(daily, keys, k=k)

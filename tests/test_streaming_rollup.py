@@ -151,3 +151,51 @@ def test_incremental_distinct_sketch_table(spark):
         assert est2 == est
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_volume_drift_equals_batch(spark, sf_dir, dirs):
+    """The incrementally maintained DAY-grain stage must serve the SAME
+    drift verdicts as the batch monitor computed from raw events
+    (catalog dq_volume_drift), and replay must not change them."""
+    from schwab_elt_etl_pipeline_spark.operators.quality import mad_drift
+    from schwab_elt_etl_pipeline_spark.streaming.rollup_stream import (
+        read_volume_drift,
+    )
+
+    schema = _write_feed(spark, sf_dir, dirs)
+    stage = ParquetTable(spark, dirs + "/stage_day")
+    q = run_streaming_rollup(
+        _read_feed(spark, schema, dirs),
+        stage,
+        KEYS,
+        minutes=1440,
+        checkpoint_dir=dirs + "/ckpt_day",
+    )
+    q.awaitTermination(120)
+
+    streamed = read_volume_drift(stage, KEYS)
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    batch = mad_drift(daily, KEYS, k=3.0)
+
+    s_cols = ["event_type", "day", "n", "med", "mad", "is_drift"]
+    streamed_sel = streamed.select(*s_cols)
+    batch_sel = batch.select(*s_cols)
+    assert streamed_sel.exceptAll(batch_sel).count() == 0
+    assert batch_sel.exceptAll(streamed_sel).count() == 0
+
+    # replay from a fresh checkpoint: verdicts unchanged
+    q2 = run_streaming_rollup(
+        _read_feed(spark, schema, dirs),
+        stage,
+        KEYS,
+        minutes=1440,
+        checkpoint_dir=dirs + "/ckpt_day2",
+    )
+    q2.awaitTermination(120)
+    streamed2 = read_volume_drift(stage, KEYS).select(*s_cols)
+    assert streamed2.exceptAll(batch_sel).count() == 0
+    assert batch_sel.exceptAll(streamed2).count() == 0

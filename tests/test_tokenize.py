@@ -8,6 +8,8 @@ The catalog corpus has no adjacent same-token repeats, so the overlap
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from schwab_elt_etl_pipeline_spark.operators.tokenize import (
     apply_pair_merges,
@@ -80,3 +82,34 @@ def test_positions_renumber_contiguously(spark):
     rows = toks.orderBy("pos").collect()
     assert [r.pos for r in rows] == [1, 2, 3, 4, 5]
     assert [r.tok for r in rows] == ["x", "a_b", "y", "a_b", "z"]
+
+
+_ALPHABET = ["a", "b", "c"]  # tiny alphabet → dense repeats and overlaps
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_ALPHABET), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    merges=st.lists(
+        st.tuples(st.sampled_from(_ALPHABET), st.sampled_from(_ALPHABET)),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_merge_cascade_matches_sequential_reference(spark, docs, merges):
+    """Property: the relational merge cascade equals the sequential greedy
+    encoder on arbitrary repeat-heavy token streams and rule lists
+    (including a=b rules and rules whose outputs neighbor later matches)."""
+    toks = _tokenize(spark, [" ".join(d) for d in docs])
+    got = _texts(apply_pair_merges(toks, merges))
+    want = []
+    for d in docs:
+        cur = d
+        for a, b in merges:
+            cur = _reference_merge(cur, a, b)
+        want.append(" ".join(cur))
+    assert got == want
