@@ -157,6 +157,37 @@ GROUP BY l.hot_key, l.event_type
 """
 
 
+def f21_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4): parse the
+    JSON props payload once into the binary variant encoding, then extract
+    typed paths with ``variant_get`` — the open-schema path for payloads
+    whose shape drifts (vs ``from_json``, which needs the schema up front;
+    the drifting-schema Bronze conformance query covers that side).
+
+    At scale variant beats re-parsing JSON text per access: the parse
+    happens once per row, extraction is a binary-encoded path lookup, and
+    shredding keeps it columnar. Aggregates per extracted item id: count +
+    exact-decimal mean of the metric.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    typed = ev.select(
+        F.variant_get(v, "$.k", "int").alias("item"),
+        F.col("value").cast("decimal(18,6)").alias("val"),
+    )
+    return typed.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("avg_value"),
+    )
+
+
+F21_VARIANT_SQL = """
+SELECT CAST(props->>'$.k' AS INT) AS item, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events GROUP BY CAST(props->>'$.k' AS INT)
+"""
+
+
 SPECS = [
     QuerySpec(
         "j_bloom_semi_join", j_bloom_semi_join, BLOOM_SEMI_SQL,
@@ -165,5 +196,9 @@ SPECS = [
     QuerySpec(
         "j_salted_hot_join", j_salted_hot_join, SALTED_JOIN_SQL,
         doc="replicated-right salted join under 3-hot-key skew, by value",
+    ),
+    QuerySpec(
+        "f21_variant_extract", f21_variant_extract, F21_VARIANT_SQL,
+        doc="VARIANT-typed semi-structured extraction (parse once, typed paths)",
     ),
 ]
