@@ -113,7 +113,7 @@ _FRONT = [
     "embedding_label_centroids", "hard_negative_mining", "a_corr_matrix",
     "a_chi2_contingency", "a_equidepth_hist", "embedding_curation_e2e",
     "dq_volume_drift", "j_attribution_last_touch", "j_bloom_semi_join",
-    "j_salted_hot_join", "f21_variant_extract",
+    "j_salted_hot_join", "f21_variant_extract", "corpus_temperature_mix",
     # (a) new in round 4 (never driver-sampled: no CORRECTNESS_r04 was recorded)
     "passage_dedup", "bm25_retrieval", "sequence_packing",
     "neardup_canonicalize", "a_theta_set_ops", "sample_exact_k_stratified",

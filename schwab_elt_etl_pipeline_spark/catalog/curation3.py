@@ -11,9 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
 from schwab_elt_etl_pipeline_spark.operators.curation import semantic_dedup_verdicts
+from schwab_elt_etl_pipeline_spark.operators.sampling import hash_bucket
 from schwab_elt_etl_pipeline_spark.operators.similarity import as_double, cosine
 from schwab_elt_etl_pipeline_spark.operators.tokenize import (
     apply_pair_merges,
@@ -235,6 +237,66 @@ FROM verdicts v LEFT JOIN scored s ON s.vec_id = v.vec_id
 """
 
 
+_ALPHA_TEMP = 0.5  # temperature exponent: p_i ∝ n_i^0.5
+_TARGET_SHARE = 0.4  # materialize 40% of the corpus overall
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (multilingual-LM style): source i
+    contributes proportionally to n_i^α instead of n_i, up-weighting small
+    sources (α < 1 flattens the source distribution; α=1 is proportional,
+    α=0 uniform). Per-source sampling rates derive from one tiny count
+    table (windows over |sources| rows), and membership is the engine's
+    deterministic hash-mod draw — so the exact document set is reproducible
+    and oracle-checkable, unlike rand()-based sampleBy.
+
+    Output: the sampled (source, doc_id) rows plus the per-mill rate that
+    admitted them.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    rates = counts.select(
+        "source",
+        "n",
+        F.least(
+            F.lit(1000),
+            F.round(
+                F.lit(_TARGET_SHARE)
+                * F.sum("n").over(w_all)
+                * (
+                    F.pow(F.col("n"), _ALPHA_TEMP)
+                    / F.sum(F.pow(F.col("n"), _ALPHA_TEMP)).over(w_all)
+                )
+                / F.col("n")
+                * 1000
+            ).cast("int"),
+        ).alias("rate_permill"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(hash_bucket("doc_id", 1000) < F.col("rate_permill"))
+        .select("source", "doc_id", "rate_permill")
+    )
+
+
+CORPUS_TEMP_MIX_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), rates AS (
+  SELECT source, n,
+         LEAST(1000, CAST(ROUND(
+           {_TARGET_SHARE} * SUM(n) OVER ()
+           * (pow(n, {_ALPHA_TEMP}) / SUM(pow(n, {_ALPHA_TEMP})) OVER ())
+           / n * 1000) AS INT)) AS rate_permill
+  FROM counts
+)
+SELECT d.source, d.doc_id, r.rate_permill
+FROM documents d JOIN rates r USING (source)
+WHERE ((d.doc_id % 1000003) * 2654435761) % 999983 % 1000 < r.rate_permill
+"""
+
+
 SPECS = [
     QuerySpec(
         "bpe_apply_merges", bpe_apply_merges, BPE_APPLY_SQL,
@@ -245,6 +307,10 @@ SPECS = [
     QuerySpec(
         "embedding_label_centroids", embedding_label_centroids, CENTROIDS_SQL,
         doc="per-label embedding centroids from exact decimal sums",
+    ),
+    QuerySpec(
+        "corpus_temperature_mix", corpus_temperature_mix, CORPUS_TEMP_MIX_SQL,
+        doc="temperature-based (n^alpha) source mixing via deterministic hash draw",
     ),
     QuerySpec(
         "embedding_curation_e2e", embedding_curation_e2e, EMB_CURATION_SQL,
