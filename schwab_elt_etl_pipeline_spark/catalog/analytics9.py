@@ -15,78 +15,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
+from schwab_elt_etl_pipeline_spark.operators.bloom import bloom_member, build_bloom
 from schwab_elt_etl_pipeline_spark.operators.skew import salted_join_skewed_left
 from schwab_elt_etl_pipeline_spark.sources import load_table
-
-# Bloom geometry: 3 hash seeds over a 16384-bit (256-word) filter. For the
-# ~1/5 selectivity here the FP rate is irrelevant — false positives cost
-# one wasted row in the exact confirm join, never a wrong answer.
-_BLOOM_BITS = 16_384
-_BLOOM_WORDS = _BLOOM_BITS // 64
-_SEEDS = (1, 2, 3)
-
-
-def _bit_positions(key: str, seed: int) -> F.Column:
-    return F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(_BLOOM_BITS))
-
 
 def j_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered semi-join: lineitem rows of URGENT orders.
 
-    The build side aggregates urgent order keys into a 2 KiB bit array
-    (3 xxhash64 probes over 16384 bits), broadcast as ONE row; the probe
-    side tests membership with pure bit arithmetic BEFORE the exact
-    left-semi join confirms candidates (bloom false positives are filtered
-    there; false negatives cannot happen). At 100 TB this is the classic
-    shuffle-reduction move: the 2 KiB filter eliminates ~(1-selectivity) of
-    the probe side's shuffle volume ahead of the join — what Spark's
-    runtime row-group bloom does inside the scan, made explicit and
-    composable. The oracle is the PLAIN semi-join: the hash match proves
-    the prefilter is invisible to the result.
+    The build side folds urgent order keys into a 2 KiB bit array
+    (``operators/bloom.py``: 3 xxhash64 probes over 16384 bits), broadcast
+    as ONE row; the probe side tests membership with pure bit arithmetic
+    BEFORE the exact left-semi join confirms candidates (bloom false
+    positives die there; false negatives cannot happen — asserted directly
+    in tests/test_skew.py). At 100 TB this is the classic shuffle-reduction
+    move: the 2 KiB filter eliminates ~(1-selectivity) of the probe side's
+    shuffle volume ahead of the join — what Spark's runtime row-group bloom
+    does inside the scan, made explicit and composable. The oracle is the
+    PLAIN semi-join: the hash match proves the prefilter is invisible to
+    the result.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_orderkey").alias("key")
     )
-    bits = urgent.select(
-        F.explode(
-            F.array(*[_bit_positions("key", s) for s in _SEEDS])
-        ).alias("pos")
+    bloom = build_bloom(urgent, "key")
+    candidates = (
+        li.crossJoin(F.broadcast(bloom))
+        .filter(bloom_member(F.col("l_orderkey"), F.col("arr")))
+        .drop("arr")
     )
-    words = bits.select(
-        (F.col("pos") / 64).cast("int").alias("word"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
-            "bit"
-        ),
-    ).groupBy("word").agg(F.expr("bit_or(bit)").alias("bits"))
-    bloom = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_BLOOM_WORDS - 1)),
-            lambda w: F.coalesce(
-                F.element_at(F.col("m"), w), F.lit(0).cast("long")
-            ),
-        ).alias("arr")
-    )
-    probed = li.crossJoin(F.broadcast(bloom))
-    member = None
-    for s in _SEEDS:
-        pos = _bit_positions("l_orderkey", s)
-        word = (pos / 64).cast("int")
-        test = (
-            F.element_at(F.col("arr"), word + 1).bitwiseAND(
-                F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT), CAST("
-                    f"pmod(xxhash64(l_orderkey, {s}), {_BLOOM_BITS})"
-                    f" % 64 AS INT))"
-                )
-            )
-            != 0
-        )
-        member = test if member is None else (member & test)
-    candidates = probed.filter(member).drop("arr")
     confirmed = candidates.join(
         urgent.withColumnRenamed("key", "l_orderkey"), "l_orderkey", "left_semi"
     )

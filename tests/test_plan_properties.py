@@ -87,6 +87,9 @@ _SANCTIONED_BNLJ = {
     "a_theta_set_ops",       # |event_types|^2 pair join (5x5) on broadcast sketches
     "quality_quantile_gate",  # 1-row percentile-threshold scalar
     "training_prep_e2e",     # 1-row percentile-threshold scalar
+    "ann_projected_rerank",  # coarse sketch pass over broadcast query set
+    "a_equidepth_hist",      # 1-row decile-boundary scalar
+    "j_bloom_semi_join",     # 1-row 2KiB bloom-bitmap scalar
 }
 
 

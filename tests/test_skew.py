@@ -145,3 +145,33 @@ def test_hash_bucket_nonnegative_for_negative_keys(spark):
     assert stats["lo"] >= 0 and stats["hi"] < 1000
     kept = stratified_hash_sample(df, "k", "src", {"s": 0.0}).count()
     assert kept == 0  # fraction 0 keeps nothing, negative keys included
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    """Bloom contract: every inserted key passes membership (prefilter →
+    exact-confirm can never lose a row), and the false-positive rate on
+    disjoint keys stays near the (1-e^{-kn/m})^k design point (~0.07% at
+    n=500, m=16384, k=3 — assert an order-of-magnitude slack bound)."""
+    from pyspark.sql import functions as F
+
+    from schwab_elt_etl_pipeline_spark.operators.bloom import (
+        bloom_member,
+        build_bloom,
+    )
+
+    inserted = spark.range(0, 500).select(F.col("id").alias("key"))
+    bloom = build_bloom(inserted, "key")
+    hits = (
+        inserted.crossJoin(F.broadcast(bloom))
+        .filter(bloom_member(F.col("key"), F.col("arr")))
+        .count()
+    )
+    assert hits == 500, "bloom dropped an inserted key (false negative)"
+
+    outside = spark.range(10_000, 20_000).select(F.col("id").alias("key"))
+    fp = (
+        outside.crossJoin(F.broadcast(bloom))
+        .filter(bloom_member(F.col("key"), F.col("arr")))
+        .count()
+    )
+    assert fp / 10_000 < 0.02, f"false-positive rate off the design point: {fp}"
