@@ -51,20 +51,29 @@ def merge_pass(
     wd = Window.partitionBy("doc_id").orderBy("pos")
     elig = (F.col("tok") == a) & (F.lead("tok").over(wd) == b)
     step = toks.withColumn("elig", elig)
-    step = step.withColumn(
-        "run_start",
-        F.col("elig") & ~F.coalesce(F.lag("elig").over(wd), F.lit(False)),
-    )
-    step = step.withColumn(
-        "grp",
-        F.sum(F.col("run_start").cast("int")).over(
-            wd.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    wg = Window.partitionBy("doc_id", "grp").orderBy("pos")
-    step = step.withColumn(
-        "merged", F.col("elig") & (F.row_number().over(wg) % 2 == 1)
-    )
+    if a == b:
+        # overlap runs (eligible at consecutive positions) only exist when
+        # the rule is a repeat (a = b): resolve greedily left-to-right by
+        # merging the 1st, 3rd, ... position of each run (parity within run)
+        step = step.withColumn(
+            "run_start",
+            F.col("elig") & ~F.coalesce(F.lag("elig").over(wd), F.lit(False)),
+        )
+        step = step.withColumn(
+            "grp",
+            F.sum(F.col("run_start").cast("int")).over(
+                wd.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        wg = Window.partitionBy("doc_id", "grp").orderBy("pos")
+        step = step.withColumn(
+            "merged", F.col("elig") & (F.row_number().over(wg) % 2 == 1)
+        )
+    else:
+        # a ≠ b: two eligible positions can never be adjacent (that would
+        # need tok[i]=a, tok[i+1]=b=a) — every eligible position merges,
+        # and three window passes per rule disappear from the plan
+        step = step.withColumn("merged", F.col("elig"))
     step = step.withColumn(
         "absorbed", F.coalesce(F.lag("merged").over(wd), F.lit(False))
     )
