@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
+from schwab_elt_etl_pipeline_spark.operators.graph import triangle_counts
 from schwab_elt_etl_pipeline_spark.sources import load_table
 
 
@@ -64,37 +65,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the apex and the closing equi-join on (b, c).
     """
     ev = load_table(spark, sf_dir, "events")
-    # the edge set feeds degree counting, orientation, and the closing join
-    # (and oriented feeds three operands) — lazy localCheckpoint computes
-    # each ONCE instead of re-deriving the clicks self-join per consumer
-    edges = _click_edges(ev).localCheckpoint(eager=False)
-    deg = (
-        edges.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    ranked = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = ranked.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint(eager=False)
-    o1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    o2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    wedges = o1.join(o2, "a").filter(F.col("b") != F.col("c"))
-    closing = oriented.select(
-        F.col("src").alias("b"), F.col("dst").alias("c")
-    )
-    tri = wedges.join(closing, ["b", "c"])
-    return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("item"))
-        .groupBy("item")
-        .agg(F.count(F.lit(1)).alias("n_tri"))
-    )
+    return triangle_counts(_click_edges(ev))
 
 
 TRIANGLES_SQL = """

@@ -22,6 +22,7 @@ from schwab_elt_etl_pipeline_spark.operators.curation import (
     repetition_stats,
     semantic_dedup_verdicts,
 )
+from schwab_elt_etl_pipeline_spark.operators.bloom import bloom_member, build_bloom
 from schwab_elt_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs
 from schwab_elt_etl_pipeline_spark.operators.gapfill import gapfill_locf
 from schwab_elt_etl_pipeline_spark.operators.interval import point_in_interval_join
@@ -35,7 +36,11 @@ from schwab_elt_etl_pipeline_spark.operators.multimodal import (
     frame_sample_plan,
     resize_stub,
 )
-from schwab_elt_etl_pipeline_spark.operators.quality import dq_summary, quarantine
+from schwab_elt_etl_pipeline_spark.operators.quality import (
+    dq_summary,
+    mad_drift,
+    quarantine,
+)
 from schwab_elt_etl_pipeline_spark.operators.rollup import (
     rollup_coarser,
     rollup_minutes,
@@ -53,6 +58,12 @@ from schwab_elt_etl_pipeline_spark.operators.similarity import (
     bucketed_ann_topk,
     cosine,
     ivf_kmeans_topk,
+    projected_rerank_topk,
+)
+from schwab_elt_etl_pipeline_spark.operators.tokenize import (
+    apply_pair_merges,
+    explode_tokens,
+    rebuild_docs,
 )
 from schwab_elt_etl_pipeline_spark.operators.skew import (
     salted_agg,

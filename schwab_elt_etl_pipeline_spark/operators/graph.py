@@ -1,0 +1,53 @@
+"""Graph motif operators over canonical edge lists.
+
+Input convention: an undirected graph as one row per edge with ``u < v``
+(dedup'd). ``triangle_counts`` is the degree-oriented wedge-join algorithm —
+see the scale analysis in ``catalog/analytics8.py graph_triangle_counts``
+(the catalog query derives the co-click edge list and delegates here).
+Companion to ``operators/dedup.connected_components`` (components) and the
+walk/PageRank iterations in ``catalog/analytics6.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts: (item, n_tri), vertices in ≥1 triangle.
+
+    Orient each edge from its (degree, id)-smaller endpoint to the larger;
+    the oriented graph is a DAG where every triangle has exactly one apex
+    with two out-edges, so wedges (a→b, a→c) joined against the oriented
+    closing edge (b→c) count each triangle once. Orientation caps
+    out-degree at O(√m) → the wedge intermediate is O(m^1.5), not
+    O(Σ deg²). Degrees broadcast (node-sized); ``edges``/``oriented`` are
+    lazily checkpointed because three consumers read each.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint(eager=False)
+    o1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    o2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = o1.join(o2, "a").filter(F.col("b") != F.col("c"))
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
