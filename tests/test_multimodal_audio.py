@@ -1,0 +1,85 @@
+"""REAL audio decode through the multimodal boundary: WAV payloads are
+synthesized with the stdlib wave writer, pushed through the Arrow-batched
+mapInPandas decode, and the emitted features must equal a locally computed
+reference — no stub, no external codec."""
+
+from __future__ import annotations
+
+import array
+import io
+import math
+import wave
+
+from schwab_elt_etl_pipeline_spark.operators.multimodal import (
+    FEATURE_DIM,
+    MEDIA_SCHEMA,
+    _decode_one_stub,
+    decode_stub_features,
+)
+
+
+def _make_wav(freq_hz: float, n_frames: int = 800, rate: int = 8000) -> bytes:
+    samples = array.array(
+        "h",
+        [
+            int(20000 * math.sin(2 * math.pi * freq_hz * i / rate))
+            for i in range(n_frames)
+        ],
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _reference_features(payload: bytes) -> list[float]:
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        raw = w.readframes(w.getnframes())
+    mono = array.array("h")
+    mono.frombytes(raw)
+    size = len(mono)
+    out = []
+    for i in range(FEATURE_DIM):
+        seg = mono[i * size // FEATURE_DIM : (i + 1) * size // FEATURE_DIM]
+        out.append((sum(abs(s) for s in seg) / len(seg)) / 32768.0)
+    return out
+
+
+def test_wav_payloads_decode_for_real(spark):
+    wavs = {1: _make_wav(440.0), 2: _make_wav(100.0)}
+    rows = [
+        (mid, "audio", "audio/wav", payload, (None, None, 100, 8000))
+        for mid, payload in wavs.items()
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: list(r["features"])
+        for r in decode_stub_features(media).collect()
+    }
+    for mid, payload in wavs.items():
+        assert feats[mid] == _reference_features(payload), mid
+        # a real decode, not the byte-hash stub
+        assert feats[mid] != _decode_one_stub(payload)
+    # higher-frequency tone has higher mean |amplitude| in every slice than
+    # a DC-ish low tone ramping through zero? just sanity: all in [0, 1]
+    assert all(0.0 <= f <= 1.0 for fs in feats.values() for f in fs)
+
+
+def test_non_wav_audio_still_falls_back_to_stub(spark):
+    rows = [(9, "audio", "audio/ogg", b"OggS not a wav", (None, None, 5, 44100))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    (row,) = decode_stub_features(media).collect()
+    assert list(row["features"]) == _decode_one_stub(b"OggS not a wav")
+
+
+def test_corrupt_wav_falls_back_to_stub(spark):
+    # RIFF/WAVE magic intact but the chunk table is garbage: wave.open
+    # raises inside the kernel, which must degrade to the stub, not fail
+    bad = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"garbage" * 10
+    rows = [(7, "audio", "audio/wav", bad, (None, None, 1, 8000))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    (row,) = decode_stub_features(media).collect()
+    assert list(row["features"]) == _decode_one_stub(bad)
