@@ -118,15 +118,95 @@ def _decode_audio(payload: bytes) -> list[float] | None:
     return feats
 
 
+def _gray_slice_features(gray: list[float]) -> list[float]:
+    """FEATURE_DIM box-averaged slices of a [0,1] grayscale pixel run —
+    the same thumbnail signature the Pillow path emits."""
+    size = len(gray)
+    out = []
+    for i in range(FEATURE_DIM):
+        seg = gray[i * size // FEATURE_DIM : (i + 1) * size // FEATURE_DIM]
+        out.append(sum(seg) / len(seg) if seg else 0.0)
+    return out
+
+
+def _decode_ppm(payload: bytes) -> list[float] | None:
+    """REAL image decode for binary PPM (P6), pure stdlib: header parse +
+    raw RGB triplets → luma → slice features. None when not P6/8-bit."""
+    try:
+        if not payload.startswith(b"P6"):
+            return None
+        # header: P6 <width> <height> <maxval> then one whitespace byte
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment line
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255 or w <= 0 or h <= 0:
+            return None
+        rgb = payload[pos : pos + 3 * w * h]
+        if len(rgb) < 3 * w * h:
+            return None
+        gray = [
+            (0.299 * rgb[i] + 0.587 * rgb[i + 1] + 0.114 * rgb[i + 2]) / 255.0
+            for i in range(0, 3 * w * h, 3)
+        ]
+        return _gray_slice_features(gray)
+    except Exception:
+        return None
+
+
+def _decode_bmp(payload: bytes) -> list[float] | None:
+    """REAL image decode for uncompressed 24-bit BMP, pure stdlib: BITMAPINFO
+    header + padded BGR rows (bottom-up) → luma → slice features."""
+    try:
+        if not payload.startswith(b"BM") or len(payload) < 54:
+            return None
+        offset = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            return None
+        rows = abs(h)
+        stride = (3 * w + 3) // 4 * 4
+        if len(payload) < offset + stride * rows:
+            return None
+        gray = []
+        order = range(rows - 1, -1, -1) if h > 0 else range(rows)  # bottom-up
+        for r in order:
+            base = offset + r * stride
+            for c in range(w):
+                b, g, rr = payload[base + 3 * c : base + 3 * c + 3]
+                gray.append((0.299 * rr + 0.587 * g + 0.114 * b) / 255.0)
+        return _gray_slice_features(gray)
+    except Exception:
+        return None
+
+
 def _decode_one(payload: bytes) -> list[float]:
-    """Feature kernel: WAV payloads decode for real through the stdlib
-    ``wave`` reader (always available); with Pillow present, image payloads
-    decode to a FEATURE_DIM-pixel grayscale thumbnail signature; otherwise —
-    or when the bytes aren't decodable — the deterministic stub."""
+    """Feature kernel: WAV audio and PPM/BMP images decode for real through
+    pure-stdlib readers (always available); with Pillow present, any other
+    image format decodes to the same FEATURE_DIM grayscale signature;
+    otherwise — or when the bytes aren't decodable — the deterministic
+    stub."""
     if _is_wav(payload):
         feats = _decode_audio(payload)
         if feats is not None:
             return feats
+    if payload:
+        for kernel in (_decode_ppm, _decode_bmp):
+            feats = kernel(payload)
+            if feats is not None:
+                return feats
     if HAS_PIL and payload:
         try:
             img = _PILImage.open(io.BytesIO(payload)).convert("L")

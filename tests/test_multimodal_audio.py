@@ -83,3 +83,75 @@ def test_corrupt_wav_falls_back_to_stub(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     (row,) = decode_stub_features(media).collect()
     assert list(row["features"]) == _decode_one_stub(bad)
+
+
+# --- real IMAGE decode (pure-stdlib PPM / BMP kernels) ---------------------
+
+import struct
+
+from schwab_elt_etl_pipeline_spark.operators.multimodal import (
+    _decode_bmp,
+    _decode_ppm,
+)
+
+
+def _luma(r, g, b):
+    return (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+
+
+def _make_ppm(pixels_rgb):
+    return (
+        f"P6 {len(pixels_rgb)} 1 255\n".encode()
+        + b"".join(bytes(p) for p in pixels_rgb)
+    )
+
+
+def _make_bmp(rows_rgb):
+    """Uncompressed 24-bit bottom-up BMP from row-major RGB tuples."""
+    h, w = len(rows_rgb), len(rows_rgb[0])
+    stride = (3 * w + 3) // 4 * 4
+    body = b""
+    for row in reversed(rows_rgb):  # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)  # BGR
+        body += line + b"\x00" * (stride - len(line))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    return header + body
+
+
+def test_ppm_decodes_to_luma_slices(spark):
+    pix = [(255, 255, 255), (0, 0, 0), (255, 0, 0), (0, 255, 0)] * 2
+    payload = _make_ppm(pix)
+    rows = [(3, "image", "image/x-portable-pixmap", payload, (8, 1, None, None))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    (row,) = decode_stub_features(media).collect()
+    assert list(row["features"]) == [_luma(*p) for p in pix]
+    assert list(row["features"]) != _decode_one_stub(payload)
+
+
+def test_bmp_decodes_top_down_with_row_padding(spark):
+    rows_rgb = [
+        [(255, 0, 0), (0, 255, 0)],   # top row
+        [(0, 0, 255), (255, 255, 255)],  # bottom row
+    ]
+    payload = _make_bmp(rows_rgb)
+    want_pixels = [p for row in rows_rgb for p in row]  # row-major top-down
+    feats = _decode_bmp(payload)
+    # 4 pixels over 8 slices: odd slices carry the pixels, even are empty
+    assert feats[1::2] == [_luma(*p) for p in want_pixels]
+    rows = [(4, "image", "image/bmp", payload, (2, 2, None, None))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    (row,) = decode_stub_features(media).collect()
+    assert list(row["features"]) == feats
+
+
+def test_ppm_comment_and_truncation_handling(spark):
+    with_comment = b"P6\n# a comment\n2 1 255\n" + bytes(
+        (10, 20, 30)
+    ) + bytes((40, 50, 60))
+    assert _decode_ppm(with_comment) is not None
+    truncated = _make_ppm([(1, 2, 3)] * 4)[:-5]
+    assert _decode_ppm(truncated) is None  # falls back to stub upstream
