@@ -21,6 +21,7 @@ import hashlib
 import io
 import sys
 import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -192,10 +193,76 @@ def _decode_bmp(payload: bytes) -> list[float] | None:
         return None
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> list[float] | None:
+    """REAL image decode for 8-bit RGB/RGBA PNG, pure stdlib: chunk walk +
+    zlib inflate + full filter reconstruction (None/Sub/Up/Average/Paeth)
+    → luma → slice features. Palette/16-bit/interlaced → None (stub)."""
+    try:
+        if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            return None
+        pos, w, h, depth, ctype, interlace, idat = 8, None, None, None, None, None, b""
+        while pos + 8 <= len(payload):
+            ln = int.from_bytes(payload[pos : pos + 4], "big")
+            typ = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln  # length + type + data + crc
+            if typ == b"IHDR":
+                w = int.from_bytes(data[0:4], "big")
+                h = int.from_bytes(data[4:8], "big")
+                depth, ctype, interlace = data[8], data[9], data[12]
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+        if not w or not h or depth != 8 or ctype not in (2, 6) or interlace:
+            return None
+        ch = 3 if ctype == 2 else 4
+        raw = zlib.decompress(idat)
+        stride = w * ch
+        if len(raw) < h * (stride + 1):
+            return None
+        gray: list[float] = []
+        prev = bytearray(stride)
+        at = 0
+        for _ in range(h):
+            ftype = raw[at]
+            line = bytearray(raw[at + 1 : at + 1 + stride])
+            at += 1 + stride
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ftype == 1:
+                    line[i] = (line[i] + a) & 0xFF
+                elif ftype == 2:
+                    line[i] = (line[i] + b) & 0xFF
+                elif ftype == 3:
+                    line[i] = (line[i] + (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    line[i] = (line[i] + _paeth(a, b, c)) & 0xFF
+                elif ftype != 0:
+                    return None
+            for x in range(w):
+                r, g, bl = line[x * ch], line[x * ch + 1], line[x * ch + 2]
+                gray.append((0.299 * r + 0.587 * g + 0.114 * bl) / 255.0)
+            prev = line
+        return _gray_slice_features(gray)
+    except Exception:
+        return None
+
+
 def _decode_one(payload: bytes) -> list[float]:
-    """Feature kernel: WAV audio and PPM/BMP images decode for real through
-    pure-stdlib readers (always available); with Pillow present, any other
-    image format decodes to the same FEATURE_DIM grayscale signature;
+    """Feature kernel: WAV audio and PPM/BMP/PNG images decode for real
+    through pure-stdlib readers (always available); with Pillow present, any
+    other image format decodes to the same FEATURE_DIM grayscale signature;
     otherwise — or when the bytes aren't decodable — the deterministic
     stub."""
     if _is_wav(payload):
@@ -203,7 +270,7 @@ def _decode_one(payload: bytes) -> list[float]:
         if feats is not None:
             return feats
     if payload:
-        for kernel in (_decode_ppm, _decode_bmp):
+        for kernel in (_decode_ppm, _decode_bmp, _decode_png):
             feats = kernel(payload)
             if feats is not None:
                 return feats

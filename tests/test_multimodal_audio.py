@@ -155,3 +155,86 @@ def test_ppm_comment_and_truncation_handling(spark):
     assert _decode_ppm(with_comment) is not None
     truncated = _make_ppm([(1, 2, 3)] * 4)[:-5]
     assert _decode_ppm(truncated) is None  # falls back to stub upstream
+
+
+# --- real PNG decode (stdlib zlib + full filter reconstruction) ------------
+
+import zlib
+
+from schwab_elt_etl_pipeline_spark.operators.multimodal import (
+    _decode_png,
+    _gray_slice_features,
+    _paeth,
+)
+
+
+def _chunk(typ, data):
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def _make_png(rows, filters, ch=3):
+    """Minimal PNG encoder applying the requested filter per row, so the
+    decoder must invert every filter type."""
+    w, h = len(rows[0]), len(rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    raw = b""
+    prev = bytes(w * ch)
+    for row, f in zip(rows, filters):
+        line = bytes(v for px in row for v in px)
+        out = bytearray(line)
+        for i in range(len(line)):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 1:
+                out[i] = (line[i] - a) & 0xFF
+            elif f == 2:
+                out[i] = (line[i] - b) & 0xFF
+            elif f == 3:
+                out[i] = (line[i] - (a + b) // 2) & 0xFF
+            elif f == 4:
+                out[i] = (line[i] - _paeth(a, b, c)) & 0xFF
+        raw += bytes([f]) + bytes(out)
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_decodes_across_all_filter_types(spark):
+    rows_rgb = [
+        [(255, 0, 0), (0, 255, 0), (10, 20, 30), (200, 100, 50)],
+        [(0, 0, 255), (255, 255, 255), (5, 5, 5), (90, 80, 70)],
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9), (250, 249, 248)],
+        [(100, 100, 100), (0, 0, 0), (255, 255, 255), (42, 42, 42)],
+        [(9, 9, 9), (8, 8, 8), (7, 7, 7), (6, 6, 6)],
+    ]
+    payload = _make_png(rows_rgb, filters=[0, 1, 2, 3, 4])
+    want = _gray_slice_features(
+        [_luma(*p) for row in rows_rgb for p in row]
+    )
+    assert _decode_png(payload) == want
+    media = spark.createDataFrame(
+        [(5, "image", "image/png", payload, (4, 5, None, None))], MEDIA_SCHEMA
+    )
+    (row,) = decode_stub_features(media).collect()
+    assert list(row["features"]) == want
+
+
+def test_png_rgba_and_rejections():
+    rgba = [[(10, 20, 30, 255), (200, 100, 50, 128)]]
+    payload = _make_png(rgba, filters=[4], ch=4)
+    assert _decode_png(payload) == _gray_slice_features(
+        [_luma(r, g, b) for (r, g, b, _a) in rgba[0]]
+    )
+    assert _decode_png(b"\x89PNG\r\n\x1a\n" + b"junk") is None
+    truncated = _make_png([[(1, 2, 3)]], filters=[0])[:-20]
+    assert _decode_png(truncated) is None
