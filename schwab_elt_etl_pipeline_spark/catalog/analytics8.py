@@ -280,10 +280,14 @@ def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    # DECIMAL(19,4): width > 18 forces DuckDB onto the wide decimal path so
-    # the product widens to (38,8) instead of overflowing int64 storage —
-    # Spark computes the same (38,8) product type; both sums stay exact
-    dec = {c: F.col(c).cast("decimal(19,4)") for c in cols}
+    # Asymmetric cast widths, same exact values: Spark uses (18,4) so the
+    # product type is (37,8) — full scale 8, exact (a (19,4) operand would
+    # make Spark cap precision at 38 by TRUNCATING scale to 7). The DuckDB
+    # oracle uses (19,4) because width > 18 is what forces DuckDB onto its
+    # wide-decimal multiply path instead of overflowing int64 storage; its
+    # product is (38,8). Both engines therefore hold every cross product
+    # exactly at scale 8 and the sums agree bit-for-bit.
+    dec = {c: F.col(c).cast("decimal(18,4)") for c in cols}
     aggs = [F.count(F.lit(1)).alias("n")]
     for i, a in enumerate(cols):
         aggs.append(F.sum(dec[a]).cast("double").alias(f"s_{i}"))

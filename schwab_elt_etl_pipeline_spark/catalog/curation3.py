@@ -16,7 +16,11 @@ from pyspark.sql.window import Window
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
 from schwab_elt_etl_pipeline_spark.operators.curation import semantic_dedup_verdicts
 from schwab_elt_etl_pipeline_spark.operators.sampling import hash_bucket
-from schwab_elt_etl_pipeline_spark.operators.similarity import as_double, cosine
+from schwab_elt_etl_pipeline_spark.operators.similarity import (
+    as_double,
+    cosine,
+    label_centroid_cells,
+)
 from schwab_elt_etl_pipeline_spark.operators.tokenize import (
     apply_pair_merges,
     explode_tokens,
@@ -102,27 +106,8 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle of (label, dim) partial sums — never of vectors.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    exploded = emb.select(
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "dim0", "x"
-        ),
-    )
-    return (
-        exploded.groupBy("label", (F.col("dim0") + 1).alias("dim"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            # one final ROUND: a float32 whose decimal expansion ties at
-            # the cast scale rounds HALF_UP in Spark vs HALF_EVEN in DuckDB
-            # (one hit in 128k cells at sf0.01, 2e-14 off) — 6 digits
-            # swallows the half-ulp without hiding real drift
-            F.round(
-                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("centroid"),
-        )
-        .select("label", F.col("dim").cast("int").alias("dim"), "n", "centroid")
+    return label_centroid_cells(emb).select(
+        "label", F.col("dim").cast("int").alias("dim"), "n", "centroid"
     )
 
 
@@ -160,16 +145,8 @@ def embedding_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "left_semi",
     )
-    cent_cells = (
-        kept.select("label", F.posexplode("v").alias("dim0", "x"))
-        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
-        .agg(
-            F.round(
-                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("c")
-        )
+    cent_cells = label_centroid_cells(kept, vec_col="v").select(
+        "label", "dim", F.col("centroid").alias("c")
     )
     cent = cent_cells.groupBy("label").agg(
         F.transform(

@@ -25,6 +25,7 @@ from schwab_elt_etl_pipeline_spark.operators.curation import (
 from schwab_elt_etl_pipeline_spark.operators.bloom import bloom_member, build_bloom
 from schwab_elt_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs
 from schwab_elt_etl_pipeline_spark.operators.gapfill import gapfill_locf
+from schwab_elt_etl_pipeline_spark.operators.graph import triangle_counts
 from schwab_elt_etl_pipeline_spark.operators.interval import point_in_interval_join
 from schwab_elt_etl_pipeline_spark.operators.merge import (
     insert_new,
@@ -83,7 +84,15 @@ from schwab_elt_etl_pipeline_spark.operators.windows import (
 )
 
 __all__ = [
+    "apply_pair_merges",
+    "bloom_member",
     "bpe_ish_token_count",
+    "build_bloom",
+    "explode_tokens",
+    "mad_drift",
+    "projected_rerank_topk",
+    "rebuild_docs",
+    "triangle_counts",
     "exact_k_per_group",
     "hash_rank_key",
     "passage_dedup_rebuild",

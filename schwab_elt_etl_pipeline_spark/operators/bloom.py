@@ -34,7 +34,11 @@ def build_bloom(
     seeds: tuple[int, ...] = DEFAULT_SEEDS,
 ) -> DataFrame:
     """ONE-row DataFrame: column ``arr`` = the bit array as array<long>."""
-    words = bits // 64
+    # ceil, NOT floor: with a non-multiple-of-64 ``bits`` a floored word
+    # count would leave the top positions unstorable — bloom_member would
+    # probe past the array (ANSI: crash; non-ANSI: NULL → silent FALSE
+    # NEGATIVES, breaking the filter's core guarantee)
+    words = (bits + 63) // 64
     pos = keys_df.select(
         F.explode(
             F.array(*[_bit_positions(F.col(key_col), s, bits) for s in seeds])

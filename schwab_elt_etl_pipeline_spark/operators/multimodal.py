@@ -120,8 +120,13 @@ def _decode_audio(payload: bytes) -> list[float] | None:
 
 
 def _gray_slice_features(gray: list[float]) -> list[float]:
-    """FEATURE_DIM box-averaged slices of a [0,1] grayscale pixel run —
-    the same thumbnail signature the Pillow path emits."""
+    """FEATURE_DIM box-averaged slices of a [0,1] grayscale pixel run.
+
+    Same SHAPE as the Pillow path's thumbnail signature, not bit-identical
+    to it (Pillow uses integer ITU-R 601 luma + bicubic resampling). The
+    stdlib kernels run BEFORE the Pillow branch precisely so WAV/PPM/BMP/PNG
+    features are environment-independent: adding or removing Pillow never
+    changes the feature values of formats these kernels own."""
     size = len(gray)
     out = []
     for i in range(FEATURE_DIM):
@@ -261,8 +266,10 @@ def _decode_png(payload: bytes) -> list[float] | None:
 
 def _decode_one(payload: bytes) -> list[float]:
     """Feature kernel: WAV audio and PPM/BMP/PNG images decode for real
-    through pure-stdlib readers (always available); with Pillow present, any
-    other image format decodes to the same FEATURE_DIM grayscale signature;
+    through pure-stdlib readers (always available, and taking precedence so
+    those formats' features never depend on which codecs are installed);
+    with Pillow present, any OTHER image format decodes to a grayscale
+    signature of the same shape (Pillow's own luma/resampling weights);
     otherwise — or when the bytes aren't decodable — the deterministic
     stub."""
     if _is_wav(payload):

@@ -212,6 +212,39 @@ def bucketed_ann_topk(
     )
 
 
+def label_centroid_cells(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-(label, dim) centroid cells: (label, dim, n, centroid), dim
+    1-based.
+
+    Elementwise means from exact DECIMAL sums over a posexplode — map-side
+    combinable and order-independent, so centroids are bit-reproducible;
+    at 100 TB this shuffles (label, dim) partial sums, never vectors. The
+    single final ROUND(…, 6) exists because a float32 whose decimal
+    expansion ties exactly at the cast scale rounds HALF_UP in Spark vs
+    HALF_EVEN in DuckDB (~one cell in 10^5 at sf0.01, 2e-14 apart); six
+    digits swallow the half-ulp without hiding real drift. Every centroid
+    consumer (catalog queries and their oracles) must share THIS function's
+    discipline — that is why it lives here and not inline.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double(vec_col)).alias("dim0", "x"),
+    )
+    return (
+        exploded.groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid"),
+        )
+    )
+
+
 def projection_signs(n_proj: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 random-projection matrix (n_proj × dim).
 

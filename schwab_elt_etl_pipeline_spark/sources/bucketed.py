@@ -51,12 +51,23 @@ def bucket_spec(spark: SparkSession, name: str) -> tuple[int, list[str]] | None:
 
 def cobucketed(spark: SparkSession, left: str, right: str, keys: list[str]) -> bool:
     """True when a join of ``left`` and ``right`` on ``keys`` is co-located:
-    both bucketed on exactly the join keys with compatible bucket counts
-    (equal, or one divides the other — Spark coalesces the finer side)."""
+    both bucketed on exactly the join keys with EQUAL bucket counts — or
+    divisible counts when bucket coalescing is actually on
+    (``spark.sql.bucketing.coalesceBucketsInJoin.enabled`` defaults to
+    FALSE, so a divides-relationship alone still plans an Exchange; the
+    helper must not certify a join the planner will shuffle)."""
     ls, rs = bucket_spec(spark, left), bucket_spec(spark, right)
     if ls is None or rs is None:
         return False
     (ln, lk), (rn, rk) = ls, rs
     if lk != keys or rk != keys:
         return False
-    return ln == rn or ln % rn == 0 or rn % ln == 0
+    if ln == rn:
+        return True
+    coalesce_on = (
+        spark.conf.get(
+            "spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false"
+        ).lower()
+        == "true"
+    )
+    return coalesce_on and (ln % rn == 0 or rn % ln == 0)

@@ -163,7 +163,13 @@ def read_volume_drift(
     from schwab_elt_etl_pipeline_spark.operators.quality import mad_drift
 
     folded = fold_partials(stage_table.read(), keys)
-    daily = folded.select(
-        *keys, F.col("bucket_ts").cast("date").alias("day"), "n"
+    # re-aggregate AFTER the date cast: a stage maintained at a finer grain
+    # (hour/minute buckets) would otherwise feed multiple rows per
+    # (key, day) into the gate, and every daily median/MAD would silently
+    # reflect sub-day volume; the groupBy is a no-op at day grain
+    daily = (
+        folded.select(*keys, F.col("bucket_ts").cast("date").alias("day"), "n")
+        .groupBy(*keys, "day")
+        .agg(F.sum("n").alias("n"))
     )
     return mad_drift(daily, keys, k=k)

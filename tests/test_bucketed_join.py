@@ -92,3 +92,32 @@ def test_bucketed_aggregation_is_exchange_free(spark, bucketed_tables):
     agg = spark.table(left).groupBy("l_orderkey").agg(F.sum("l_quantity"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cobucketed_divisible_counts_require_coalescing_conf(spark, sf_dir):
+    """Regression: divisible bucket counts only co-locate when
+    coalesceBucketsInJoin is ON (default OFF plans an Exchange) — the
+    helper must not certify what the planner will shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    save_bucketed(li, "bkt_fine", buckets=8, keys=["l_orderkey"])
+    save_bucketed(li, "bkt_coarse", buckets=4, keys=["l_orderkey"])
+    try:
+        assert not cobucketed(spark, "bkt_fine", "bkt_coarse", ["l_orderkey"])
+        spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+        assert cobucketed(spark, "bkt_fine", "bkt_coarse", ["l_orderkey"])
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_fine").join(
+                spark.table("bkt_coarse"), "l_orderkey"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan  # coalescing really does co-locate
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.conf.set(
+            "spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false"
+        )
+        spark.sql("DROP TABLE IF EXISTS bkt_fine")
+        spark.sql("DROP TABLE IF EXISTS bkt_coarse")

@@ -175,3 +175,24 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
         .count()
     )
     assert fp / 10_000 < 0.02, f"false-positive rate off the design point: {fp}"
+
+
+def test_bloom_non_multiple_of_64_bits_has_no_false_negatives(spark):
+    """Regression: a floored word count with bits % 64 != 0 dropped the top
+    positions from the array — inserted keys hashing there probed past the
+    end (NULL → silent false negatives). Ceil-sized arrays must hold all."""
+    from pyspark.sql import functions as F
+
+    from schwab_elt_etl_pipeline_spark.operators.bloom import (
+        bloom_member,
+        build_bloom,
+    )
+
+    inserted = spark.range(0, 2000).select(F.col("id").alias("key"))
+    bloom = build_bloom(inserted, "key", bits=1000)
+    hits = (
+        inserted.crossJoin(F.broadcast(bloom))
+        .filter(bloom_member(F.col("key"), F.col("arr"), bits=1000))
+        .count()
+    )
+    assert hits == 2000
