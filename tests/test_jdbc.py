@@ -76,3 +76,40 @@ def test_insert_new_is_replay_idempotent(spark, sf_dir, url):
     # overlapping batch: only the genuinely new keys land
     insert_new_jdbc(orders, url, "orders_i", keys=["o_orderkey"])
     assert read_jdbc(spark, url, "orders_i").count() == orders.count()
+
+
+def test_streaming_jdbc_sink_exactly_once_effective(spark, sf_dir, url):
+    """Stream events into Derby across micro-batches; a full replay from a
+    fresh checkpoint (at-least-once delivery, worst case) must add zero
+    rows — exactly-once EFFECTS via the key-guarded insert."""
+    import tempfile
+
+    from schwab_elt_etl_pipeline_spark.streaming.jdbc_sink import (
+        write_stream_jdbc,
+    )
+
+    d = tempfile.mkdtemp(prefix="jstream_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.withColumn("_f", F.col("event_id") % 3).repartition("_f").write.partitionBy(
+        "_f"
+    ).parquet(d + "/in")
+    schema = ev.withColumn("_f", F.col("event_id") % 3).schema
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/in")
+            .drop("_f")
+        )
+        q = write_stream_jdbc(
+            stream, url, "events_j", keys=["event_id"], checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    run(d + "/ckpt1")
+    n = read_jdbc(spark, url, "events_j").count()
+    assert n == ev.count()
+
+    run(d + "/ckpt2")  # full replay, fresh checkpoint
+    assert read_jdbc(spark, url, "events_j").count() == n
