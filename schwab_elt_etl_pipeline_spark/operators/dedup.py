@@ -454,6 +454,38 @@ def simhash_near_dups(
     )
 
 
+def split_passages(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 50,
+) -> DataFrame:
+    """(_id, passage_id, passage): non-overlapping ``passage_tokens``-token
+    passages per document — THE passage definition. Batch dedup
+    (:func:`passage_dedup_rebuild`) and the incremental streaming index
+    (``streaming/corpus.py update_passage_index``) both call this, so the
+    boundary/normalization rule cannot silently diverge between the paths
+    the tests assert equal."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        docs.withColumn("_toks", toks)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("_toks"), F.lit(passage_tokens))
+            ).alias("start"),
+            "_toks",
+        )
+        .select(
+            "_id",
+            ((F.col("start") - 1) / passage_tokens).cast("int").alias("passage_id"),
+            F.array_join(F.slice("_toks", F.col("start"), passage_tokens), " ").alias(
+                "passage"
+            ),
+        )
+    )
+
+
 def passage_dedup_rebuild(
     docs: DataFrame,
     passage_tokens: int = 20,
@@ -474,24 +506,7 @@ def passage_dedup_rebuild(
     """
     from pyspark.sql.window import Window
 
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    passages = (
-        docs.withColumn("_toks", toks)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(
-                F.sequence(F.lit(1), F.size("_toks"), F.lit(passage_tokens))
-            ).alias("start"),
-            "_toks",
-        )
-        .select(
-            "_id",
-            ((F.col("start") - 1) / passage_tokens).cast("int").alias("passage_id"),
-            F.array_join(F.slice("_toks", F.col("start"), passage_tokens), " ").alias(
-                "passage"
-            ),
-        )
-    )
+    passages = split_passages(docs, id_col, text_col, passage_tokens)
     w = Window.partitionBy("passage").orderBy("_id", "passage_id")
     ranked = passages.withColumn("rk", F.row_number().over(w))
     return (

@@ -65,6 +65,8 @@ def zorder_code(df: DataFrame, cols: Sequence[str], bits: int = 16) -> DataFrame
     code = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         lo, hi = bounds[f"_min_{i}"], bounds[f"_max_{i}"]
+        if lo is None or hi is None:  # empty table / all-NULL column:
+            lo, hi = 0.0, 0.0  # every row lands in bucket 0 (NULL rule)
         span = (hi - lo) or 1.0
         q = F.least(
             F.lit(top),
@@ -228,7 +230,16 @@ class ParquetTable:
                 f"table {self.path}: base version {base_version} is no longer "
                 f"current ({self.current_version()})"
             )
-        version = (self.current_version() or 0) + 1
+        # With base_version, claim EXACTLY base+1: re-reading the pointer
+        # here would reopen the check-then-claim window (a writer committing
+        # between our check and the claim would slide us to base+2 and both
+        # commits would "succeed", silently dropping the other's rows). The
+        # os.rename collision on _v{base+1} is the atomic conflict detector.
+        version = (
+            base_version + 1
+            if base_version is not None
+            else (self.current_version() or 0) + 1
+        )
         while True:
             try:
                 os.rename(staging, self._version_dir(version))  # atomic claim
@@ -242,12 +253,43 @@ class ParquetTable:
                     ) from None
                 version += 1  # last-writer-wins path: take the next slot
 
-        if (self.current_version() or 0) < version:  # monotonic flip
-            tmp = self._pointer_file() + f".tmp_{uuid.uuid4().hex}"
-            with open(tmp, "w") as fh:
-                fh.write(str(version))
-            os.replace(tmp, self._pointer_file())  # atomic on POSIX
+        self._flip_pointer_monotonic(version)
         return version
+
+    def _flip_pointer_monotonic(self, version: int) -> None:
+        """Advance the pointer to ``version`` iff it is ahead of the current
+        value, under a lock file: a bare check-then-replace lets a slower
+        writer's stale check overwrite a newer pointer (A claims v2, B claims
+        v3 and flips, A's earlier `current < 2` check then flips BACK to 2 —
+        pointer regression hides B's committed rows). The lock serializes
+        check+write; stale locks (crashed writer) break after 60 s."""
+        import time
+
+        lock = os.path.join(self.path, "_pointer.lock")
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 60:
+                        os.unlink(lock)  # crashed holder
+                        continue
+                except OSError:
+                    continue  # lock vanished between exists and stat
+                time.sleep(0.01)
+        try:
+            if (self.current_version() or 0) < version:
+                tmp = self._pointer_file() + f".tmp_{uuid.uuid4().hex}"
+                with open(tmp, "w") as fh:
+                    fh.write(str(version))
+                os.replace(tmp, self._pointer_file())  # atomic on POSIX
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
 
     def append(self, df: DataFrame) -> None:
         """Append into the CURRENT version dir (Bronze-style append log).
@@ -286,7 +328,12 @@ class ParquetTable:
             deduped = batch.dropDuplicates(list(keys))
             self.overwrite_versioned(deduped)
             return deduped.count()
-        fresh = insert_new(batch, self.read(), keys=keys)
+        # one computation for both consumers: count() and append() would
+        # otherwise each re-run the anti-join + the batch's full lineage —
+        # twice per micro-batch on every streaming sink that funnels here
+        fresh = insert_new(batch, self.read(), keys=keys).localCheckpoint(
+            eager=True
+        )
         n = fresh.count()
         if n:
             self.append(fresh)

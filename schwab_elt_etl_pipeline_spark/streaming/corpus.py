@@ -34,7 +34,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from schwab_elt_etl_pipeline_spark.operators.dedup import _banded_signatures
+from schwab_elt_etl_pipeline_spark.operators.dedup import (
+    _banded_signatures,
+    split_passages,
+)
 from schwab_elt_etl_pipeline_spark.operators.text import (
     fingerprint,
     lang_id,
@@ -67,14 +70,20 @@ def read_document_stream(
 def curate_stream(docs: DataFrame, min_tokens: int = 5) -> DataFrame:
     """Quality gate + content fingerprint, all native expressions.
 
-    Keeps documents with ≥ ``min_tokens`` whitespace tokens and a language
-    the n-gram heuristic recognizes; attaches the rolling-hash fingerprint
+    Keeps documents with ≥ ``min_tokens`` whitespace tokens AND at least one
+    marker hit in the language heuristic (``lang_id`` is an argmax that
+    always names a language — the gate is the marker score, not the argmax);
+    attaches the rolling-hash fingerprint
     the dedup layer keys on. Order-insensitive per-row logic → identical
     semantics in batch and streaming (the operators are shared)."""
+    from schwab_elt_etl_pipeline_spark.operators.text import lang_scores
+
+    scores = lang_scores("text")
+    recognized = F.greatest(*scores.values()) > 0
     return (
         docs.withColumn("n_tok", token_count("text"))
         .withColumn("lang_pred", lang_id("text"))
-        .filter(F.col("n_tok") >= min_tokens)
+        .filter((F.col("n_tok") >= min_tokens) & recognized)
         .withColumn("fp", fingerprint("text"))
     )
 
@@ -102,10 +111,10 @@ def write_curated_stream(
     )
 
     def _sink(batch: DataFrame, _epoch: int) -> None:
-        if bronze.exists():
-            bronze.insert_new(batch, keys=["fp"])
-        else:
-            bronze.overwrite_versioned(batch)
+        # insert_new handles the not-exists branch itself AND dedups the
+        # first batch on fp — a verbatim first write would trust upstream
+        # dedup that a future caller might not have
+        bronze.insert_new(batch, keys=["fp"])
 
     writer = (
         deduped.writeStream.outputMode("append")
@@ -144,15 +153,15 @@ def update_minhash_index(
     signed = _banded_signatures(batch, "doc_id", "text", ngram, k, bands).localCheckpoint(
         eager=True
     )
-    if index.exists():
-        idx = index.read()
-        cands = (
-            signed.alias("a")
+
+    def _pairs(left, right, residual):
+        return (
+            left.alias("a")
             .join(
-                idx.alias("b"),
+                right.alias("b"),
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.id") != F.col("b.id")),
+                & residual,
             )
             .select(
                 F.col("a.id").alias("batch_id"),
@@ -169,16 +178,23 @@ def update_minhash_index(
                     / F.lit(k)
                 ).alias("est_jaccard"),
             )
-            .dropDuplicates(["batch_id", "index_id"])
+        )
+
+    # pairs ARRIVING TOGETHER: the index cannot see them (both sides are
+    # appended only after this call), so the batch must self-join its own
+    # bands — without this, two near-identical docs in one micro-batch are
+    # never surfaced by ANY call (the index-only probe misses them now, and
+    # later batches probe against both as index rows, never as a pair)
+    self_cands = _pairs(signed, signed, F.col("a.id") < F.col("b.id"))
+    if index.exists():
+        probed = _pairs(signed, index.read(), F.col("a.id") != F.col("b.id"))
+        cands = probed.unionByName(self_cands).dropDuplicates(
+            ["batch_id", "index_id"]
         )
         index.insert_new(signed, keys=["id", "band"])
         return cands
     index.overwrite_versioned(signed)
-    return signed.select(
-        F.col("id").alias("batch_id"),
-        F.col("id").alias("index_id"),
-        F.lit(0.0).alias("est_jaccard"),
-    ).limit(0)
+    return self_cands.dropDuplicates(["batch_id", "index_id"])
 
 
 def update_ann_index(
@@ -266,6 +282,7 @@ def update_passage_index(
     passage_tokens: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    epoch: int | None = None,
 ) -> DataFrame:
     """Incrementally maintain a passage-fingerprint index and return the
     batch's documents with passages deduped against the ENTIRE corpus seen
@@ -281,10 +298,16 @@ def update_passage_index(
     never the text; (2) drop passages whose fingerprint hits the index
     (left_anti probe — O(batch) lookups, never a corpus rescan); (3) rebuild
     per-doc text from survivors; (4) append the batch's fingerprints,
-    ``insert_new`` on fp so replays add nothing and re-emitted batches
-    rebuild identically (replay-idempotent output requires replaying against
-    the pre-batch index version, which Structured Streaming's checkpointed
-    epoch guarantees via exactly-once foreachBatch semantics).
+    ``insert_new`` on fp so replays add nothing.
+
+    ``epoch`` (pass the foreachBatch batch_id) makes the OUTPUT replay-safe
+    too: foreachBatch is at-least-once, so a replayed batch probes an index
+    that already contains its own fingerprints. Index rows carry the epoch
+    that claimed them; a passage counts as fresh when its fp is absent OR
+    was claimed BY THIS epoch — the replay reproduces the original output
+    bit-for-bit instead of emitting n_kept=0 / empty text for every
+    document. Without an epoch (direct batch use) the probe-all behavior
+    applies and replaying the same batch is NOT output-stable.
 
     Output: (id, n_passages, n_kept, deduped_text) for every batch document.
     At 100 TB the index table is ``cluster_by=("fp",)`` so footer stats
@@ -292,29 +315,21 @@ def update_passage_index(
     """
     from pyspark.sql.window import Window
 
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     passages = (
-        batch.withColumn("_toks", toks)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(
-                F.sequence(F.lit(1), F.size("_toks"), F.lit(passage_tokens))
-            ).alias("start"),
-            "_toks",
-        )
-        .select(
-            "_id",
-            ((F.col("start") - 1) / passage_tokens).cast("int").alias("passage_id"),
-            F.array_join(F.slice("_toks", F.col("start"), passage_tokens), " ").alias(
-                "passage"
-            ),
-        )
+        split_passages(batch, id_col, text_col, passage_tokens)
         .withColumn("fp", F.xxhash64("passage"))
         .localCheckpoint(eager=True)  # feeds the probe, the rebuild AND the
         # index append — materialize once per batch
     )
     if index.exists():
-        fresh = passages.join(index.read().select("fp"), "fp", "left_anti")
+        idx = index.read().select(
+            "fp", F.lit(1).alias("_hit"), F.col("_epoch").alias("_idx_epoch")
+        )
+        joined = passages.join(idx, "fp", "left")
+        cond = F.col("_hit").isNull()
+        if epoch is not None:
+            cond = cond | (F.col("_idx_epoch") == F.lit(epoch))
+        fresh = joined.filter(cond).drop("_hit", "_idx_epoch")
     else:
         fresh = passages
     w = Window.partitionBy("fp").orderBy("_id", "passage_id")
@@ -345,9 +360,10 @@ def update_passage_index(
             F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
         )
     )
-    new_fps = kept.select("fp", F.col("_id").alias("first_doc_id"))
-    if index.exists():
-        index.insert_new(new_fps, keys=["fp"])
-    else:
-        index.overwrite_versioned(new_fps)
+    new_fps = kept.select(
+        "fp",
+        F.col("_id").alias("first_doc_id"),
+        F.lit(epoch).cast("long").alias("_epoch"),
+    )
+    index.insert_new(new_fps, keys=["fp"])
     return out

@@ -78,8 +78,11 @@ def run_streaming_rollup(
 def compact_stage(stage_table: ParquetTable, keys: list[str]) -> int:
     """Fold the stage to one row per (keys, bucket) and rewrite it under the
     current epoch floor, so stage size stays O(buckets), not O(buckets ×
-    epochs). Safe between streaming runs (same atomic pointer flip as every
-    table write); the fold is associative so folding a fold is a no-op.
+    epochs). The fold is associative so folding a fold is a no-op. Commits
+    with ``base_version``: if a live streaming batch lands between the
+    compactor's read and its flip, the compaction ABORTS
+    (ConcurrentWriteConflict) instead of silently dropping that batch's
+    partials — retry compaction at the next quiet moment.
 
     No-ops (returns the current version, or 0 when the table was never
     written) on a missing or empty stage: without the guard, ``read()`` of a
@@ -89,14 +92,30 @@ def compact_stage(stage_table: ParquetTable, keys: list[str]) -> int:
     """
     if not stage_table.exists():
         return 0
+    base = stage_table.current_version()
     staged = stage_table.read()
     max_epoch = staged.agg(F.max("_epoch")).first()[0]
     if max_epoch is None:  # empty stage — nothing to fold
-        return stage_table.current_version() or 0
+        return base or 0
+    # cast the folded measures BACK to the staged column types: re-summing
+    # widens sums (decimal(28,6) → decimal(38,6)), and a post-compaction
+    # append from rollup_minutes would then mix parquet physical types in
+    # one version dir, breaking every later read of the stage. The fold is
+    # a row-count reduction — values always fit the original widths.
     folded = fold_partials(staged, keys).withColumn(
         "_epoch", F.lit(max_epoch).cast("long")
     )
-    return stage_table.overwrite_versioned(folded)
+    folded = folded.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in staged.schema.fields
+        ]
+    )
+    # base_version: a streaming batch committing between our read and this
+    # flip must abort the compaction (its partials would silently vanish
+    # from the current version while its checkpoint says it is done) —
+    # compaction is safe to just retry later
+    return stage_table.overwrite_versioned(folded, base_version=base)
 
 
 def update_distinct_sketch_table(

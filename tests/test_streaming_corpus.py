@@ -49,7 +49,10 @@ def test_curated_stream_dedups_and_gates(spark, dirs):
         _doc(1, "the quick brown fox jumps over the lazy dog"),
         _doc(2, "the quick brown fox jumps over the lazy dog", minute=1),  # exact dup
         _doc(3, "tiny"),  # fails min_tokens gate
-        _doc(4, "a completely different document about spark engines at scale"),
+        _doc(4, "the completely different document about spark engines at scale"),
+        # no marker token of ANY language: the recognizer gate must drop it
+        # (lang_id's argmax always names a language; the gate is the score)
+        _doc(5, "zzz qqq xxx vvv kkk jjj www ppp"),
     ]
     spark.createDataFrame(rows, _SCHEMA).write.mode("append").parquet(src)
 
@@ -61,7 +64,8 @@ def test_curated_stream_dedups_and_gates(spark, dirs):
 
     out = bronze.read()
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
-    assert 3 not in ids  # quality gate
+    assert 3 not in ids  # quality gate (min tokens)
+    assert 5 not in ids  # language gate (zero marker hits)
     assert len(ids) == 2  # one of {1,2} survived the fp dedup
     assert len({1, 2} & ids) == 1
     assert 4 in ids
@@ -210,7 +214,9 @@ def test_incremental_passage_index_matches_batch_semantics(spark, dirs):
     index = ParquetTable(spark, idx_dir, cluster_by=("fp",))
     out1 = {
         r["doc_id"]: (r["n_passages"], r["n_kept"], r["deduped_text"])
-        for r in update_passage_index(batch1, index, passage_tokens=p).collect()
+        for r in update_passage_index(
+            batch1, index, passage_tokens=p, epoch=1
+        ).collect()
     }
     ref1 = {
         r["doc_id"]: (r["n_passages"], r["n_kept"], r["deduped_text"])
@@ -218,14 +224,11 @@ def test_incremental_passage_index_matches_batch_semantics(spark, dirs):
     }
     assert out1 == ref1
 
-    # snapshot the pre-batch-2 index state (append() adds files to the
-    # CURRENT version, so a version pin alone is not an epoch snapshot —
-    # a real stream gets this snapshot from the checkpointed epoch)
-    pre_batch2_fps = index.read().collect()
-
     out2 = {
         r["doc_id"]: (r["n_passages"], r["n_kept"], r["deduped_text"])
-        for r in update_passage_index(batch2, index, passage_tokens=p).collect()
+        for r in update_passage_index(
+            batch2, index, passage_tokens=p, epoch=2
+        ).collect()
     }
     union_ref = {
         r["doc_id"]: (r["n_passages"], r["n_kept"], r["deduped_text"])
@@ -238,27 +241,55 @@ def test_incremental_passage_index_matches_batch_semantics(spark, dirs):
     assert out2[2] == (2, 1, "g h i")
     assert out2[3] == (2, 0, "")
 
-    # replay batch 2 against the pre-batch-2 snapshot (what the checkpointed
-    # foreachBatch epoch replays against): identical output, and the real
-    # index gains nothing from re-appending (insert_new on fp)
+    # replay batch 2 against the REAL post-batch index with the SAME epoch
+    # (foreachBatch is at-least-once; the epoch tags on the index rows make
+    # the replayed probe treat this batch's own claims as fresh): identical
+    # output, and the index gains nothing from re-appending (insert_new on
+    # fp). This is the crash-after-append-before-checkpoint scenario.
     n_fps_after = index.read().count()
-    import tempfile as _tf
-
-    replay_dir = _tf.mkdtemp(prefix="passage_replay_")
-    try:
-        replay_index = ParquetTable(spark, replay_dir, cluster_by=("fp",))
-        replay_index.overwrite_versioned(
-            spark.createDataFrame(pre_batch2_fps, index.read().schema)
-        )
-        out2_replay = {
-            r["doc_id"]: (r["n_passages"], r["n_kept"], r["deduped_text"])
-            for r in update_passage_index(
-                batch2, replay_index, passage_tokens=p
-            ).collect()
-        }
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+    out2_replay = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"], r["deduped_text"])
+        for r in update_passage_index(
+            batch2, index, passage_tokens=p, epoch=2
+        ).collect()
+    }
     assert out2_replay == out2
-    n2 = update_passage_index(batch2, index, passage_tokens=p)  # re-append
-    n2.collect()
     assert index.read().count() == n_fps_after  # replayed append was a no-op
+
+    # a LATER epoch replaying the same docs must NOT treat them as fresh
+    out2_later = {
+        r["doc_id"]: r["n_kept"]
+        for r in update_passage_index(
+            batch2, index, passage_tokens=p, epoch=3
+        ).collect()
+    }
+    assert all(v == 0 for v in out2_later.values())
+
+
+def test_minhash_same_batch_pairs_are_surfaced(spark, dirs):
+    """Two near-identical docs ARRIVING IN THE SAME micro-batch must appear
+    as a candidate pair in that call — the index-only probe cannot see them
+    (both are appended after the call), so the batch self-join must."""
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_minhash_index
+
+    _, idx_dir, _ = dirs
+    index = ParquetTable(spark, idx_dir)
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [
+            (10, text),
+            (11, text + " lambda"),  # near-dup of 10, same batch
+            (12, "completely unrelated words nothing shared here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = update_minhash_index(b1, index)
+    pairs = {(r["batch_id"], r["index_id"]) for r in out.collect()}
+    assert (10, 11) in pairs
+    assert not any(12 in p for p in pairs)
+
+    # and the first call populates the index so a LATER near-dup still hits
+    b2 = spark.createDataFrame([(20, text + " mu")], "doc_id long, text string")
+    out2 = update_minhash_index(b2, index)
+    hits = {r["index_id"] for r in out2.collect()}
+    assert {10, 11} <= hits

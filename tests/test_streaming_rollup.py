@@ -199,3 +199,36 @@ def test_streaming_volume_drift_equals_batch(spark, sf_dir, dirs):
     streamed2 = read_volume_drift(stage, KEYS).select(*s_cols)
     assert streamed2.exceptAll(batch_sel).count() == 0
     assert batch_sel.exceptAll(streamed2).count() == 0
+
+
+def test_stream_resumes_cleanly_after_compaction(spark, sf_dir, dirs):
+    """Appends AFTER a compaction must keep the stage readable: compaction
+    re-sums (which would widen decimal types) — the folded table must be
+    cast back to the staged schema so post-compaction files match."""
+    schema = _write_feed(spark, sf_dir, dirs, n_files=2)
+    stage = ParquetTable(spark, dirs + "/stage_c")
+    q = run_streaming_rollup(
+        _read_feed(spark, schema, dirs), stage, KEYS, checkpoint_dir=dirs + "/ck1"
+    )
+    q.awaitTermination(120)
+    before = stage.read().schema
+    compact_stage(stage, KEYS)
+    assert stage.read().schema == before  # same physical column types
+
+    # new data arrives after the compaction: same stage keeps working
+    ev = load_table(spark, sf_dir, "events")
+    extra = ev.withColumn("event_id", F.col("event_id") + 10_000_000).limit(500)
+    extra.write.mode("append").parquet(dirs + "/in/_f=9")
+    q2 = run_streaming_rollup(
+        _read_feed(spark, schema, dirs), stage, KEYS, checkpoint_dir=dirs + "/ck1"
+    )
+    q2.awaitTermination(120)
+    folded = fold_partials(stage.read().drop("_f"), KEYS)
+    assert folded.count() > 0  # the read crosses pre/post-compaction files
+    batch = rollup_minutes(
+        load_table(spark, sf_dir, "events").unionByName(extra), KEYS
+    )
+    maintained = rollup_read(folded)
+    want = rollup_read(batch)
+    assert maintained.exceptAll(want).count() == 0
+    assert want.exceptAll(maintained).count() == 0

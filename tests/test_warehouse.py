@@ -474,3 +474,33 @@ def test_partition_spec_evolution_across_versions(spark, table_dir):
     new_plan = new._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(d" in old_plan
     assert "PartitionFilters: [isnotnull(e" in new_plan
+
+
+def test_optimistic_commit_detects_interleaved_claim(spark, tmp_path):
+    """Regression for the check-then-claim race: a writer whose base-version
+    precheck passed must STILL conflict if another writer claims the next
+    version directory before it does (the os.rename collision is the atomic
+    detector — the version must be base+1 exactly, never re-read)."""
+    import os
+
+    from schwab_elt_etl_pipeline_spark.sources.warehouse import (
+        ConcurrentWriteConflict,
+        ParquetTable,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    df = spark.range(10).toDF("id")
+    v1 = t.overwrite_versioned(df)
+    assert v1 == 1
+
+    # simulate a concurrent writer that has CLAIMED _v2 but not yet flipped
+    # the pointer (a claim is an atomic rename of a POPULATED staging dir,
+    # so the dir is never empty — rename onto a non-empty dir is what fails)
+    os.makedirs(t._version_dir(2))
+    marker = os.path.join(t._version_dir(2), "part-00000.parquet")
+    with open(marker, "w") as fh:
+        fh.write("x")
+    with pytest.raises(ConcurrentWriteConflict):
+        t.overwrite_versioned(df, base_version=1)
+    # the loser must not have disturbed the claimed dir
+    assert os.listdir(t._version_dir(2)) == ["part-00000.parquet"]
