@@ -56,11 +56,42 @@ def insert_new(
     right only when the target's distinct keyset is small; a large target's
     keyset must shuffle.
     """
-    src = source.dropDuplicates(list(keys)) if dedup_source else source
-    tgt_keys = target.select(*keys)
+    src = (source.dropDuplicates(list(keys)) if dedup_source else source).alias(
+        "_ins_src"
+    )
+    tgt_keys = target.select(*keys).alias("_ins_tgt")
     if broadcast_target_keys:
         tgt_keys = F.broadcast(tgt_keys)
-    return src.join(tgt_keys, on=list(keys), how="left_anti")
+    # NULL-SAFE key equality: with plain `=`, a row whose key column is NULL
+    # never matches its already-inserted copy, so it re-inserts on EVERY
+    # batch/replay — unbounded duplicates for exactly the rows the key was
+    # meant to guard (e.g. a chain snapshot with no quote time). <=> is
+    # hash-joinable, so the plan shape is unchanged.
+    cond = None
+    for k in keys:
+        c = F.col(f"_ins_src.{k}").eqNullSafe(F.col(f"_ins_tgt.{k}"))
+        cond = c if cond is None else cond & c
+    return src.join(tgt_keys, cond, "left_anti")
+
+
+def newest_per_key(
+    df: DataFrame, keys: Sequence[str], order_col: str
+) -> DataFrame:
+    """Reduce a batch to its newest row per key BEFORE an upsert: window
+    rank by ``order_col`` DESC with every remaining column as deterministic
+    tiebreaker (plain ``dropDuplicates`` keeps an arbitrary row when one
+    batch carries several rows per key — an upsert must apply the newest)."""
+    from pyspark.sql.window import Window
+
+    rest = [c for c in df.columns if c not in keys and c != order_col]
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), *[F.desc(c) for c in rest]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def merge_upsert(

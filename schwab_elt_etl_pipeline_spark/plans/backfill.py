@@ -43,31 +43,55 @@ def backfill_medallion(
     """Re-run Silver+Gold for every Bronze day in [start, end]. Returns the
     days processed.
 
-    ``rebuild_gold=True`` additionally DELETES the range's Gold rows first
-    (delete-and-reinsert — the path for a Gold logic change, where anti-join
-    idempotence would otherwise keep the stale rows). VERT_TS rows are
-    keyed to the day via T; VERT spread definitions are day-independent and
+    ``rebuild_gold=True`` additionally DELETES the Gold rows of the
+    EVENT-time days this Bronze slice produces (delete-and-reinsert — the
+    path for a Gold logic change, where anti-join idempotence would
+    otherwise keep the stale rows). The deleted day set is derived from the
+    slice's parsed T values, never from the ingest-date window: T is
+    Pacific event time, and the two calendars diverge around midnight and
+    for late-replayed data. VERT spread definitions are day-independent and
     insert-new semantics keep them stable.
     """
+    # filter on the Bronze PARTITION column when present: write_bronze_stream
+    # partitions by a materialized `date`, and filtering the derived
+    # expression instead would full-scan Bronze once per day (Catalyst can't
+    # map an expression over received_at back to the partition key)
+    date_expr = (
+        F.col("date")
+        if "date" in bronze.columns
+        else F.to_date(F.timestamp_millis(F.col("received_at")))
+    )
     days = [
-        r["date"]
+        r["d"]
         for r in (
-            bronze.select(
-                F.to_date(F.timestamp_millis(F.col("received_at"))).alias("date")
-            )
-            .filter(F.col("date").between(start, end))
+            bronze.select(date_expr.alias("d"))
+            .filter(F.col("d").between(start, end))
             .distinct()
-            .orderBy("date")
+            .orderBy("d")
             .collect()
         )
     ]
-    if rebuild_gold and vert_ts_table.exists():
-        kept = vert_ts_table.read().filter(~F.to_date("T").between(start, end))
-        vert_ts_table.overwrite_versioned(kept)
+    if rebuild_gold and vert_ts_table.exists() and days:
+        # delete by the EVENT-time days this slice actually produces: T is
+        # Pacific wall-clock from the quote timestamp while `days` is keyed
+        # on ingest date — deleting a bare start..end T-range would purge
+        # days the loop below never rebuilds (late-replayed or tz-shifted
+        # data would be lost for good)
+        from schwab_elt_etl_pipeline_spark.plans.silver import parse_quotes
+
+        range_batch = bronze.filter(date_expr.between(start, end))
+        t_days = [
+            r["d"]
+            for r in parse_quotes(range_batch)
+            .select(F.to_date("T").alias("d"))
+            .distinct()
+            .collect()
+        ]
+        if t_days:
+            kept = vert_ts_table.read().filter(~F.to_date("T").isin(t_days))
+            vert_ts_table.overwrite_versioned(kept)
     for day in days:
-        day_batch = bronze.filter(
-            F.to_date(F.timestamp_millis(F.col("received_at"))) == F.lit(day)
-        )
+        day_batch = bronze.filter(date_expr == F.lit(day))
         apply_medallion_batch(
             day_batch,
             opt_table,

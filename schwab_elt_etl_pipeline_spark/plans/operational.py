@@ -17,25 +17,11 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyspark.sql.window import Window
-
-from schwab_elt_etl_pipeline_spark.operators.merge import insert_new, merge_upsert
-
-
-def _newest_per_key(snapshot: DataFrame, keys: list[str], order_col: str) -> DataFrame:
-    """Reduce a snapshot to its newest row per key BEFORE dedup/merge: a
-    window rank ordered by ``order_col`` DESC with the remaining columns as
-    deterministic tiebreakers (plain ``dropDuplicates`` keeps an arbitrary
-    row when one snapshot carries several rows per key)."""
-    rest = [c for c in snapshot.columns if c not in keys and c != order_col]
-    w = Window.partitionBy(*keys).orderBy(
-        F.desc(order_col), *[F.desc(c) for c in rest]
-    )
-    return (
-        snapshot.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+from schwab_elt_etl_pipeline_spark.operators.merge import (
+    insert_new,
+    merge_upsert,
+    newest_per_key as _newest_per_key,
+)
 
 
 def append_balances(snapshot: DataFrame, balances: DataFrame | None = None) -> DataFrame:

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from schwab_elt_etl_pipeline_spark.streaming.runner import start_foreach_batch
+
 from schwab_elt_etl_pipeline_spark.plans.chains import flatten_chains
 from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
 
@@ -36,11 +38,6 @@ def run_streaming_chains(
             return
         chain_table.insert_new(flatten_chains(batch), keys=CHAIN_KEYS)
 
-    writer = chains_stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return start_foreach_batch(
+        chains_stream, process_batch, checkpoint_dir, trigger_seconds
     )
-    if trigger_seconds is not None:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from schwab_elt_etl_pipeline_spark.streaming.runner import start_foreach_batch
+
 from schwab_elt_etl_pipeline_spark.operators.dedup import (
     _banded_signatures,
     split_passages,
@@ -116,16 +118,9 @@ def write_curated_stream(
         # dedup that a future caller might not have
         bronze.insert_new(batch, keys=["fp"])
 
-    writer = (
-        deduped.writeStream.outputMode("append")
-        .foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
+    return start_foreach_batch(
+        deduped, _sink, checkpoint_dir, trigger_seconds, output_mode="append"
     )
-    if trigger_seconds is not None:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def update_minhash_index(

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from schwab_elt_etl_pipeline_spark.streaming.runner import start_foreach_batch
+
 from schwab_elt_etl_pipeline_spark.sources.jdbc import DERBY_DRIVER, insert_new_jdbc
 
 
@@ -36,11 +38,6 @@ def write_stream_jdbc(
             return
         insert_new_jdbc(batch, url, table, keys=keys, driver=driver)
 
-    writer = stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return start_foreach_batch(
+        stream, process_batch, checkpoint_dir, trigger_seconds
     )
-    if trigger_seconds is not None:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

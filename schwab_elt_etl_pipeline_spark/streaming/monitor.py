@@ -35,7 +35,15 @@ class ProgressRecorder(StreamingQueryListener):
     with :meth:`to_df`; persist with :meth:`flush_to`."""
 
     def __init__(self, max_events: int = 10_000):
+        import threading
+
         self._events: deque[dict] = deque(maxlen=max_events)
+        # listener callbacks run on Spark's listener-bus thread while
+        # to_df/flush_to run on the caller's: unsynchronized iteration of a
+        # deque under concurrent append raises, and a clear() after a
+        # snapshot erases events appended in between (never flushed)
+        self._lock = threading.Lock()
+        self._seq = 0
 
     # -- listener callbacks (called on the driver's listener bus) ----------
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
@@ -44,8 +52,14 @@ class ProgressRecorder(StreamingQueryListener):
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = json.loads(event.progress.json)
         durations = p.get("durationMs") or {}
-        state = (p.get("stateOperators") or [{}])[0]
-        self._events.append(
+        # SUM across stateOperators: a stream-stream join + aggregation has
+        # several; reporting only the first hides the operator that leaks
+        ops = p.get("stateOperators") or []
+        state = {
+            "numRowsTotal": sum(o.get("numRowsTotal", 0) for o in ops),
+            "memoryUsedBytes": sum(o.get("memoryUsedBytes", 0) for o in ops),
+        }
+        row = (
             {
                 "query_id": p.get("id"),
                 "run_id": p.get("runId"),
@@ -64,6 +78,10 @@ class ProgressRecorder(StreamingQueryListener):
                 ),
             }
         )
+        with self._lock:
+            self._seq += 1
+            row["_seq"] = self._seq
+            self._events.append(row)
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
@@ -72,23 +90,34 @@ class ProgressRecorder(StreamingQueryListener):
         pass
 
     # -- consumption --------------------------------------------------------
+    def _snapshot(self) -> list[dict]:
+        with self._lock:
+            return [dict(e) for e in self._events]
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         """The recorded progress as a typed DataFrame (empty-safe)."""
-        return spark.createDataFrame(list(self._events), PROGRESS_SCHEMA)
+        rows = [{k: v for k, v in e.items() if k != "_seq"} for e in self._snapshot()]
+        return spark.createDataFrame(rows, PROGRESS_SCHEMA)
 
     def flush_to(self, table) -> int:
         """Append the buffered events to a warehouse table and clear the
         buffer. Returns the number of events flushed. ``table`` is a
         ``ParquetTable``; events are keyed (run_id, batch_id) so a re-flush
         after a crash inserts nothing twice."""
-        events = list(self._events)
+        events = self._snapshot()
         if not events:
             return 0
         spark = SparkSession.getActiveSession()
-        df = spark.createDataFrame(events, PROGRESS_SCHEMA)
-        if table.exists():
-            table.insert_new(df, keys=["run_id", "batch_id"])
-        else:
-            table.overwrite_versioned(df)
-        self._events.clear()
+        df = spark.createDataFrame(
+            [{k: v for k, v in e.items() if k != "_seq"} for e in events],
+            PROGRESS_SCHEMA,
+        )
+        # insert_new covers the missing-table branch itself (with key dedup)
+        table.insert_new(df, keys=["run_id", "batch_id"])
+        # drain ONLY what was flushed: events appended during the write stay
+        # buffered for the next flush (a bare clear() would erase them)
+        flushed_through = events[-1]["_seq"]
+        with self._lock:
+            while self._events and self._events[0]["_seq"] <= flushed_through:
+                self._events.popleft()
         return len(events)

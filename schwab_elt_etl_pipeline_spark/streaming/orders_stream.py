@@ -8,9 +8,11 @@ tools/db.py:707-1028, sql/opt.sql:282-332). The streaming twin runs the
 same set-based logic per micro-batch:
 
 1. ``normalize_order_graph`` explodes the batch into the four flat tables;
-   each lands via ``insert_new`` on its natural key (J9 — insert-only, so a
-   replayed batch inserts zero rows, same contract as the reference's
-   IF NOT EXISTS).
+   orders and legs UPSERT on their natural keys (a re-polled order's status
+   change — WORKING → FILLED — must replace the stored row, or its
+   transaction is never built); immutable activities/exec-legs land via
+   ``insert_new`` (J9). Replays stay no-ops: the upsert of an identical
+   newest row is value-idempotent, the inserts key-idempotent.
 2. Transactions are rebuilt ONLY for the orderIds present in the batch from
    the UPDATED tables, then swapped in with the reference's delete+reinsert
    semantics (anti-join out the touched ids, append the rebuilt rows) under
@@ -27,6 +29,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from schwab_elt_etl_pipeline_spark.streaming.runner import start_foreach_batch
+
+from schwab_elt_etl_pipeline_spark.operators.merge import newest_per_key
 from schwab_elt_etl_pipeline_spark.plans.orders_plan import (
     build_transactions,
     normalize_order_graph,
@@ -50,8 +55,16 @@ def run_streaming_orders(
         if batch.isEmpty():
             return
         o, l, a, x = normalize_order_graph(batch)
-        orders_table.insert_new(o, keys=["orderId"])
-        legs_table.insert_new(l, keys=["legId", "orderId"])
+        # orders and legs MUTATE between polls (WORKING → FILLED, adjusted
+        # quantities); insert-only would pin the first-seen row forever and
+        # the rebuild below — which reads the TABLE — would never see the
+        # fill. Upsert with newest-wins (enteredTime, then deterministic
+        # tiebreak) mirrors the reference's 10 s re-poll semantics.
+        # Executions are immutable → activities/exec-legs stay insert-only.
+        orders_table.merge(newest_per_key(o, ["orderId"], "enteredTime"),
+                           keys=["orderId"])
+        legs_table.merge(l.dropDuplicates(["legId", "orderId"]),
+                         keys=["legId", "orderId"])
         acts_table.insert_new(a, keys=["activityId"])
         xlegs_table.insert_new(x, keys=["activityId", "legId"])
 
@@ -73,11 +86,6 @@ def run_streaming_orders(
         else:
             txn_table.overwrite_versioned(rebuilt)
 
-    writer = orders_stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return start_foreach_batch(
+        orders_stream, process_batch, checkpoint_dir, trigger_seconds
     )
-    if trigger_seconds is not None:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from schwab_elt_etl_pipeline_spark.streaming.runner import start_foreach_batch
+
 from schwab_elt_etl_pipeline_spark.plans.silver import (
     build_opt,
     build_optm_increment,
@@ -50,14 +52,9 @@ def run_streaming_silver(
         increment = build_optm_increment(parsed, opt_table.read())
         optm_table.insert_new(increment, keys=["OPT_ID", "T"])
 
-    writer = quotes_stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return start_foreach_batch(
+        quotes_stream, process_batch, checkpoint_dir, trigger_seconds
     )
-    if trigger_seconds is not None:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def run_streaming_medallion(
@@ -89,14 +86,9 @@ def run_streaming_medallion(
             vert_ts_table, width=width, opt_range=opt_range,
         )
 
-    writer = quotes_stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return start_foreach_batch(
+        quotes_stream, process_batch, checkpoint_dir, trigger_seconds
     )
-    if trigger_seconds is not None:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def apply_medallion_batch(

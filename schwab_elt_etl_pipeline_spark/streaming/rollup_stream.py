@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from schwab_elt_etl_pipeline_spark.streaming.runner import start_foreach_batch
+
 from schwab_elt_etl_pipeline_spark.operators.rollup import rollup_minutes
 from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
 
@@ -65,14 +67,9 @@ def run_streaming_rollup(
         staged = partials.withColumn("_epoch", F.lit(batch_id).cast("long"))
         stage_table.insert_new(staged, keys=[*keys, "bucket_ts", "_epoch"])
 
-    writer = events_stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return start_foreach_batch(
+        events_stream, process_batch, checkpoint_dir, trigger_seconds
     )
-    if trigger_seconds is not None:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def compact_stage(stage_table: ParquetTable, keys: list[str]) -> int:

@@ -48,6 +48,12 @@ def gap_watchdog(
         alerts: list[tuple[str, int, float, int]] = []
         for pdf in pdfs:
             for ms in sorted(int(v) for v in pdf["received_at"].dropna()):
+                if last_ms is not None and ms <= last_ms:
+                    # late or duplicate tick (cross-batch order is not
+                    # guaranteed): moving last_ms backwards would both
+                    # manufacture a spurious gap on the next on-time tick
+                    # and wipe legitimate strike counts
+                    continue
                 if last_ms is not None:
                     gap = ms - last_ms
                     if gap > gap_ms:

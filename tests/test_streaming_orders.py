@@ -102,3 +102,52 @@ def test_streaming_orders_equals_batch(spark, d):
     tables2 = _run(spark, d, "t", "ckpt2")
     txn2 = tables2[-1].read()
     assert rows(txn2.select(*cols)) == exp_rows
+
+
+def test_status_update_builds_transaction(spark, d):
+    """A re-polled order that transitions WORKING → FILLED must replace the
+    stored row (upsert, newest wins) so the rebuild sees the fill and the
+    transaction finally materializes — insert-only would pin WORKING
+    forever and lose the fill."""
+    import time
+
+    working = _order(
+        "5001",
+        status="WORKING",
+        legs=[_leg("1", "SELL_TO_OPEN", "SPXW  240621P05500000")],
+        acts=[],
+    )
+    spark.createDataFrame([working], ORDER).coalesce(1).write.parquet(d + "/in")
+    time.sleep(1.1)
+    filled = _order(
+        "5001",
+        status="FILLED",
+        legs=[_leg("1", "SELL_TO_OPEN", "SPXW  240621P05500000")],
+        acts=[_act([_xleg("1", 2.5)])],
+    )
+    filled["enteredTime"] = "2024-06-17T09:32:00"  # newer poll wins
+    spark.createDataFrame([filled], ORDER).coalesce(1).write.mode("append").parquet(
+        d + "/in"
+    )
+
+    orders_t, legs_t, acts_t, xlegs_t, txn_t = _run(spark, d, "u", "ck_upd")
+    (stored,) = orders_t.read().filter("orderId = '5001'").collect()
+    assert stored["status"] == "FILLED"
+    txns = txn_t.read().filter("orderId = '5001'").collect()
+    assert txns, "fill never produced a transaction"
+
+    # replaying the whole feed is value-idempotent (same newest rows win)
+    n_orders = orders_t.read().count()
+    n_txn = txn_t.read().count()
+    stream = spark.readStream.schema(ORDER).option("maxFilesPerTrigger", 1).parquet(
+        d + "/in"
+    )
+    q = run_streaming_orders(
+        stream, orders_t, legs_t, acts_t, xlegs_t, txn_t,
+        checkpoint_dir=f"{d}/ck_upd2",
+    )
+    q.awaitTermination(120)
+    assert orders_t.read().count() == n_orders
+    assert txn_t.read().count() == n_txn
+    (stored2,) = orders_t.read().filter("orderId = '5001'").collect()
+    assert stored2["status"] == "FILLED"
