@@ -1,0 +1,148 @@
+"""Python Data Source REST ingestion: batch sweep, partitioning, streaming
+poll cycles, and the handoff into the existing from_json shaping path."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.sources import rest
+from schwab_elt_etl_pipeline_spark.sources.rest_datasource import (
+    RestJsonReader,
+    SymbolsPartition,
+    register,
+    write_fixture_dir,
+)
+
+CANDLES = {
+    "$SPX": {
+        "symbol": "$SPX",
+        "empty": False,
+        "candles": [
+            {
+                "open": 5500.0,
+                "high": 5510.0,
+                "low": 5490.0,
+                "close": 5505.0,
+                "volume": 1000,
+                "datetime": 1718634600000,
+            },
+            {
+                "open": 5505.0,
+                "high": 5520.0,
+                "low": 5500.0,
+                "close": 5515.0,
+                "volume": 1200,
+                "datetime": 1718634660000,
+            },
+        ],
+    },
+    "$VIX": {
+        "symbol": "$VIX",
+        "empty": False,
+        "candles": [
+            {
+                "open": 13.0,
+                "high": 13.5,
+                "low": 12.8,
+                "close": 13.2,
+                "volume": 0,
+                "datetime": 1718634600000,
+            }
+        ],
+    },
+    "EMPTY1": {"symbol": "EMPTY1", "empty": True, "candles": []},
+}
+
+
+@pytest.fixture(scope="module")
+def endpoint_dir():
+    d = tempfile.mkdtemp(prefix="rest_ds_")
+    write_fixture_dir(d, CANDLES)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_batch_read_envelope(spark, endpoint_dir):
+    register(spark)
+    df = (
+        spark.read.format("rest_json")
+        .option("symbols", "$SPX,$VIX,EMPTY1,MISSING")
+        .option("endpoint", endpoint_dir)
+        .load()
+    )
+    rows = {r["symbol"]: r for r in df.collect()}
+    # MISSING has no fixture -> no row (404-equivalent); EMPTY1 still lands
+    # (the empty-reply filter is downstream shaping, not ingest)
+    assert set(rows) == {"$SPX", "$VIX", "EMPTY1"}
+    assert all(r["fetch_epoch"] == 0 for r in rows.values())
+    assert json.loads(rows["$SPX"]["payload"])["candles"][0]["open"] == 5500.0
+
+
+def test_partition_chunking():
+    reader = RestJsonReader(
+        {"symbols": "a,b,c,d,e", "batchsize": "2", "endpoint": "/tmp", "fetcher": "file"}
+    )
+    parts = reader.partitions()
+    assert [p.symbols for p in parts] == [["a", "b"], ["c", "d"], ["e"]]
+    assert all(isinstance(p, SymbolsPartition) for p in parts)
+
+
+def test_batch_feeds_existing_shaping(spark, endpoint_dir):
+    register(spark)
+    env = (
+        spark.read.format("rest_json")
+        .option("symbols", "$SPX,$VIX,EMPTY1")
+        .option("endpoint", endpoint_dir)
+        .load()
+    )
+    payloads = [r["payload"] for r in env.collect()]
+    stage = rest.candles_to_ohlc_stage(spark, payloads, freq="1min")
+    got = {(r["Symbol"], r["open"]) for r in stage.collect()}
+    assert got == {("$SPX", 5500.0), ("$SPX", 5505.0), ("$VIX", 13.0)}
+
+
+def test_option_validation():
+    with pytest.raises(ValueError, match="symbols"):
+        RestJsonReader({"endpoint": "/tmp"})
+    with pytest.raises(ValueError, match="endpoint"):
+        RestJsonReader({"symbols": "a"})
+    with pytest.raises(ValueError, match="fetcher"):
+        RestJsonReader({"symbols": "a", "endpoint": "/tmp", "fetcher": "ftp"})
+
+
+def test_stream_poll_cycles(spark, endpoint_dir):
+    register(spark)
+    out_dir = tempfile.mkdtemp(prefix="rest_ds_sink_")
+    ckpt = tempfile.mkdtemp(prefix="rest_ds_ckpt_")
+    try:
+        stream = (
+            spark.readStream.format("rest_json")
+            .option("symbols", "$SPX,$VIX")
+            .option("endpoint", endpoint_dir)
+            .option("batchSize", "1")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out_dir)
+        rows = got.groupBy("symbol").agg(F.count(F.lit(1)).alias("n")).collect()
+        # availableNow drains exactly the cycles latestOffset advanced; each
+        # cycle sweeps every symbol once, so counts are equal across symbols
+        counts = {r["symbol"]: r["n"] for r in rows}
+        assert set(counts) == {"$SPX", "$VIX"}
+        assert len(set(counts.values())) == 1
+        assert min(counts.values()) >= 1
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
