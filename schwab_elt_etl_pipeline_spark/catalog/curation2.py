@@ -24,7 +24,10 @@ from schwab_elt_etl_pipeline_spark.operators.curation import (
     repetition_stats,
     semantic_dedup_verdicts,
 )
-from schwab_elt_etl_pipeline_spark.operators.dedup import passage_dedup_rebuild
+from schwab_elt_etl_pipeline_spark.operators.dedup import (
+    passage_dedup_rebuild,
+    substring_dedup_rebuild,
+)
 from schwab_elt_etl_pipeline_spark.operators.rollup import (
     rollup_coarser,
     rollup_minutes,
@@ -745,7 +748,63 @@ FROM fp f JOIN decon d ON d.doc_id = f.doc_id JOIN rep r ON r.doc_id = f.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Substring-granular dedup (token-window ExactSubstr form)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_K = 8  # duplicate-span detection window, in tokens
+
+
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (token-window form of ExactSubstr, Lee et
+    al. 2022): every overlapping 8-token window is ranked by corpus-wide
+    first occurrence; non-first occurrences mark their tokens for removal
+    and documents are rebuilt from the surviving tokens. Catches duplicated
+    spans wherever they START (passage_dedup only catches spans aligned to
+    fixed passage boundaries). Core in ``operators/dedup.py``
+    ``substring_dedup_rebuild`` — see its docstring for the 100 TB
+    rolling-fingerprint variant of the window key."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return substring_dedup_rebuild(docs, window_tokens=_SUBSTR_K)
+
+
+SUBSTRING_DEDUP_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), tokens AS (
+  SELECT doc_id, UNNEST(generate_series(1, LEN(ts))) AS pos, ts FROM tok
+), wins AS (
+  SELECT doc_id, start, array_to_string(ts[start : start + {_SUBSTR_K} - 1], ' ') AS wtext
+  FROM (SELECT doc_id, UNNEST(generate_series(1, LEN(ts) - {_SUBSTR_K} + 1)) AS start, ts
+        FROM tok WHERE LEN(ts) >= {_SUBSTR_K})
+), dup AS (
+  SELECT doc_id, start AS pos
+  FROM (SELECT doc_id, start,
+               ROW_NUMBER() OVER (PARTITION BY wtext ORDER BY doc_id, start) AS rk
+        FROM wins)
+  WHERE rk > 1
+), marked AS (
+  SELECT t.doc_id, t.pos, t.ts[t.pos] AS token,
+         MAX(CASE WHEN d.pos IS NOT NULL THEN t.pos + {_SUBSTR_K} - 1 END)
+           OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cover_end
+  FROM tokens t LEFT JOIN dup d ON d.doc_id = t.doc_id AND d.pos = t.pos
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (WHERE cover_end >= pos) AS n_dropped,
+       COALESCE(string_agg(token, ' ' ORDER BY pos)
+                FILTER (WHERE cover_end IS NULL OR cover_end < pos), '') AS deduped_text
+FROM marked
+GROUP BY doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("substring_dedup", substring_dedup, SUBSTRING_DEDUP_SQL, headline=True,
+              doc="substring-granular ExactSubstr dedup: overlapping-window spans, boundary-free"),
     QuerySpec("corpus_curation_e2e", corpus_curation_e2e, CORPUS_E2E_SQL,
               headline=True,
               doc="FULL curation pipeline: dup + decontam + length + repetition → verdict cascade"),

@@ -531,3 +531,98 @@ def passage_dedup_rebuild(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def substring_dedup_rebuild(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-granular exact dedup with text rebuild (the token-window
+    form of ExactSubstr dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better").
+
+    Every OVERLAPPING ``window_tokens``-token window (stride 1) is ranked by
+    corpus-wide first occurrence (doc_id, then position). A window occurrence
+    with rank > 1 marks all its tokens as duplicated; any shared span of
+    >= window_tokens tokens is caught in full (a length-m copy yields
+    m-k+1 duplicate windows covering exactly the span), while the span's
+    first corpus-wide occurrence survives. Marked tokens are excised and the
+    remaining tokens reassemble in order. Unlike :func:`passage_dedup_rebuild`
+    this is boundary-free: a duplicated span is removed wherever it starts.
+
+    Output: (id, n_tokens, n_dropped, deduped_text).
+
+    Shape: one explode to n windows/doc, one hash shuffle on the window text
+    for the first-occurrence ranking, an equi-join of duplicate starts back
+    onto token positions, then ONE doc-keyed sort (the running-coverage
+    window and the rebuild groupBy share the exchange). Span-merge needs no
+    pairwise interval logic: a token is dropped iff the running max of
+    (dup_start + k - 1) at its position covers it — an O(n) sweep per doc.
+    At 100 TB the window key becomes a 128-bit rolling (Rabin-Karp)
+    fingerprint so the stride-1 blow-up shuffles 16 bytes per window instead
+    of k tokens of text; raw text here keeps the rule exact and
+    oracle-checkable, exactly as in :func:`passage_dedup_rebuild`.
+    """
+    from pyspark.sql.window import Window
+
+    k = window_tokens
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+    )
+    tokens = toks.select(
+        "_id", F.posexplode("_toks").alias("pos0", "token")
+    ).select("_id", (F.col("pos0") + 1).alias("pos"), "token")
+    # guard: sequence(1, size-k+1) descends when size < k — filter first
+    wins = (
+        toks.filter(F.size("_toks") >= k)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_toks") - F.lit(k - 1))
+            ).alias("start"),
+            "_toks",
+        )
+        .select(
+            "_id",
+            "start",
+            F.array_join(F.slice("_toks", F.col("start"), k), " ").alias("wtext"),
+        )
+    )
+    first = Window.partitionBy("wtext").orderBy("_id", "start")
+    dup_starts = (
+        wins.withColumn("rk", F.row_number().over(first))
+        .filter(F.col("rk") > 1)
+        .select("_id", F.col("start").alias("pos"), F.lit(1).alias("_dup"))
+    )
+    sweep = Window.partitionBy("_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = tokens.join(dup_starts, ["_id", "pos"], "left").withColumn(
+        "_cover_end",
+        F.max(F.when(F.col("_dup") == 1, F.col("pos") + F.lit(k - 1))).over(sweep),
+    )
+    dropped = F.col("_cover_end") >= F.col("pos")
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.when(dropped, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~dropped | dropped.isNull(), F.struct("pos", "token"))
+                        )
+                    ),
+                    lambda x: x["token"],
+                ),
+                " ",
+            ).alias("deduped_text"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
