@@ -538,6 +538,7 @@ def substring_dedup_rebuild(
     window_tokens: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprint_key: bool = False,
 ) -> DataFrame:
     """Substring-granular exact dedup with text rebuild (the token-window
     form of ExactSubstr dedup, Lee et al. 2022 "Deduplicating Training Data
@@ -560,10 +561,16 @@ def substring_dedup_rebuild(
     window and the rebuild groupBy share the exchange). Span-merge needs no
     pairwise interval logic: a token is dropped iff the running max of
     (dup_start + k - 1) at its position covers it — an O(n) sweep per doc.
-    At 100 TB the window key becomes a 128-bit rolling (Rabin-Karp)
-    fingerprint so the stride-1 blow-up shuffles 16 bytes per window instead
-    of k tokens of text; raw text here keeps the rule exact and
-    oracle-checkable, exactly as in :func:`passage_dedup_rebuild`.
+    ``fingerprint_key=True`` is the scale path: the ranking shuffle is keyed
+    on ``xxhash64`` of the window text, so the stride-1 blow-up moves 8
+    bytes per window instead of k tokens of text (collision odds at 64 bits
+    are negligible against corpus sizes; a cautious deployment widens to two
+    independent hashes). The default raw-text key keeps the rule exact and
+    oracle-checkable, exactly as in :func:`passage_dedup_rebuild`. Under an
+    extreme hot key (one boilerplate span repeated millions of times) the
+    per-key ``row_number`` sort is the straggler; the skew-safe form ranks
+    nothing — the winner is the map-side-combinable ``min(struct(id, start))``
+    per key and every other occurrence is a duplicate via equi-join.
     """
     from pyspark.sql.window import Window
 
@@ -591,6 +598,8 @@ def substring_dedup_rebuild(
             F.array_join(F.slice("_toks", F.col("start"), k), " ").alias("wtext"),
         )
     )
+    if fingerprint_key:
+        wins = wins.select("_id", "start", F.xxhash64("wtext").alias("wtext"))
     first = Window.partitionBy("wtext").orderBy("_id", "start")
     dup_starts = (
         wins.withColumn("rk", F.row_number().over(first))

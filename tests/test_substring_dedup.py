@@ -80,3 +80,22 @@ def test_short_docs_never_windowed(spark):
     texts = ["a b", "a b"]  # shorter than k: exact dups but no window
     got = _run(spark, texts, 3)
     assert got[0] == (2, 0, "a b") and got[1] == (2, 0, "a b")
+
+
+def test_fingerprint_key_equals_raw_key(spark, sf_dir):
+    """The 8-byte-shuffle scale path produces byte-identical results to the
+    raw-text key on the real corpus."""
+    from schwab_elt_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = {
+        r["doc_id"]: tuple(r)
+        for r in substring_dedup_rebuild(docs, window_tokens=8).collect()
+    }
+    fp = {
+        r["doc_id"]: tuple(r)
+        for r in substring_dedup_rebuild(
+            docs, window_tokens=8, fingerprint_key=True
+        ).collect()
+    }
+    assert raw == fp
