@@ -174,3 +174,34 @@ def mad_drift(
             ).alias("is_drift"),
         )
     )
+
+
+def observed_rules(
+    df: DataFrame, rules: Mapping[str, Column], name: str = "dq"
+):
+    """Attach the rule counters to the NEXT ACTION on ``df`` — zero extra
+    scans (``DataFrame.observe``; ``dq_summary`` semantics, but the metrics
+    ride the write/collect the pipeline was going to run anyway).
+
+    Returns ``(observed_df, observation)``; after any action on
+    ``observed_df``, ``observation.get`` yields ``{"n_rows": ..., "viol_<rule>":
+    ...}``. At 100 TB this is the difference between metered and unmetered
+    pipelines: a separate ``dq_summary`` pass re-reads the table, while an
+    observation is map-side accumulator work inside the job already paid for.
+    The same counters work under Structured Streaming (per-batch values in
+    ``StreamingQueryProgress.observedMetrics`` — pair with
+    ``streaming/monitor.py``'s listener to land them in the warehouse).
+
+    NULL rule results count as violations, exactly as in :func:`dq_summary`.
+    """
+    from pyspark.sql import Observation
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for rule_name, rule in rules.items():
+        aggs.append(
+            F.sum(F.when(F.coalesce(rule, F.lit(False)), 0).otherwise(1)).alias(
+                f"viol_{rule_name}"
+            )
+        )
+    obs = Observation(name)
+    return df.observe(obs, *aggs), obs

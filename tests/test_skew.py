@@ -196,3 +196,30 @@ def test_bloom_non_multiple_of_64_bits_has_no_false_negatives(spark):
         .count()
     )
     assert hits == 2000
+
+
+def test_observed_rules_ride_the_action(spark, tmp_path):
+    """observe()-based DQ: counters equal dq_summary's, computed as a side
+    effect of the pipeline's own write — no second scan. Also verifies the
+    metrics survive a real sink action, not just collect()."""
+    from pyspark.sql import functions as F
+
+    from schwab_elt_etl_pipeline_spark.operators.quality import (
+        dq_summary,
+        observed_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -3.0, "A"), (3, 5.0, None), (4, -1.0, None)],
+        "id long, amount double, tag string",
+    )
+    rules = {
+        "amount_pos": F.col("amount") > 0,
+        "tag_present": F.col("tag").isNotNull(),
+    }
+    observed, obs = observed_rules(df, rules)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    want = dq_summary(df, rules).first().asDict()
+    assert obs.get == want
+    # the write itself was complete and untouched by the observation
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 4
