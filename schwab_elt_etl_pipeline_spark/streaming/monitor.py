@@ -25,7 +25,7 @@ PROGRESS_SCHEMA = (
     "query_id STRING, run_id STRING, batch_id BIGINT, ts STRING, "
     "num_input_rows BIGINT, input_rows_per_second DOUBLE, "
     "process_rows_per_second DOUBLE, batch_duration_ms BIGINT, "
-    "state_rows BIGINT, state_bytes BIGINT, sources STRING"
+    "state_rows BIGINT, state_bytes BIGINT, sources STRING, observed STRING"
 )
 
 
@@ -76,6 +76,10 @@ class ProgressRecorder(StreamingQueryListener):
                 "sources": json.dumps(
                     [s.get("description") for s in p.get("sources") or []]
                 ),
+                # df.observe() metrics (e.g. operators/quality.py
+                # observed_rules): per-batch DQ counters with zero extra
+                # passes, keyed by observation name
+                "observed": json.dumps(p.get("observedMetrics") or {}),
             }
         )
         with self._lock:

@@ -380,3 +380,50 @@ def test_progress_recorder_captures_batches(spark, tick_rows):
         spark.streams.removeListener(rec)
         for d in (src, sink, ckpt, wh):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_observed_dq_metrics_in_progress(spark, tick_rows):
+    """df.observe() DQ counters attached to a stream surface per-batch in
+    the progress recorder's `observed` column — metered streaming with zero
+    extra passes (operators/quality.py observed_rules doc contract)."""
+    import json as _json
+    import time
+
+    from pyspark.sql import Observation
+
+    from schwab_elt_etl_pipeline_spark.streaming.monitor import ProgressRecorder
+
+    src = tempfile.mkdtemp(prefix="obsq_src_")
+    sink = tempfile.mkdtemp(prefix="obsq_sink_")
+    ckpt = tempfile.mkdtemp(prefix="obsq_ckpt_")
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        spark.createDataFrame(tick_rows, QUOTES_STREAM).write.mode("append").parquet(src)
+        stream = read_quote_stream(spark, src)
+        # streaming observe() takes named aggregates (Observation objects
+        # are batch-only), same counter algebra as observed_rules
+        observed = stream.observe(
+            "dq",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("symbol").isNotNull(), 0).otherwise(1)
+            ).alias("viol_symbol_present"),
+        )
+        q = write_bronze_stream(observed, sink, ckpt)
+        q.awaitTermination(120)
+        for _ in range(40):
+            if rec.to_df(spark).count() > 0:
+                break
+            time.sleep(0.25)
+        rows = rec.to_df(spark).collect()
+        assert rows
+        got = [_json.loads(r["observed"]) for r in rows if r["observed"] != "{}"]
+        assert got, "no observedMetrics captured"
+        total = sum(m["dq"]["n_rows"] for m in got if "dq" in m)
+        viol = sum(m["dq"]["viol_symbol_present"] for m in got if "dq" in m)
+        assert total == len(tick_rows) and viol == 0
+    finally:
+        spark.streams.removeListener(rec)
+        for d in (src, sink, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
