@@ -23,6 +23,7 @@ _NAMES = [
     "q1_pricing_summary",
     "bm25_retrieval",
     "passage_dedup",
+    "substring_dedup",
     "t9_gapfill_locf",
 ]
 
