@@ -98,10 +98,16 @@ class ParquetTable:
         cluster_by: Sequence[str] = (),
         cluster_files: int | None = None,
         cluster_order: str = "range",
+        compression: str | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_by = list(partition_by)
+        # Parquet codec for THIS table's files (None -> session default).
+        # At warehouse scale "zstd" is the right default for cold data
+        # (~25-40 % smaller than snappy at comparable scan cost on modern
+        # CPUs); left per-table so hot append logs can stay on snappy.
+        self.compression = compression
         # Clustered layout = the engine's replacement for the reference's
         # NONCLUSTERED point-lookup indexes (sql/chains.sql:33-36): range-
         # repartition + sort-within-partitions on the cluster key at write
@@ -220,6 +226,8 @@ class ParquetTable:
         """
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         writer = self._layout(df).write.mode("overwrite")
+        if self.compression:
+            writer = writer.option("compression", self.compression)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(staging)
@@ -308,6 +316,8 @@ class ParquetTable:
             self.overwrite_versioned(df)
             return
         writer = self._layout(df).write.mode("append")
+        if self.compression:
+            writer = writer.option("compression", self.compression)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self._version_dir(version))

@@ -504,3 +504,21 @@ def test_optimistic_commit_detects_interleaved_claim(spark, tmp_path):
         t.overwrite_versioned(df, base_version=1)
     # the loser must not have disturbed the claimed dir
     assert os.listdir(t._version_dir(2)) == ["part-00000.parquet"]
+
+
+def test_per_table_compression_codec(spark, tmp_path):
+    """compression='zstd' reaches the parquet files of both overwrite and
+    append paths (file suffix carries the codec name)."""
+    import os
+
+    from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "z"), compression="zstd")
+    df = spark.range(100).withColumnRenamed("id", "k")
+    t.overwrite_versioned(df)
+    t.append(df)
+    files = []
+    for root, _, names in os.walk(t.path):
+        files += [n for n in names if n.endswith(".parquet")]
+    assert files and all(".zstd." in n for n in files)
+    assert t.read().count() == 200
