@@ -362,3 +362,118 @@ def update_passage_index(
     )
     index.insert_new(new_fps, keys=["fp"])
     return out
+
+
+def update_window_index(
+    batch: DataFrame,
+    index: ParquetTable,
+    window_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    epoch: int | None = None,
+) -> DataFrame:
+    """Incremental SUBSTRING dedup — the streaming twin of
+    ``operators/dedup.py substring_dedup_rebuild``, as :func:`update_passage_index`
+    is to ``passage_dedup_rebuild``.
+
+    Per batch: stride-1 ``window_tokens``-token windows are fingerprinted to
+    64 bits; an occurrence is a DUPLICATE iff its fingerprint is already in
+    the persistent index (seen in any prior batch) or a lower-(id, start)
+    occurrence exists within this batch. Every token covered by a duplicate
+    occurrence is excised (running-coverage sweep) and documents rebuild
+    from the survivors. First-ever occurrences append to the index
+    (``insert_new`` on fp, so replays add nothing); with ``epoch`` (the
+    foreachBatch batch_id) a replayed batch treats its own claims as fresh
+    and reproduces its original output bit-for-bit.
+
+    When batches arrive in ascending ``id_col`` order the cumulative result
+    equals the batch operator over the concatenated corpus (pinned by
+    test_streaming_corpus). O(batch) probe work per trigger; the index
+    carries only (fp, first_doc_id, _epoch) — 8-byte keys, never text. At
+    100 TB the index is ``cluster_by=("fp",)`` for footer-stat probe pruning.
+    """
+    from pyspark.sql.window import Window
+
+    k = window_tokens
+    toks = batch.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+    )
+    tokens = toks.select("_id", F.posexplode("_toks").alias("pos0", "token")).select(
+        "_id", (F.col("pos0") + 1).alias("pos"), "token"
+    )
+    wins = (
+        toks.filter(F.size("_toks") >= k)
+        .select(
+            "_id",
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - F.lit(k - 1))).alias(
+                "start"
+            ),
+            "_toks",
+        )
+        .select(
+            "_id",
+            "start",
+            F.xxhash64(F.array_join(F.slice("_toks", F.col("start"), k), " ")).alias(
+                "fp"
+            ),
+        )
+        .localCheckpoint(eager=True)  # probe + rank + index append share it
+    )
+    if index.exists():
+        idx = index.read().select(
+            "fp", F.lit(1).alias("_hit"), F.col("_epoch").alias("_idx_epoch")
+        )
+        probed = wins.join(idx, "fp", "left")
+        seen_before = F.col("_hit").isNotNull()
+        if epoch is not None:
+            seen_before = seen_before & (F.col("_idx_epoch") != F.lit(epoch))
+        probed = probed.withColumn("_seen", seen_before).drop("_hit", "_idx_epoch")
+    else:
+        probed = wins.withColumn("_seen", F.lit(False))
+    rank = Window.partitionBy("fp").orderBy("_id", "start")
+    occ = probed.withColumn("rk", F.row_number().over(rank))
+    dup_starts = occ.filter(F.col("_seen") | (F.col("rk") > 1)).select(
+        "_id", F.col("start").alias("pos"), F.lit(1).alias("_dup")
+    )
+    sweep = Window.partitionBy("_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = tokens.join(dup_starts, ["_id", "pos"], "left").withColumn(
+        "_cover_end",
+        F.max(F.when(F.col("_dup") == 1, F.col("pos") + F.lit(k - 1))).over(sweep),
+    )
+    dropped = F.col("_cover_end") >= F.col("pos")
+    out = (
+        marked.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.coalesce(F.sum(F.when(dropped, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~dropped | dropped.isNull(), F.struct("pos", "token")
+                            )
+                        )
+                    ),
+                    lambda x: x["token"],
+                ),
+                " ",
+            ).alias("deduped_text"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+    new_fps = (
+        occ.filter(~F.col("_seen") & (F.col("rk") == 1))
+        .select(
+            "fp",
+            F.col("_id").alias("first_doc_id"),
+            F.lit(epoch).cast("long").alias("_epoch"),
+        )
+    )
+    index.insert_new(new_fps, keys=["fp"])
+    return out

@@ -293,3 +293,43 @@ def test_minhash_same_batch_pairs_are_surfaced(spark, dirs):
     out2 = update_minhash_index(b2, index)
     hits = {r["index_id"] for r in out2.collect()}
     assert {10, 11} <= hits
+
+
+def test_window_index_matches_batch_operator_and_replays(spark, dirs):
+    """Incremental substring dedup: two id-ordered batches through the
+    window-fingerprint index equal the batch operator over the concatenated
+    corpus; a replayed epoch reproduces its output bit-for-bit."""
+    from schwab_elt_etl_pipeline_spark.operators.dedup import substring_dedup_rebuild
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_window_index
+
+    _, idx_dir, extra = dirs
+    k = 3
+    rows1 = [
+        (0, "a b c d e f g"),        # fresh
+        (1, "z1 a b c d z2 z3"),     # "a b c d" span dups doc 0 (cross-doc, in batch)
+    ]
+    rows2 = [
+        (2, "y1 c d e f y2 y3"),     # span dups doc 0 from batch 1 via index
+        (3, "p q r s p q r s"),      # within-doc repeat
+        (4, "m n o"),                # fresh, exactly k tokens
+    ]
+    batch1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    batch2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    union = spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+
+    index = ParquetTable(spark, f"{idx_dir}_win", cluster_by=("fp",))
+    get = lambda df: {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["deduped_text"])
+        for r in df.collect()
+    }
+    out1 = get(update_window_index(batch1, index, window_tokens=k, epoch=1))
+    out2 = get(update_window_index(batch2, index, window_tokens=k, epoch=2))
+    ref = get(substring_dedup_rebuild(union, window_tokens=k))
+    assert {**out1, **out2} == ref
+
+    # replayed epoch 2 (at-least-once foreachBatch) is output-stable and
+    # adds nothing to the index
+    n_before = index.read().count()
+    replay = get(update_window_index(batch2, index, window_tokens=k, epoch=2))
+    assert replay == out2
+    assert index.read().count() == n_before
