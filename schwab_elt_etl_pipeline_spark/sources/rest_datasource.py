@@ -144,6 +144,13 @@ class RestJsonStreamReader(DataSourceStreamReader):
         return {"epoch": self._offset}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # The poll counter lives in reader memory, not the checkpoint; after
+        # a restart Spark replans from WAL offsets that may be ahead of a
+        # fresh counter. Re-sync monotonically from every offset Spark hands
+        # back (here and in commit) so latestOffset never regresses below
+        # the checkpoint; a batch the WAL replays re-polls — at-least-once,
+        # the documented contract of a re-pollable endpoint.
+        self._offset = max(self._offset, end["epoch"])
         return [
             SymbolsPartition(chunk, epoch)
             for epoch in range(start["epoch"], end["epoch"])
@@ -154,7 +161,7 @@ class RestJsonStreamReader(DataSourceStreamReader):
         return _read_partition(partition, self._fetcher, self._endpoint)
 
     def commit(self, end: dict) -> None:
-        pass  # source is re-pollable; no retention to advance
+        self._offset = max(self._offset, end["epoch"])  # see partitions()
 
     def stop(self) -> None:
         pass

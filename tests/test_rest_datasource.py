@@ -146,3 +146,46 @@ def test_stream_poll_cycles(spark, endpoint_dir):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_resumes_from_checkpoint(spark, endpoint_dir):
+    """Restarting the poll stream against the SAME checkpoint must continue
+    (offsets never regress below the WAL) and keep per-cycle sweep shape."""
+    register(spark)
+    out_dir = tempfile.mkdtemp(prefix="rest_ds_res_sink_")
+    ckpt = tempfile.mkdtemp(prefix="rest_ds_res_ckpt_")
+    try:
+        def run_once():
+            stream = (
+                spark.readStream.format("rest_json")
+                .option("symbols", "$SPX,$VIX")
+                .option("endpoint", endpoint_dir)
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        first = spark.read.parquet(out_dir)
+        n1 = first.count()
+        assert n1 >= 2
+        run_once()  # fresh reader instance, counter re-synced from the WAL
+        second = spark.read.parquet(out_dir)
+        assert second.count() > n1
+        # every poll cycle still sweeps both symbols exactly once
+        per = (
+            second.groupBy("fetch_epoch")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert all(r["n"] == 2 for r in per)
+        assert second.select("fetch_epoch").distinct().count() == len(per)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
