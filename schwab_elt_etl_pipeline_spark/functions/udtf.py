@@ -57,7 +57,9 @@ class ExpandStrikeLadder:
     def eval(
         self, spx: float, strike_range: int, strike_step: int, expiry: str, root: str
     ) -> Iterator[tuple[int, int, str]]:
-        if spx is None or strike_step <= 0:
+        if None in (spx, strike_range, strike_step, expiry, root):
+            return  # NULL args yield no rows, never a worker TypeError
+        if strike_step <= 0:
             return
         lo = int((spx - strike_range) // strike_step) * strike_step
         hi = -int(-(spx + strike_range) // strike_step) * strike_step

@@ -575,6 +575,27 @@ def substring_dedup_rebuild(
     from pyspark.sql.window import Window
 
     k = window_tokens
+    tokens, wins = doc_tokens_and_windows(docs, k, id_col, text_col)
+    if fingerprint_key:
+        wins = wins.select("_id", "start", F.xxhash64("wtext").alias("wtext"))
+    first = Window.partitionBy("wtext").orderBy("_id", "start")
+    dup_starts = (
+        wins.withColumn("rk", F.row_number().over(first))
+        .filter(F.col("rk") > 1)
+        .select("_id", "start")
+    )
+    return excise_and_rebuild(tokens, dup_starts, k, id_col)
+
+
+def doc_tokens_and_windows(
+    docs: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Shared substring-dedup front end: ``tokens`` = (_id, pos, token) with
+    1-based positions; ``wins`` = (_id, start, wtext) stride-1 k-token
+    windows (docs shorter than k yield no windows — ``sequence(1, n-k+1)``
+    would DESCEND for them, hence the filter-first guard). One definition so
+    the batch operator and the streaming index
+    (``streaming/corpus.py update_window_index``) cannot drift."""
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
@@ -582,7 +603,6 @@ def substring_dedup_rebuild(
     tokens = toks.select(
         "_id", F.posexplode("_toks").alias("pos0", "token")
     ).select("_id", (F.col("pos0") + 1).alias("pos"), "token")
-    # guard: sequence(1, size-k+1) descends when size < k — filter first
     wins = (
         toks.filter(F.size("_toks") >= k)
         .select(
@@ -598,18 +618,26 @@ def substring_dedup_rebuild(
             F.array_join(F.slice("_toks", F.col("start"), k), " ").alias("wtext"),
         )
     )
-    if fingerprint_key:
-        wins = wins.select("_id", "start", F.xxhash64("wtext").alias("wtext"))
-    first = Window.partitionBy("wtext").orderBy("_id", "start")
-    dup_starts = (
-        wins.withColumn("rk", F.row_number().over(first))
-        .filter(F.col("rk") > 1)
-        .select("_id", F.col("start").alias("pos"), F.lit(1).alias("_dup"))
+    return tokens, wins
+
+
+def excise_and_rebuild(
+    tokens: DataFrame, dup_starts: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Shared substring-dedup back end: mark every token covered by a
+    duplicate k-window start (running-coverage sweep — O(n) per doc, no
+    pairwise interval logic) and rebuild each doc from the survivors.
+    ``dup_starts`` carries (_id, start). Output:
+    (id, n_tokens, n_dropped, deduped_text)."""
+    from pyspark.sql.window import Window
+
+    dup = dup_starts.select(
+        "_id", F.col("start").alias("pos"), F.lit(1).alias("_dup")
     )
     sweep = Window.partitionBy("_id").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    marked = tokens.join(dup_starts, ["_id", "pos"], "left").withColumn(
+    marked = tokens.join(dup, ["_id", "pos"], "left").withColumn(
         "_cover_end",
         F.max(F.when(F.col("_dup") == 1, F.col("pos") + F.lit(k - 1))).over(sweep),
     )

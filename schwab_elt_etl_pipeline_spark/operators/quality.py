@@ -23,12 +23,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dq_summary(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
-    """One row: total row count + per-rule violation counts.
-
-    A NULL rule result counts as a violation (unknown is not a pass) —
-    evaluate with null-safe expressions if NULLs are acceptable.
-    """
+def _rule_aggs(rules: Mapping[str, Column]) -> list[Column]:
+    """The one definition of the DQ counter algebra (shared by the batch
+    summary and the observe() path so they cannot diverge): total rows plus
+    per-rule violation counts, a NULL rule result counting as a violation
+    (unknown is not a pass)."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, rule in rules.items():
         aggs.append(
@@ -36,7 +35,13 @@ def dq_summary(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
                 f"viol_{name}"
             )
         )
-    return df.agg(*aggs)
+    return aggs
+
+
+def dq_summary(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """One row: total row count + per-rule violation counts (see
+    :func:`_rule_aggs` for the NULL rule-result convention)."""
+    return df.agg(*_rule_aggs(rules))
 
 
 def quarantine(
@@ -196,12 +201,5 @@ def observed_rules(
     """
     from pyspark.sql import Observation
 
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for rule_name, rule in rules.items():
-        aggs.append(
-            F.sum(F.when(F.coalesce(rule, F.lit(False)), 0).otherwise(1)).alias(
-                f"viol_{rule_name}"
-            )
-        )
     obs = Observation(name)
-    return df.observe(obs, *aggs), obs
+    return df.observe(obs, *_rule_aggs(rules)), obs

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import urllib.error
 import urllib.parse
 import urllib.request
 from collections.abc import Iterator, Sequence
@@ -70,7 +71,7 @@ def _chunk(symbols: Sequence[str], size: int) -> list[list[str]]:
 
 
 def _parse_options(options: dict) -> tuple[list[str], int, str, str]:
-    symbols = [s for s in (options.get("symbols") or "").split(",") if s]
+    symbols = [t for t in (s.strip() for s in (options.get("symbols") or "").split(",")) if t]
     if not symbols:
         raise ValueError("rest_json requires a 'symbols' option (comma-separated)")
     batch = int(options.get("batchsize", options.get("batchSize", "8")))
@@ -93,8 +94,15 @@ def _fetch(fetcher: str, endpoint: str, symbol: str) -> str | None:
         with open(path, encoding="utf-8") as fh:
             return fh.read()
     url = endpoint.format(symbol=urllib.parse.quote(symbol, safe=""))
-    with urllib.request.urlopen(url, timeout=30) as resp:  # pragma: no cover
-        return resp.read().decode("utf-8")
+    try:  # pragma: no cover - no egress in the test harness
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            return resp.read().decode("utf-8")
+    except urllib.error.HTTPError as exc:
+        if 400 <= exc.code < 500:
+            return None  # 404-equivalent: unknown symbol skips, like the
+            # file fetcher's missing fixture — one delisted symbol must not
+            # kill the whole poll sweep
+        raise  # 5xx: transient server fault — let Spark's task retry handle it
 
 
 def _safe_name(symbol: str) -> str:

@@ -374,17 +374,22 @@ def update_window_index(
 ) -> DataFrame:
     """Incremental SUBSTRING dedup — the streaming twin of
     ``operators/dedup.py substring_dedup_rebuild``, as :func:`update_passage_index`
-    is to ``passage_dedup_rebuild``.
+    is to ``passage_dedup_rebuild``. The tokenize/window/sweep/rebuild core
+    is SHARED with the batch operator (``doc_tokens_and_windows`` /
+    ``excise_and_rebuild``) so the two paths cannot drift.
 
     Per batch: stride-1 ``window_tokens``-token windows are fingerprinted to
     64 bits; an occurrence is a DUPLICATE iff its fingerprint is already in
     the persistent index (seen in any prior batch) or a lower-(id, start)
     occurrence exists within this batch. Every token covered by a duplicate
-    occurrence is excised (running-coverage sweep) and documents rebuild
-    from the survivors. First-ever occurrences append to the index
-    (``insert_new`` on fp, so replays add nothing); with ``epoch`` (the
-    foreachBatch batch_id) a replayed batch treats its own claims as fresh
-    and reproduces its original output bit-for-bit.
+    occurrence is excised and documents rebuild from the survivors.
+    First-ever occurrences append to the index (``insert_new`` on fp, so
+    replays add nothing); with ``epoch`` (the foreachBatch batch_id) a
+    replayed batch treats its own claims as fresh and reproduces its
+    original output bit-for-bit. Index rows claimed WITHOUT an epoch
+    (direct batch use, ``_epoch`` NULL) count as seen under any later
+    epoch — the comparison is null-safe, matching
+    :func:`update_passage_index`.
 
     When batches arrive in ascending ``id_col`` order the cumulative result
     equals the batch operator over the concatenated corpus (pinned by
@@ -394,32 +399,16 @@ def update_window_index(
     """
     from pyspark.sql.window import Window
 
+    from schwab_elt_etl_pipeline_spark.operators.dedup import (
+        doc_tokens_and_windows,
+        excise_and_rebuild,
+    )
+
     k = window_tokens
-    toks = batch.select(
-        F.col(id_col).alias("_id"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
-    )
-    tokens = toks.select("_id", F.posexplode("_toks").alias("pos0", "token")).select(
-        "_id", (F.col("pos0") + 1).alias("pos"), "token"
-    )
-    wins = (
-        toks.filter(F.size("_toks") >= k)
-        .select(
-            "_id",
-            F.explode(F.sequence(F.lit(1), F.size("_toks") - F.lit(k - 1))).alias(
-                "start"
-            ),
-            "_toks",
-        )
-        .select(
-            "_id",
-            "start",
-            F.xxhash64(F.array_join(F.slice("_toks", F.col("start"), k), " ")).alias(
-                "fp"
-            ),
-        )
-        .localCheckpoint(eager=True)  # probe + rank + index append share it
-    )
+    tokens, raw_wins = doc_tokens_and_windows(batch, k, id_col, text_col)
+    wins = raw_wins.select(
+        "_id", "start", F.xxhash64("wtext").alias("fp")
+    ).localCheckpoint(eager=True)  # probe + rank + index append share it
     if index.exists():
         idx = index.read().select(
             "fp", F.lit(1).alias("_hit"), F.col("_epoch").alias("_idx_epoch")
@@ -427,46 +416,19 @@ def update_window_index(
         probed = wins.join(idx, "fp", "left")
         seen_before = F.col("_hit").isNotNull()
         if epoch is not None:
-            seen_before = seen_before & (F.col("_idx_epoch") != F.lit(epoch))
+            # NULL-epoch index rows must stay "seen" (NULL != epoch is SQL
+            # NULL and would poison the flag — only a row claimed BY THIS
+            # epoch is fresh on replay)
+            seen_before = seen_before & F.coalesce(
+                F.col("_idx_epoch") != F.lit(epoch), F.lit(True)
+            )
         probed = probed.withColumn("_seen", seen_before).drop("_hit", "_idx_epoch")
     else:
         probed = wins.withColumn("_seen", F.lit(False))
     rank = Window.partitionBy("fp").orderBy("_id", "start")
     occ = probed.withColumn("rk", F.row_number().over(rank))
-    dup_starts = occ.filter(F.col("_seen") | (F.col("rk") > 1)).select(
-        "_id", F.col("start").alias("pos"), F.lit(1).alias("_dup")
-    )
-    sweep = Window.partitionBy("_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    marked = tokens.join(dup_starts, ["_id", "pos"], "left").withColumn(
-        "_cover_end",
-        F.max(F.when(F.col("_dup") == 1, F.col("pos") + F.lit(k - 1))).over(sweep),
-    )
-    dropped = F.col("_cover_end") >= F.col("pos")
-    out = (
-        marked.groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.coalesce(F.sum(F.when(dropped, 1).otherwise(0)), F.lit(0))
-            .cast("long")
-            .alias("n_dropped"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                ~dropped | dropped.isNull(), F.struct("pos", "token")
-                            )
-                        )
-                    ),
-                    lambda x: x["token"],
-                ),
-                " ",
-            ).alias("deduped_text"),
-        )
-        .withColumnRenamed("_id", id_col)
-    )
+    dup_starts = occ.filter(F.col("_seen") | (F.col("rk") > 1)).select("_id", "start")
+    out = excise_and_rebuild(tokens, dup_starts, k, id_col)
     new_fps = (
         occ.filter(~F.col("_seen") & (F.col("rk") == 1))
         .select(

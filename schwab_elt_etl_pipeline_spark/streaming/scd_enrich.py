@@ -75,8 +75,17 @@ def enrich_batch_asof(
     dim_payload = [
         c for c in dim.columns if c not in (*keys, valid_from, valid_to, "is_current")
     ]
+    # A payload column whose name already exists on the fact side keeps the
+    # fact column and lands as "dim_<name>" — a silent duplicate name would
+    # kill every downstream write (COLUMN_ALREADY_EXISTS) or the sink's
+    # anti-join (AMBIGUOUS_REFERENCE).
+    fact_cols = set(facts.columns)
     return f.join(d, cond, "left").select(
-        "_f.*", *[F.col(f"_dim.{c}").alias(c) for c in dim_payload]
+        "_f.*",
+        *[
+            F.col(f"_dim.{c}").alias(f"dim_{c}" if c in fact_cols else c)
+            for c in dim_payload
+        ],
     )
 
 

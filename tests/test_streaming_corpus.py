@@ -333,3 +333,22 @@ def test_window_index_matches_batch_operator_and_replays(spark, dirs):
     replay = get(update_window_index(batch2, index, window_tokens=k, epoch=2))
     assert replay == out2
     assert index.read().count() == n_before
+
+
+def test_window_index_null_epoch_rows_stay_seen(spark, dirs):
+    """Index rows claimed WITHOUT an epoch (direct batch use) must count as
+    seen under any later epoch — NULL != epoch is SQL NULL and an un-coalesced
+    comparison would let previously-indexed duplicate spans through intact."""
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_window_index
+
+    _, idx_dir, _ = dirs
+    index = ParquetTable(spark, f"{idx_dir}_nullep", cluster_by=("fp",))
+    text = "a b c d e f g h"
+    b1 = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    update_window_index(b1, index, window_tokens=8, epoch=None).collect()
+    out = {
+        r["doc_id"]: (r["n_dropped"], r["deduped_text"])
+        for r in update_window_index(b2, index, window_tokens=8, epoch=5).collect()
+    }
+    assert out == {1: (8, "")}

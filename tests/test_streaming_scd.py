@@ -135,3 +135,14 @@ def test_dimension_update_between_batches(spark, dirs):
 
     got = {r["fid"]: r["seg"] for r in sink.read().collect()}
     assert got == {10: "OLD", 20: "OLD", 21: "NEWER"}
+
+
+def test_payload_name_collision_prefixed(spark):
+    """A dim attribute sharing a fact column's name lands as dim_<name>
+    instead of producing a duplicate column that breaks the sink write."""
+    dim = _dim_df(spark)
+    facts = _facts(spark).withColumn("seg", F.lit("fact-side"))
+    out = enrich_batch_asof(facts, dim, ["k"], "at")
+    assert out.columns.count("seg") == 1
+    row = {r["fid"]: r for r in out.collect()}
+    assert row[10]["seg"] == "fact-side" and row[10]["dim_seg"] == "OLD"
