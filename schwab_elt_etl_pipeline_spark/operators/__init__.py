@@ -10,6 +10,7 @@ from schwab_elt_etl_pipeline_spark.operators.dedup import (
     minhash_lsh_candidates,
     minhash_signature,
     passage_dedup_rebuild,
+    substring_dedup_rebuild,
     simhash64,
     simhash_near_dups,
     with_shingles,
@@ -96,6 +97,7 @@ __all__ = [
     "exact_k_per_group",
     "hash_rank_key",
     "passage_dedup_rebuild",
+    "substring_dedup_rebuild",
     "brute_force_topk",
     "bucketed_ann_topk",
     "connected_components",
