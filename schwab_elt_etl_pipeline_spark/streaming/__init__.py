@@ -7,6 +7,8 @@ from schwab_elt_etl_pipeline_spark.streaming.corpus import (
     read_document_stream,
     update_ann_index,
     update_minhash_index,
+    update_passage_index,
+    update_window_index,
     write_curated_stream,
 )
 from schwab_elt_etl_pipeline_spark.streaming.monitor import ProgressRecorder
@@ -18,17 +20,29 @@ from schwab_elt_etl_pipeline_spark.streaming.quotes import (
     windowed_candles,
     write_bronze_stream,
 )
+from schwab_elt_etl_pipeline_spark.streaming.scd_enrich import (
+    enrich_batch_asof,
+    start_scd2_enrich,
+)
+from schwab_elt_etl_pipeline_spark.streaming.tws_latest import (
+    latest_quote_changelog,
+)
 
 __all__ = [
     "curate_stream",
     "dedup_stream",
+    "enrich_batch_asof",
     "latest_per_key",
+    "latest_quote_changelog",
     "ProgressRecorder",
     "read_document_stream",
     "read_quote_stream",
+    "start_scd2_enrich",
     "tick_sessions",
     "update_ann_index",
     "update_minhash_index",
+    "update_passage_index",
+    "update_window_index",
     "windowed_candles",
     "write_bronze_stream",
     "write_curated_stream",
