@@ -172,3 +172,14 @@ def test_no_scale_killer_nodes(spark, sf_dir, spec):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{spec.name}: nested-loop join outside the scalar-broadcast allowlist"
         )
+
+
+def test_substring_dedup_shuffle_budget(spark, sf_dir):
+    """substring_dedup's exchanges by construction: window-key rank, the
+    dup-start join, and the doc-keyed sweep/rebuild (+ the explicit input
+    spread). More means a lost partitioning reuse; the rank key must be the
+    8-byte fingerprint, never the window text."""
+    plan = plan_of(spark, sf_dir, "substring_dedup")
+    n_hash = plan.count("hashpartitioning")
+    assert n_hash <= 4, f"extra shuffle in substring_dedup plan: {n_hash}"
+    assert "hashpartitioning(wtext" not in plan or "xxhash64" in plan
