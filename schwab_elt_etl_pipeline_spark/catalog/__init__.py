@@ -108,7 +108,7 @@ def all_specs() -> list[QuerySpec]:
 #: stable, so names not listed here keep their module order after the front.
 _FRONT = [
     # (a) new in round 5
-    "substring_dedup",
+    "substring_dedup", "ann_pq_adc",
     "graph_triangle_counts", "j_interval_overlap", "w_rolling_zscore",
     "a_winsorized_stats", "ann_projected_rerank", "bpe_apply_merges",
     "embedding_label_centroids", "hard_negative_mining", "a_corr_matrix",

@@ -15,6 +15,7 @@ from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
 from schwab_elt_etl_pipeline_spark.operators.similarity import (
     as_double,
     brute_force_topk,
+    dot,
     bucketed_ann_topk,
     cosine,
     ivf_kmeans_topk,
@@ -265,6 +266,77 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, neg_id ASC) = 1
 """
 
 
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011), certified at verdict
+    level like ``ann_ivf_kmeans``: ADC over m=16 per-subspace codebooks
+    shortlists 50 candidates per query from the compressed code table (the
+    raw corpus is untouched at scan time — 16 ints per 64-dim vector), and
+    the shortlist is exactly re-ranked. Emitted certificate per query: the
+    exact top-1 L2 distance (anchors the distance kernel to the oracle) and
+    ``recall_ok`` — the reranked PQ search recovered ≥ 4 of the exact L2
+    top-10 (measured 7–9 at sf0.001–0.01; threshold leaves ~2× margin).
+    Deterministic: seeded per-subspace k-means + fixed tiebreaks."""
+    from schwab_elt_etl_pipeline_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    shortlist = pq_adc_topk(emb, q, k=50, m=16, k_codes=16)
+    c = emb.select(F.col("vec_id").alias("c_id"), as_double("embedding").alias("c_vec"))
+    qv = q.select(F.col("vec_id").alias("q_id"), as_double("embedding").alias("q_vec"))
+    exact = (
+        qv.crossJoin(c)
+        .filter(F.col("c_id") != F.col("q_id"))
+        # same algebraic form and (sequential) summation order as the
+        # oracle's list_dot_product expression, so ROUND(…, 6) matches
+        .withColumn(
+            "d2",
+            F.round(
+                dot(F.col("q_vec"), F.col("q_vec"))
+                - 2 * dot(F.col("q_vec"), F.col("c_vec"))
+                + dot(F.col("c_vec"), F.col("c_vec")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("c_id"))
+    exact10 = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("q_id", F.col("c_id").alias("vec_id"), "d2")
+    )
+    hits = (
+        exact10.join(shortlist, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    top1 = exact10.groupBy("q_id").agg(F.min("d2").alias("exact_top1_d2"))
+    return top1.join(hits, "q_id", "left").select(
+        "q_id",
+        "exact_top1_d2",
+        (F.coalesce(F.col("n_hits"), F.lit(0)) >= 4).alias("recall_ok"),
+    )
+
+
+_L2_SQL = (
+    "list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b})"
+)
+
+ANN_PQ_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < {_N_QUERIES}
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS c_vec FROM embeddings
+), scored AS (
+  SELECT q_id, vec_id,
+         ROUND({_L2_SQL.format(a="q_vec", b="c_vec")}, 6) AS d2
+  FROM c, q WHERE vec_id <> q_id
+)
+SELECT q_id, MIN(d2) AS exact_top1_d2, TRUE AS recall_ok
+FROM scored GROUP BY q_id
+"""
+
+
 SPECS = [
     QuerySpec("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_SQL, headline=True,
               doc="brute-force cosine top-k (exact baseline)"),
@@ -272,6 +344,8 @@ SPECS = [
               doc="sign-LSH bucketed ANN (scale path)"),
     QuerySpec("ann_ivf_kmeans", ann_ivf_kmeans, ANN_IVF_SQL,
               doc="k-means IVF ANN certified: exact top-1 anchor + recall verdict"),
+    QuerySpec("ann_pq_adc", ann_pq_adc, ANN_PQ_SQL,
+              doc="product-quantization ANN: ADC shortlist over codes + exact rerank, verdict-certified"),
     QuerySpec("embedding_near_dup", embedding_near_dup, EMBEDDING_NEAR_DUP_SQL,
               doc="banded embedding-cosine near-dup pairs"),
     QuerySpec("ann_projected_rerank", ann_projected_rerank, ANN_PROJECTED_SQL,

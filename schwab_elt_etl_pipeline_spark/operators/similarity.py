@@ -327,3 +327,148 @@ def projected_rerank_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "vec_id", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance scoring
+# ---------------------------------------------------------------------------
+
+
+def pq_subvectors(
+    df: DataFrame, m: int, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, sub, subvec): split each ``dim``-dim vector into ``m`` contiguous
+    subspaces (``dim`` must divide evenly — PQ codebooks are per-subspace)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    width = dim // m
+    vec = as_double(vec_col)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub"),
+                F.slice(vec, j * width + 1, width).alias("subvec"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.explode(subs).alias("s")
+    ).select(id_col, F.col("s.sub").alias("sub"), F.col("s.subvec").alias("subvec"))
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-subspace k-means codebooks: (sub, code, centroid) — m × k_codes
+    rows, broadcastable by construction (a PQ codebook is kilobytes no
+    matter the corpus size; that is the point of the layout)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    dim = len(corpus.select(as_double(vec_col).alias("v")).first()["v"])
+    subs = pq_subvectors(corpus, m, dim, id_col, vec_col).persist()
+    rows = []
+    try:
+        for j in range(m):
+            feats = subs.filter(F.col("sub") == j).withColumn(
+                "features", array_to_vector("subvec")
+            )
+            model = KMeans(
+                k=k_codes, seed=seed + j, featuresCol="features"
+            ).fit(feats)
+            rows += [
+                (j, c, [float(x) for x in cent])
+                for c, cent in enumerate(model.clusterCenters())
+            ]
+    finally:
+        subs.unpersist()
+    return spark.createDataFrame(rows, "sub INT, code INT, centroid ARRAY<DOUBLE>")
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub, code): nearest codebook entry per subspace — the compressed
+    representation (m small ints per vector, e.g. 64 dims × 8 bytes → 4
+    bytes). One broadcast join + a map-side argmin; the corpus never
+    shuffles."""
+    subs = pq_subvectors(corpus, m, dim, id_col, vec_col)
+    joined = subs.join(F.broadcast(codebooks), "sub")
+    return (
+        joined.withColumn("d2", _l2sq(F.col("subvec"), F.col("centroid")))
+        .groupBy(id_col, "sub")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """PQ search with asymmetric distance computation (ADC), Jégou et al.
+    2011 "Product Quantization for Nearest Neighbor Search".
+
+    Per query, the distance to every corpus vector is approximated as the
+    sum over subspaces of ||q_sub - centroid[code]||² — computed by joining
+    the corpus CODES (m ints/vector) against a broadcast per-query distance
+    table (n_q × m × k_codes rows). The raw corpus vectors are never read
+    at query time: at 100 TB the scan is over the 16×-smaller code table,
+    clustered however the corpus is, and the only shuffle is the final
+    per-query top-k. Output: (q_id, vec_id, adc_d2) ascending per query.
+    """
+    spark = corpus.sparkSession
+    dim = len(corpus.select(as_double(vec_col).alias("v")).first()["v"])
+    books = pq_train_codebooks(corpus, m, k_codes, id_col, vec_col, seed)
+    codes = pq_encode(corpus, books, m, dim, id_col, vec_col)
+    qsubs = pq_subvectors(
+        queries.select(F.col(id_col).alias("q_id"), vec_col), m, dim, "q_id", vec_col
+    )
+    dtable = (
+        qsubs.join(F.broadcast(books), "sub")
+        .select(
+            "q_id",
+            "sub",
+            "code",
+            _l2sq(F.col("subvec"), F.col("centroid")).alias("d2"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .filter(F.col(id_col) != F.col("q_id"))
+        .groupBy("q_id", id_col)
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+        # only vectors matched in EVERY subspace carry a complete distance;
+        # the inner join guarantees m partials per (q, vec) by construction
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", id_col, "adc_d2")
+    )

@@ -105,3 +105,45 @@ def test_semantic_dedup_lsh_recall_on_clustered_data(spark):
     recall = len(lsh_drops) / len(exact_drops)
     assert len(exact_drops) >= 70  # the data really has dup structure
     assert recall >= 0.9, f"LSH dedup recall too low: {recall:.3f}"
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    """Every vector gets exactly m codes, all within [0, k_codes); encoding
+    twice with the same seed is identical (the certification precondition)."""
+    from pyspark.sql import functions as F
+
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from schwab_elt_etl_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, k_codes = 8, 16
+    books = pq_train_codebooks(emb, m=m, k_codes=k_codes)
+    assert books.count() == m * k_codes
+    codes = pq_encode(emb, books, m=m, dim=64)
+    per_vec = codes.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+    )
+    bad = per_vec.filter(
+        (F.col("n") != m) | (F.col("lo") < 0) | (F.col("hi") >= k_codes)
+    )
+    assert bad.count() == 0
+    again = pq_encode(emb, pq_train_codebooks(emb, m=m, k_codes=k_codes), m=m, dim=64)
+    assert codes.exceptAll(again).count() == 0 and again.exceptAll(codes).count() == 0
+
+
+def test_pq_subvector_slicing(spark):
+    """Subvectors tile the original vector contiguously, in order."""
+    from schwab_elt_etl_pipeline_spark.operators.similarity import pq_subvectors
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)])], "vec_id long, embedding array<double>"
+    )
+    subs = {
+        r["sub"]: r["subvec"] for r in pq_subvectors(df, m=4, dim=8).collect()
+    }
+    assert subs == {0: [0.0, 1.0], 1: [2.0, 3.0], 2: [4.0, 5.0], 3: [6.0, 7.0]}
