@@ -364,16 +364,25 @@ def pq_train_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
+    subvectors: DataFrame | None = None,
 ) -> DataFrame:
     """Per-subspace k-means codebooks: (sub, code, centroid) — m × k_codes
     rows, broadcastable by construction (a PQ codebook is kilobytes no
-    matter the corpus size; that is the point of the layout)."""
+    matter the corpus size; that is the point of the layout). Pass ``dim``
+    and/or a prebuilt ``subvectors`` frame to avoid re-deriving them when
+    the caller (``pq_adc_topk``) already has both."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
-    dim = len(corpus.select(as_double(vec_col).alias("v")).first()["v"])
-    subs = pq_subvectors(corpus, m, dim, id_col, vec_col).persist()
+    if dim is None:
+        dim = len(corpus.select(as_double(vec_col).alias("v")).first()["v"])
+    subs = (
+        subvectors
+        if subvectors is not None
+        else pq_subvectors(corpus, m, dim, id_col, vec_col)
+    ).persist()
     rows = []
     try:
         for j in range(m):
@@ -407,12 +416,17 @@ def pq_encode(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    subvectors: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sub, code): nearest codebook entry per subspace — the compressed
     representation (m small ints per vector, e.g. 64 dims × 8 bytes → 4
     bytes). One broadcast join + a map-side argmin; the corpus never
     shuffles."""
-    subs = pq_subvectors(corpus, m, dim, id_col, vec_col)
+    subs = (
+        subvectors
+        if subvectors is not None
+        else pq_subvectors(corpus, m, dim, id_col, vec_col)
+    )
     joined = subs.join(F.broadcast(codebooks), "sub")
     return (
         joined.withColumn("d2", _l2sq(F.col("subvec"), F.col("centroid")))
@@ -440,12 +454,18 @@ def pq_adc_topk(
     table (n_q × m × k_codes rows). The raw corpus vectors are never read
     at query time: at 100 TB the scan is over the 16×-smaller code table,
     clustered however the corpus is, and the only shuffle is the final
-    per-query top-k. Output: (q_id, vec_id, adc_d2) ascending per query.
+    per-query top-k. Output: (q_id, vec_id, adc_d2) ascending per query —
+    an ADC-ordered SHORTLIST (approximate order); production searches
+    exact-rerank it against the raw vectors of just these candidates, as
+    ``catalog/similarity.py ann_pq_adc`` does.
     """
     spark = corpus.sparkSession
     dim = len(corpus.select(as_double(vec_col).alias("v")).first()["v"])
-    books = pq_train_codebooks(corpus, m, k_codes, id_col, vec_col, seed)
-    codes = pq_encode(corpus, books, m, dim, id_col, vec_col)
+    corpus_subs = pq_subvectors(corpus, m, dim, id_col, vec_col)
+    books = pq_train_codebooks(
+        corpus, m, k_codes, id_col, vec_col, seed, dim=dim, subvectors=corpus_subs
+    )
+    codes = pq_encode(corpus, books, m, dim, id_col, vec_col, subvectors=corpus_subs)
     qsubs = pq_subvectors(
         queries.select(F.col(id_col).alias("q_id"), vec_col), m, dim, "q_id", vec_col
     )

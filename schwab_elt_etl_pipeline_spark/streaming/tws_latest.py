@@ -61,7 +61,8 @@ class LatestQuoteProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         newest_ts, newest_mark = None, None
         for pdf in rows:
-            pdf = pdf.dropna(subset=["ts_ms"])
+            pdf = pdf.dropna(subset=["ts_ms", "mark"])  # a tick missing
+            # its mark must not poison state with NaN
             if pdf.empty:
                 continue
             row = pdf.loc[pdf["ts_ms"].idxmax()]

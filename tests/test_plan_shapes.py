@@ -118,6 +118,7 @@ _BNLJ_OK = {
     "ann_projected_rerank",  # ≤8-row query-vector set (coarse sketch pass)
     "embedding_near_dup",    # ≤8-row probe set
     "ann_ivf_kmeans",        # ≤16-row centroid table
+    "ann_pq_adc",            # ≤8-row query-vector set (exact-anchor pass)
     "kmeans_assign_fixed",   # ≤16-row centroid table
     "q11_important_suppliers",  # 1-row global-threshold scalar
     "q22_global_avg_anti",   # 1-row global-average scalar
@@ -182,4 +183,10 @@ def test_substring_dedup_shuffle_budget(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "substring_dedup")
     n_hash = plan.count("hashpartitioning")
     assert n_hash <= 4, f"extra shuffle in substring_dedup plan: {n_hash}"
-    assert "hashpartitioning(wtext" not in plan or "xxhash64" in plan
+    import re
+
+    # the rank exchange must partition on a LONG (the xxhash64 fingerprint,
+    # e.g. 'hashpartitioning(wtext#14L'), never the raw window string
+    assert re.search(r"hashpartitioning\(wtext#\d+L", plan), (
+        "rank key is not the 8-byte fingerprint"
+    )
