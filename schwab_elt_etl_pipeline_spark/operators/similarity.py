@@ -492,3 +492,105 @@ def pq_adc_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", id_col, "adc_d2")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVFADC — the full Jégou et al. 2011 layout: a coarse IVF quantizer
+    prunes the corpus to ``n_probe`` cells per query, and PQ codes score the
+    surviving candidates by asymmetric distance. The two compressions
+    multiply: at 100 TB the query-time scan is the code table of the probed
+    cells only (n_probe/n_centroids of a table already ~16× smaller than
+    the raw vectors), the cell assignment is a broadcast join against
+    ≤ ``n_centroids`` rows, and the distance tables are n_q × m × k_codes —
+    kilobytes. Codes quantize the RESIDUAL (vector − cell centroid), the
+    detail that makes coarse-cell + fine-code precision add rather than
+    overlap. Output: (q_id, vec_id, adc_d2) — an ADC-ordered shortlist,
+    exact-rerank it as in ``catalog/similarity.py ann_pq_adc``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    dim = len(corpus.select(as_double(vec_col).alias("v")).first()["v"])
+
+    # coarse quantizer: cell per corpus vector + centroid table
+    feats = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("vec")
+    ).withColumn("features", array_to_vector("vec"))
+    coarse = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
+    assigned = coarse.transform(feats).select(
+        id_col, "vec", F.col("prediction").alias("cell")
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(coarse.clusterCenters())],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+
+    # residuals -> PQ codebooks + codes (shared subvector frame, one pass)
+    residuals = (
+        assigned.join(F.broadcast(cents), "cell")
+        .select(
+            id_col,
+            "cell",
+            F.zip_with("vec", "centroid", lambda x, y: x - y).alias("res"),
+        )
+    )
+    res_subs = pq_subvectors(residuals, m, dim, id_col, "res")
+    books = pq_train_codebooks(
+        residuals, m, k_codes, id_col, "res", seed + 100, dim=dim, subvectors=res_subs
+    )
+    codes = pq_encode(
+        residuals, books, m, dim, id_col, "res", subvectors=res_subs
+    ).join(residuals.select(id_col, "cell"), id_col)
+
+    # query side: probe the n_probe nearest cells; the distance table is per
+    # (query, probed cell) because the residual depends on the cell
+    qv = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec"))
+    q_cells = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("c_d2", _l2sq(F.col("q_vec"), F.col("centroid")))
+        .withColumn(
+            "c_rank",
+            F.row_number().over(Window.partitionBy("q_id").orderBy("c_d2", "cell")),
+        )
+        .filter(F.col("c_rank") <= n_probe)
+        .select(
+            "q_id",
+            "cell",
+            F.zip_with("q_vec", "centroid", lambda x, y: x - y).alias("q_res"),
+        )
+    )
+    q_res_subs = pq_subvectors(q_cells.withColumn("_qc", F.struct("q_id", "cell")), m, dim, "_qc", "q_res")
+    dtable = (
+        q_res_subs.join(F.broadcast(books), "sub")
+        .select(
+            F.col("_qc.q_id").alias("q_id"),
+            F.col("_qc.cell").alias("cell"),
+            "sub",
+            "code",
+            _l2sq(F.col("subvec"), F.col("centroid")).alias("d2"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["cell", "sub", "code"])
+        .filter(F.col(id_col) != F.col("q_id"))
+        .groupBy("q_id", id_col)
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", id_col, "adc_d2")
+    )

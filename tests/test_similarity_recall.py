@@ -147,3 +147,47 @@ def test_pq_subvector_slicing(spark):
         r["sub"]: r["subvec"] for r in pq_subvectors(df, m=4, dim=8).collect()
     }
     assert subs == {0: [0.0, 1.0], 1: [2.0, 3.0], 2: [4.0, 5.0], 3: [6.0, 7.0]}
+
+
+def test_ivfpq_recall_floor_and_determinism(spark, sf_dir):
+    """IVFADC (coarse cells + residual PQ codes): the 50-candidate ADC
+    shortlist recovers ≥ 3 of the exact L2 top-10 for every query (measured
+    5–10 at sf0.001–0.01), and two builds are identical (seeded coarse +
+    fine k-means, fixed tiebreaks)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        _l2sq,
+        as_double,
+        ivfpq_topk,
+    )
+    from schwab_elt_etl_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    short = ivfpq_topk(emb, q, k=50)
+    c = emb.select(F.col("vec_id").alias("c_id"), as_double("embedding").alias("cv"))
+    qv = q.select(F.col("vec_id").alias("q_id"), as_double("embedding").alias("qv"))
+    exact = (
+        qv.crossJoin(c)
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("d2", _l2sq(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("c_id"))
+    exact10 = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 10")
+        .select("q_id", F.col("c_id").alias("vec_id"))
+    )
+    hits = {
+        r["q_id"]: r["n"]
+        for r in exact10.join(short, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(hits) == {0, 1, 2} and min(hits.values()) >= 3, hits
+
+    again = ivfpq_topk(emb, q, k=50)
+    assert short.exceptAll(again).count() == 0 and again.exceptAll(short).count() == 0
