@@ -60,6 +60,10 @@ from schwab_elt_etl_pipeline_spark.operators.similarity import (
     bucketed_ann_topk,
     cosine,
     ivf_kmeans_topk,
+    ivfpq_topk,
+    pq_adc_topk,
+    pq_encode,
+    pq_train_codebooks,
     projected_rerank_topk,
 )
 from schwab_elt_etl_pipeline_spark.operators.tokenize import (
@@ -91,6 +95,10 @@ __all__ = [
     "build_bloom",
     "explode_tokens",
     "mad_drift",
+    "ivfpq_topk",
+    "pq_adc_topk",
+    "pq_encode",
+    "pq_train_codebooks",
     "projected_rerank_topk",
     "rebuild_docs",
     "triangle_counts",
