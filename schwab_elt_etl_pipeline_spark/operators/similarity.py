@@ -594,3 +594,66 @@ def ivfpq_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", id_col, "adc_d2")
     )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    books_table,
+    codes_table,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist a PQ index: codebooks + codes as warehouse tables
+    (``sources/warehouse.py ParquetTable``) — the build-once/query-many
+    deployment of :func:`pq_adc_topk`. Training/encoding cost is paid
+    offline; a query session reads the m-ints-per-vector code table (clustered
+    however the corpus is partitioned) and the kilobyte codebooks, never the
+    raw vectors. Versioned overwrite keeps readers snapshot-isolated across
+    rebuilds, exactly like the incremental ANN index
+    (``streaming/corpus.py update_ann_index``)."""
+    dim = len(corpus.select(as_double(vec_col).alias("v")).first()["v"])
+    subs = pq_subvectors(corpus, m, dim, id_col, vec_col)
+    books = pq_train_codebooks(
+        corpus, m, k_codes, id_col, vec_col, seed, dim=dim, subvectors=subs
+    )
+    codes = pq_encode(corpus, books, m, dim, id_col, vec_col, subvectors=subs)
+    books_table.overwrite_versioned(books)
+    codes_table.overwrite_versioned(codes)
+
+
+def pq_query_index(
+    books_table,
+    codes_table,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search against a persisted PQ index — no corpus access at all.
+    Output matches :func:`pq_adc_topk` on the same build (test-pinned)."""
+    books = books_table.read()
+    codes = codes_table.read()
+    m = books.select("sub").distinct().count()
+    width = len(books.select("centroid").first()["centroid"])
+    dim = m * width
+    qsubs = pq_subvectors(
+        queries.select(F.col(id_col).alias("q_id"), vec_col), m, dim, "q_id", vec_col
+    )
+    dtable = qsubs.join(F.broadcast(books), "sub").select(
+        "q_id", "sub", "code", _l2sq(F.col("subvec"), F.col("centroid")).alias("d2")
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .filter(F.col(id_col) != F.col("q_id"))
+        .groupBy("q_id", id_col)
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", id_col, "adc_d2")
+    )

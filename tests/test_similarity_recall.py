@@ -191,3 +191,27 @@ def test_ivfpq_recall_floor_and_determinism(spark, sf_dir):
 
     again = ivfpq_topk(emb, q, k=50)
     assert short.exceptAll(again).count() == 0 and again.exceptAll(short).count() == 0
+
+
+def test_pq_index_persist_and_query(spark, sf_dir, tmp_path):
+    """A persisted PQ index returns exactly what the inline search returns
+    on the same build (same seed), with no corpus access at query time."""
+    from pyspark.sql import functions as F
+
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        build_pq_index,
+        pq_adc_topk,
+        pq_query_index,
+    )
+    from schwab_elt_etl_pipeline_spark.sources import load_table
+    from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    books_t = ParquetTable(spark, str(tmp_path / "pq_books"))
+    codes_t = ParquetTable(spark, str(tmp_path / "pq_codes"), cluster_by=("vec_id",))
+    build_pq_index(emb, books_t, codes_t, m=8, k_codes=16)
+    from_index = pq_query_index(books_t, codes_t, q, k=10)
+    inline = pq_adc_topk(emb, q, k=10, m=8, k_codes=16)
+    assert from_index.exceptAll(inline).count() == 0
+    assert inline.exceptAll(from_index).count() == 0
