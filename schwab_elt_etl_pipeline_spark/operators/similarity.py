@@ -657,3 +657,24 @@ def pq_query_index(
         .filter(F.col("rk") <= k)
         .select("q_id", id_col, "adc_d2")
     )
+
+
+def extend_pq_index(
+    new_vectors: DataFrame,
+    books_table,
+    codes_table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted PQ index: encode ONLY the
+    batch against the EXISTING codebooks and dup-guard-append the codes
+    (``insert_new`` on (id, sub) — replays add nothing). O(batch) work per
+    call; the codebooks stay fixed between retrains, exactly how production
+    PQ serving amortizes index maintenance (the quantization error of new
+    data drifts slowly; retrain via :func:`build_pq_index` on a cadence,
+    with versioned overwrite keeping readers snapshot-isolated)."""
+    books = books_table.read()
+    m = books.select("sub").distinct().count()
+    width = len(books.select("centroid").first()["centroid"])
+    codes = pq_encode(new_vectors, books, m, m * width, id_col, vec_col)
+    codes_table.insert_new(codes, keys=[id_col, "sub"])

@@ -215,3 +215,34 @@ def test_pq_index_persist_and_query(spark, sf_dir, tmp_path):
     inline = pq_adc_topk(emb, q, k=10, m=8, k_codes=16)
     assert from_index.exceptAll(inline).count() == 0
     assert inline.exceptAll(from_index).count() == 0
+
+
+def test_pq_index_incremental_extend(spark, sf_dir, tmp_path):
+    """Index built on half the corpus + extend with the other half equals
+    the index built on everything (codes are per-vector given fixed
+    codebooks); replaying the extension adds nothing."""
+    from pyspark.sql import functions as F
+
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        build_pq_index,
+        extend_pq_index,
+        pq_encode,
+    )
+    from schwab_elt_etl_pipeline_spark.sources import load_table
+    from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    books_t = ParquetTable(spark, str(tmp_path / "b"))
+    codes_t = ParquetTable(spark, str(tmp_path / "c"))
+    build_pq_index(half, books_t, codes_t, m=8, k_codes=8)
+    extend_pq_index(rest, books_t, codes_t)
+    books = books_t.read()
+    want = pq_encode(emb, books, 8, 64)
+    got = codes_t.read()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    n = codes_t.read().count()
+    extend_pq_index(rest, books_t, codes_t)  # replay: idempotent
+    assert codes_t.read().count() == n
