@@ -104,40 +104,27 @@ def all_specs() -> list[QuerySpec]:
     return specs
 
 
-#: Round-5 sampling priority — see comment in all_specs(). Python's sort is
-#: stable, so names not listed here keep their module order after the front.
+#: Round-5 sampling priority: written DURING round 5, consumed by the driver
+#: at the END of round 5 → CORRECTNESS_r05 (the r4 verdict flagged the old
+#: labels as off-by-one; this naming matches the driver's artifacts). See
+#: comment in all_specs(). Python's sort is stable, so names not listed keep
+#: module order after the front.
 _FRONT = [
-    # (a) new in round 5
-    "substring_dedup", "ann_pq_adc",
-    "graph_triangle_counts", "j_interval_overlap", "w_rolling_zscore",
-    "a_winsorized_stats", "ann_projected_rerank", "bpe_apply_merges",
-    "embedding_label_centroids", "hard_negative_mining", "a_corr_matrix",
-    "a_chi2_contingency", "a_equidepth_hist", "embedding_curation_e2e",
-    "dq_volume_drift", "j_attribution_last_touch", "j_bloom_semi_join",
-    "j_salted_hot_join", "f21_variant_extract", "corpus_temperature_mix",
-    # (a) new in round 4 (never driver-sampled: no CORRECTNESS_r04 was recorded)
-    "passage_dedup", "bm25_retrieval", "sequence_packing",
-    "neardup_canonicalize", "a_theta_set_ops", "sample_exact_k_stratified",
-    "quality_quantile_gate", "training_prep_e2e",
-    "unigram_rarity", "tfidf_topk_keywords", "quality_logit_score",
-    "event_funnel", "retention_cohorts", "item_walk_counts", "decontam_fuzzy",
-    "corpus_token_budget_mix", "dq_expectations_orders",
-    "w_distribution_family", "a_grouping_sets", "t_calendar_arithmetic",
-    "j11_merge_full_delete", "a_ols_trend_exact", "pagerank_fixed_point",
-    "w_range_frame", "a_salted_hot_keys", "set_intersect_except",
-    # (a) new late in round 3 / never driver-checked
-    "semantic_dedup_lsh",
-    # (b) oracle upgraded rows-only → verdict-level SQL this round
-    "minhash_lsh_neardup", "simhash_neardup",
-    "a_approx_distinct", "a_approx_quantiles", "a_heavy_hitters_sketch",
-    "a_hll_partitioned_merge", "ann_ivf_kmeans",
-    # (c) last green in round 1
+    # (a) new in round 5 (never driver-sampled)
+    "ann_ivfadc", "ann_pq_index",
+    # (b) oracle upgraded rows-only → verdict-level SQL in round 4; they sat
+    # at positions 51–54 of the 50-entry round-4 sample, so the upgraded form
+    # has never been driver-checked — first in line (VERDICT r4 directive #1)
+    "ann_ivf_kmeans", "a_hll_partitioned_merge", "a_heavy_hitters_sketch",
+    "a_approx_quantiles",
+    # (c) last driver-green in round 1 — the oldest cohort, due re-verification
     "j8_merge_upsert", "j10_join_aggregate", "a1_dedup_distinct",
     "a2_distinct_entities", "j9_batch_dedup", "p9_content_filter",
     "a3a6_two_level_signed", "a7_max_per_entity_ts", "a8_bucket_minmax",
     "a10_dedup_max_pair", "w_moving_avgs", "o2_sort_limit",
     "set_union_branches", "t3_latest_per_key", "t9_gapfill_locf",
-    # (d) last green in round 2, oldest-value-first picks that still fit
+    # (d) last driver-green in round 2 — the first 29 fit the 50-entry
+    # sample; the remaining 9 queue behind them for round 6
     "flagship_vertical_analytics", "pipeline_verts_e2e", "f2_symbol_pipeline",
     "f5_multiformat_parse", "dedup_exact", "dedup_keep_best",
     "corpus_mix_sample", "curation_pipeline", "text_quality",
@@ -146,7 +133,11 @@ _FRONT = [
     "ann_bucketed_topk", "embedding_near_dup", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q11_important_suppliers",
     "q15_top_supplier", "q20_part_promotion", "q21_blame_supplier",
-    "multimodal_decode", "multimodal_frame_sample",
+    "multimodal_decode", "multimodal_frame_sample", "a_collect_sorted",
+    "a_cube_revenue", "a_stats_moments", "dq_summary_lineitem",
+    "fuzzy_name_pairs", "j_interval_views_after_purchase", "p_pivot_status",
+    "p_unpivot_candles", "sample_hash_mod", "scd2_customer_versions",
+    "t_tumbling_candles", "w_rank_family",
 ]
 
 

@@ -193,13 +193,19 @@ def observed_rules(
     ...}``. At 100 TB this is the difference between metered and unmetered
     pipelines: a separate ``dq_summary`` pass re-reads the table, while an
     observation is map-side accumulator work inside the job already paid for.
-    The same counters work under Structured Streaming (per-batch values in
-    ``StreamingQueryProgress.observedMetrics`` — pair with
-    ``streaming/monitor.py``'s listener to land them in the warehouse).
+
+    The ``Observation``-object overload is BATCH-ONLY (Spark raises on a
+    streaming frame), so for a streaming ``df`` this uses the string-name
+    ``observe(name, *aggs)`` variant and returns ``observation=None`` — read
+    the per-batch counters from ``StreamingQueryProgress.observedMetrics``
+    under ``name`` instead (pair with ``streaming/monitor.py``'s listener to
+    land them in the warehouse; ``tests/test_streaming.py`` shows the shape).
 
     NULL rule results count as violations, exactly as in :func:`dq_summary`.
     """
     from pyspark.sql import Observation
 
+    if df.isStreaming:
+        return df.observe(name, *_rule_aggs(rules)), None
     obs = Observation(name)
     return df.observe(obs, *_rule_aggs(rules)), obs

@@ -334,6 +334,28 @@ def projected_rerank_topk(
 # ---------------------------------------------------------------------------
 
 
+def _first_vec_len(df: DataFrame, vec_col: str, what: str) -> int:
+    """Length of the first vector in ``df``; loud ValueError when the frame
+    is empty (``first()`` returning None would otherwise surface as an
+    opaque TypeError deep in the PQ build)."""
+    row = df.select(as_double(vec_col).alias("v")).first()
+    if row is None or row["v"] is None:
+        raise ValueError(f"{what} is empty (or {vec_col!r} is NULL) — cannot infer PQ dimension")
+    return len(row["v"])
+
+
+def _require_dim(df: DataFrame, vec_col: str, dim: int, what: str) -> None:
+    """Probe the first vector of ``df`` and fail loudly on dimension drift:
+    a mismatched vector would otherwise yield NULL subvector distances
+    (``zip_with`` pads the short side with NULL) and silently wrong top-k.
+    Empty frames pass — an empty query set is a valid no-op."""
+    row = df.select(as_double(vec_col).alias("v")).first()
+    if row is not None and row["v"] is not None and len(row["v"]) != dim:
+        raise ValueError(
+            f"{what} dimension {len(row['v'])} != index dimension {dim}"
+        )
+
+
 def pq_subvectors(
     df: DataFrame, m: int, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -377,7 +399,7 @@ def pq_train_codebooks(
 
     spark = corpus.sparkSession
     if dim is None:
-        dim = len(corpus.select(as_double(vec_col).alias("v")).first()["v"])
+        dim = _first_vec_len(corpus, vec_col, "PQ training corpus")
     subs = (
         subvectors
         if subvectors is not None
@@ -460,7 +482,8 @@ def pq_adc_topk(
     ``catalog/similarity.py ann_pq_adc`` does.
     """
     spark = corpus.sparkSession
-    dim = len(corpus.select(as_double(vec_col).alias("v")).first()["v"])
+    dim = _first_vec_len(corpus, vec_col, "PQ corpus")
+    _require_dim(queries, vec_col, dim, "query")
     corpus_subs = pq_subvectors(corpus, m, dim, id_col, vec_col)
     books = pq_train_codebooks(
         corpus, m, k_codes, id_col, vec_col, seed, dim=dim, subvectors=corpus_subs
@@ -522,7 +545,8 @@ def ivfpq_topk(
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
-    dim = len(corpus.select(as_double(vec_col).alias("v")).first()["v"])
+    dim = _first_vec_len(corpus, vec_col, "IVFADC corpus")
+    _require_dim(queries, vec_col, dim, "query")
 
     # coarse quantizer: cell per corpus vector + centroid table
     feats = corpus.select(
@@ -614,7 +638,7 @@ def build_pq_index(
     raw vectors. Versioned overwrite keeps readers snapshot-isolated across
     rebuilds, exactly like the incremental ANN index
     (``streaming/corpus.py update_ann_index``)."""
-    dim = len(corpus.select(as_double(vec_col).alias("v")).first()["v"])
+    dim = _first_vec_len(corpus, vec_col, "PQ index corpus")
     subs = pq_subvectors(corpus, m, dim, id_col, vec_col)
     books = pq_train_codebooks(
         corpus, m, k_codes, id_col, vec_col, seed, dim=dim, subvectors=subs
@@ -639,6 +663,7 @@ def pq_query_index(
     m = books.select("sub").distinct().count()
     width = len(books.select("centroid").first()["centroid"])
     dim = m * width
+    _require_dim(queries, vec_col, dim, "query")
     qsubs = pq_subvectors(
         queries.select(F.col(id_col).alias("q_id"), vec_col), m, dim, "q_id", vec_col
     )
@@ -676,5 +701,6 @@ def extend_pq_index(
     books = books_table.read()
     m = books.select("sub").distinct().count()
     width = len(books.select("centroid").first()["centroid"])
+    _require_dim(new_vectors, vec_col, m * width, "new vector")
     codes = pq_encode(new_vectors, books, m, m * width, id_col, vec_col)
     codes_table.insert_new(codes, keys=[id_col, "sub"])

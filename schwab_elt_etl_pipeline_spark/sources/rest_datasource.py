@@ -157,8 +157,14 @@ class RestJsonStreamReader(DataSourceStreamReader):
         # fresh counter. Re-sync monotonically from every offset Spark hands
         # back (here and in commit) so latestOffset never regresses below
         # the checkpoint; a batch the WAL replays re-polls — at-least-once,
-        # the documented contract of a re-pollable endpoint.
-        self._offset = max(self._offset, end["epoch"])
+        # the documented contract of a re-pollable endpoint. ``start`` is
+        # clamped too: under a processing-time trigger the restart call
+        # order can hand a fresh counter an empty replayed range
+        # (start > end) before any commit() — syncing on start alone makes
+        # the very next latestOffset jump past the WAL high-water mark
+        # instead of crawling up from 1 (re-polling one stale cycle per
+        # trigger until it caught up).
+        self._offset = max(self._offset, start["epoch"], end["epoch"])
         return [
             SymbolsPartition(chunk, epoch)
             for epoch in range(start["epoch"], end["epoch"])

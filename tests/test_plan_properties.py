@@ -73,8 +73,10 @@ def test_no_python_udfs_in_relational_catalog(spark, sf_dir):
 #: sweeps inspect different plan stages: optimized here, executed there)
 _SANCTIONED_BNLJ = {
     "ann_cosine_topk",       # brute-force baseline: corpus × broadcast queries
-    "ann_ivf_kmeans",
-    "ann_pq_adc",  # ≤3-row query-vector set (exact-anchor pass)        # centroid assignment: corpus × broadcast centroids
+    "ann_ivf_kmeans",        # centroid assignment: corpus × broadcast centroids
+    "ann_pq_adc",            # ≤3-row query-vector set (exact-anchor pass)
+    "ann_ivfadc",            # ≤3-row query-vector set (exact-anchor pass)
+    "ann_pq_index",          # ≤3-row query-vector set (exact-anchor pass)
     "embedding_near_dup",    # pairwise baseline over broadcast sample
     "kmeans_assign_fixed",   # E-step: corpus × broadcast centroid set (8 rows)
     "q11_important_suppliers",  # 1-row global-total broadcast

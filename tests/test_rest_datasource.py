@@ -189,3 +189,67 @@ def test_stream_resumes_from_checkpoint(spark, endpoint_dir):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_restart_under_processing_time_trigger(spark, endpoint_dir):
+    """Processing-time-trigger restart exercises a different call order than
+    availableNow (latestOffset can fire on a fresh counter before any
+    partitions()/commit() re-sync). The WAL-clamp in partitions() must keep
+    the stream monotone: after restart, no committed epoch is double-written
+    (file-sink exactly-once per sweep) and the epoch sequence resumes at or
+    above the first run's high-water mark instead of restarting at 1."""
+    import time
+
+    register(spark)
+    out_dir = tempfile.mkdtemp(prefix="rest_ds_pt_sink_")
+    ckpt = tempfile.mkdtemp(prefix="rest_ds_pt_ckpt_")
+
+    def run_micro_batches(min_new_rows):
+        stream = (
+            spark.readStream.format("rest_json")
+            .option("symbols", "$SPX,$VIX")
+            .option("endpoint", endpoint_dir)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out_dir).count() >= min_new_rows:
+                        break
+                except Exception:
+                    pass  # sink dir not materialized yet
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+
+    try:
+        run_micro_batches(min_new_rows=4)  # ≥ 2 committed sweeps
+        first = spark.read.parquet(out_dir)
+        hwm1 = first.agg(F.max("fetch_epoch")).collect()[0][0]
+        n1 = first.count()
+        run_micro_batches(min_new_rows=n1 + 4)  # restart: ≥ 2 more sweeps
+        second = spark.read.parquet(out_dir)
+        per = {
+            r["fetch_epoch"]: r["n"]
+            for r in second.groupBy("fetch_epoch")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # exactly-once per sweep across the restart boundary
+        assert all(n == 2 for n in per.values()), per
+        # the restarted counter resumed above the WAL high-water mark
+        assert max(per) > hwm1
+        new_epochs = [e for e in per if e > hwm1]
+        assert len(new_epochs) >= 2
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

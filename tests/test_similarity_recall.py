@@ -193,6 +193,98 @@ def test_ivfpq_recall_floor_and_determinism(spark, sf_dir):
     assert short.exceptAll(again).count() == 0 and again.exceptAll(short).count() == 0
 
 
+def test_pq_adc_verdict_is_measured_not_hardcoded(spark, sf_dir):
+    """ann_pq_adc's recall_ok must come from a genuine shortlist∩exact join:
+    with the default 50-candidate shortlist every query measures 4–10 hits
+    (and passes), while truncating the shortlist to 1 candidate caps n_hits
+    at 1 and flips every verdict to False. A regression that made recall_ok
+    trivially TRUE would keep the oracle green (the SQL side asserts the
+    verdict literally) but fails here."""
+    from schwab_elt_etl_pipeline_spark.catalog.similarity import _pq_adc_verdicts
+
+    full = {r["q_id"]: r for r in _pq_adc_verdicts(spark, sf_dir).collect()}
+    assert set(full) == {0, 1, 2}
+    for r in full.values():
+        assert 4 <= r["n_hits"] <= 10, r
+        assert r["recall_ok"]
+    cut = {r["q_id"]: r for r in _pq_adc_verdicts(spark, sf_dir, shortlist_k=1).collect()}
+    for r in cut.values():
+        assert r["n_hits"] <= 1, r
+        assert not r["recall_ok"], r
+
+
+def test_ivfadc_catalog_verdicts(spark, sf_dir):
+    """ann_ivfadc: anchors match brute-force exact top-1 L2, verdicts hold,
+    and the truncated shortlist flips them (measured, not hardcoded)."""
+    from schwab_elt_etl_pipeline_spark.catalog.similarity import (
+        _ivfadc_verdicts,
+        ann_ivfadc,
+    )
+
+    rows = {r["q_id"]: r for r in ann_ivfadc(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(r["recall_ok"] for r in rows.values()), rows
+    cut = {r["q_id"]: r for r in _ivfadc_verdicts(spark, sf_dir, shortlist_k=1).collect()}
+    for qq, r in cut.items():
+        assert r["n_hits"] <= 1, r
+        assert not r["recall_ok"], r
+        # the exact-anchor arm is shortlist-independent
+        assert abs(r["exact_top1_d2"] - rows[qq]["exact_top1_d2"]) < 1e-9
+
+
+def test_pq_index_catalog_verdicts(spark, sf_dir):
+    """ann_pq_index (build + corpus-free query + rerank) certifies the same
+    anchors and verdicts as the inline ann_pq_adc on identical build params."""
+    from schwab_elt_etl_pipeline_spark.catalog.similarity import (
+        ann_pq_adc,
+        ann_pq_index,
+    )
+
+    idx = {r["q_id"]: r for r in ann_pq_index(spark, sf_dir).collect()}
+    inline = {r["q_id"]: r for r in ann_pq_adc(spark, sf_dir).collect()}
+    assert set(idx) == {0, 1, 2}
+    for qq, r in idx.items():
+        assert r["recall_ok"], r
+        assert abs(r["exact_top1_d2"] - inline[qq]["exact_top1_d2"]) < 1e-9
+
+
+def test_pq_dimension_and_empty_corpus_guards(spark, sf_dir, tmp_path):
+    """Dimension drift and empty corpora fail loudly (ValueError), never as
+    NULL-padded distances or a TypeError deep in the build."""
+    import pytest
+
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        build_pq_index,
+        extend_pq_index,
+        pq_adc_topk,
+        pq_query_index,
+    )
+    from schwab_elt_etl_pipeline_spark.sources import load_table
+    from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    empty = emb.filter(F.lit(False))
+    short_vec = spark.createDataFrame(
+        [(9001, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        pq_adc_topk(empty, emb.limit(1), k=5)
+    with pytest.raises(ValueError, match="empty"):
+        build_pq_index(empty, None, None)
+    with pytest.raises(ValueError, match="dimension"):
+        pq_adc_topk(emb, short_vec, k=5)
+
+    books_t = ParquetTable(spark, str(tmp_path / "gb"))
+    codes_t = ParquetTable(spark, str(tmp_path / "gc"))
+    build_pq_index(emb.filter(F.col("vec_id") < 200), books_t, codes_t, m=8, k_codes=8)
+    with pytest.raises(ValueError, match="dimension"):
+        pq_query_index(books_t, codes_t, short_vec, k=5)
+    with pytest.raises(ValueError, match="dimension"):
+        extend_pq_index(short_vec, books_t, codes_t)
+    # empty query/new-vector sets stay valid no-ops
+    assert pq_query_index(books_t, codes_t, empty, k=5).count() == 0
+
+
 def test_pq_index_persist_and_query(spark, sf_dir, tmp_path):
     """A persisted PQ index returns exactly what the inline search returns
     on the same build (same seed), with no corpus access at query time."""

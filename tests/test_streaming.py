@@ -389,8 +389,7 @@ def test_observed_dq_metrics_in_progress(spark, tick_rows):
     import json as _json
     import time
 
-    from pyspark.sql import Observation
-
+    from schwab_elt_etl_pipeline_spark.operators.quality import observed_rules
     from schwab_elt_etl_pipeline_spark.streaming.monitor import ProgressRecorder
 
     src = tempfile.mkdtemp(prefix="obsq_src_")
@@ -401,15 +400,13 @@ def test_observed_dq_metrics_in_progress(spark, tick_rows):
     try:
         spark.createDataFrame(tick_rows, QUOTES_STREAM).write.mode("append").parquet(src)
         stream = read_quote_stream(spark, src)
-        # streaming observe() takes named aggregates (Observation objects
-        # are batch-only), same counter algebra as observed_rules
-        observed = stream.observe(
-            "dq",
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.when(F.col("symbol").isNotNull(), 0).otherwise(1)
-            ).alias("viol_symbol_present"),
+        # observed_rules detects the streaming frame and switches to the
+        # string-name observe() variant (Observation objects are batch-only);
+        # the per-batch counters surface in observedMetrics, not a handle
+        observed, obs = observed_rules(
+            stream, {"symbol_present": F.col("symbol").isNotNull()}, name="dq"
         )
+        assert obs is None  # streaming: read metrics from progress events
         q = write_bronze_stream(observed, sink, ckpt)
         q.awaitTermination(120)
         for _ in range(40):
