@@ -147,7 +147,57 @@ def main() -> None:
         print(f"  {name}: {t1:.2f}s -> {tx:.2f}s ({tx / t1:.1f}x)", flush=True)
 
     print(json.dumps({"factor": factor, "results": results}))
+    write_scale_md(base, factor, runs, results)
     spark.stop()
+
+
+def write_scale_md(base: str, factor: int, runs: int, results: dict) -> None:
+    """Render the measured ratios into ``SCALE.md`` at the repo root."""
+    lines = [
+        "# SCALE — measured scale-stress ratios",
+        "",
+        f"`python tools_scale_stress.py` at factor **{factor}×** over the six",
+        f"shuffle-heaviest headline plans. Base tables: `{base}`; replicas are",
+        "key-shifted + content-perturbed so duplicate mass, group counts, and",
+        "candidate-pair counts grow LINEARLY with the factor (naive duplication",
+        "would square true-duplicate mass — see `_replicate` docstring).",
+        f"Timings are the best of {runs} runs, plans warmed at sf0.001 first;",
+        "sink is the `noop` format, so the numbers are pure compute+shuffle.",
+        "",
+        "A ratio near the factor (or below — constant-cost amortization) means",
+        f"the plan scales linearly; a blow-up ≫ {factor + 2}× would flag an AQE",
+        "plan-flip (broadcast side outgrowing the threshold into a BNLJ) or",
+        "quadratic candidate growth.",
+        "",
+        f"| query | t(1×) s | t({factor}×) s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        lines.append(
+            f"| {name} | {r['t_1x_sec']} | {r[f't_{factor}x_sec']} | "
+            f"{r['ratio']}× |"
+        )
+    worst = max(r["ratio"] for r in results.values())
+    lines += [
+        "",
+        f"Worst ratio: **{worst}×** (linear-scaling budget: ≲ {factor + 2}×).",
+        "",
+        "Ratios well below the factor — including < 1× — mean the plan is",
+        "still fixed-cost-dominated (scheduler, codegen, exchange setup) at",
+        "this absolute size, i.e. the data term hasn't yet overtaken the",
+        "constant term; what the budget above guards against is the opposite",
+        "tail, a super-linear blow-up from a plan-flip or quadratic",
+        "candidate growth.",
+        "",
+        "```json",
+        json.dumps({"factor": factor, "runs": runs, "results": results}),
+        "```",
+        "",
+    ]
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out}", flush=True)
 
 
 if __name__ == "__main__":
