@@ -25,6 +25,7 @@ from schwab_elt_etl_pipeline_spark.operators.curation import (
     semantic_dedup_verdicts,
 )
 from schwab_elt_etl_pipeline_spark.operators.dedup import (
+    dup_char_spans,
     passage_dedup_rebuild,
     substring_dedup_rebuild,
 )
@@ -804,9 +805,66 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Byte-exact duplicate spans (character-granular ExactSubstr form)
+# ---------------------------------------------------------------------------
+
+_SPAN_L = 40  # duplicate-span detection window, in characters
+
+
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-granular ExactSubstr duplicate spans (Lee et al. 2022's
+    suffix-array semantics, distributed as L-gram seed-and-merge): every
+    maximal character span all of whose stride-1 40-char windows occur >= 2
+    times corpus-wide — i.e. the byte-exact removal mask, identical to what
+    a suffix-array scan emits at threshold 40. Two-pass shuffle: 8-byte
+    hash-keyed counting, then exact gram confirmation over the hot minority
+    (a 64-bit collision can nominate a candidate, never fabricate a span).
+    Core in ``operators/dedup.py`` ``dup_char_spans``. Complements the
+    token-window ``substring_dedup``, which rebuilds text; this emits the
+    spans themselves with 1-based inclusive character positions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_char_spans(docs, min_len=_SPAN_L)
+
+
+SUBSTRING_DUP_SPANS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         substring(text, CAST(i AS INT), {_SPAN_L}) AS gram
+  FROM documents,
+       UNNEST(generate_series(1, length(text) - {_SPAN_L - 1})) AS t(i)
+  WHERE length(text) >= {_SPAN_L}
+), hot AS (
+  SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2
+), dup AS (
+  SELECT doc_id, pos FROM w WHERE gram IN (SELECT gram FROM hot)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         + {_SPAN_L}
+              THEN 1 ELSE 0 END AS new_isl
+  FROM dup
+), isl AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {_SPAN_L - 1} AS span_end,
+       max(pos) + {_SPAN_L - 1} - min(pos) + 1 AS span_len,
+       count(*) AS n_windows
+FROM isl
+GROUP BY doc_id, isl
+"""
+
+
 SPECS = [
     QuerySpec("substring_dedup", substring_dedup, SUBSTRING_DEDUP_SQL, headline=True,
               doc="substring-granular ExactSubstr dedup: overlapping-window spans, boundary-free"),
+    QuerySpec("substring_dup_spans", substring_dup_spans, SUBSTRING_DUP_SPANS_SQL,
+              doc="byte-exact ExactSubstr duplicate spans: suffix-array semantics via L-gram seed-and-merge"),
     QuerySpec("corpus_curation_e2e", corpus_curation_e2e, CORPUS_E2E_SQL,
               headline=True,
               doc="FULL curation pipeline: dup + decontam + length + repetition → verdict cascade"),

@@ -663,3 +663,111 @@ def excise_and_rebuild(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def dup_char_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-exact duplicate-span finder — the character-granular ExactSubstr
+    semantics of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), which that paper computes with a suffix array.
+    The distributed equivalent used here is L-gram seed-and-merge: a
+    substring of length >= L occurs twice in the corpus iff EVERY one of its
+    stride-1 L-character windows occurs twice, so (1) enumerate all L-char
+    windows, (2) keep windows whose exact text occurs >= 2 times corpus-wide
+    (within- OR cross-document — both are duplication), (3) per document,
+    union the surviving [pos, pos+L-1] intervals into maximal spans (the
+    removal mask a dedup pass would excise). The span set is identical to
+    what a suffix-array scan emits for threshold L, without ever building a
+    global ordered structure — suffix arrays don't distribute; hash shuffles
+    do. Complements :func:`substring_dedup_rebuild`, which is
+    token-granular and rebuilds text; this one is character-granular and
+    emits the spans themselves.
+
+    Scale shape (100 TB): the stride-1 blow-up is O(total chars) rows, but
+    the corpus-wide counting shuffle is keyed on ``xxhash64(gram)`` — 8
+    bytes per window, same discipline as ``fingerprint_key`` in the
+    token-window form. Byte-exactness is preserved by a SECOND grouping on
+    the raw gram text restricted to hash-hot candidates only (the
+    duplicated minority), so a 64-bit collision can admit a candidate but
+    never a false span. The final interval union is one doc-keyed sort with
+    an O(n) lag sweep — no pairwise interval logic.
+
+    Output: (id, span_start, span_end, span_len, n_windows), 1-based
+    inclusive character positions; span_len = span_end - span_start + 1;
+    n_windows = duplicated L-windows merged into the span. Overlapping and
+    adjacent intervals merge (a removal mask has no use for a zero-gap
+    boundary between two excised regions).
+
+    Reference parity: the reference has no substring dedup at all — this is
+    part of the LLM-pipeline extension family (SURVEY.md "beyond the
+    reference" scope).
+    """
+    from pyspark.sql.window import Window
+
+    L = min_len
+    base = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).filter(F.length("_t") >= L)
+    # sequence(1, n) DESCENDS for n < 1 — the length filter above guards it.
+    wins = base.select(
+        "_id",
+        F.explode(F.sequence(F.lit(1), F.length("_t") - F.lit(L - 1))).alias("pos"),
+        "_t",
+    ).select(
+        "_id",
+        "pos",
+        F.col("_t").substr(F.col("pos"), F.lit(L)).alias("gram"),
+    )
+    # Pass 1 — corpus-wide counts keyed on the 8-byte hash (map-side
+    # combinable; the shuffle never carries gram text).
+    hot_hashes = (
+        wins.groupBy(F.xxhash64("gram").alias("gh"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    cand = wins.withColumn("gh", F.xxhash64("gram")).join(
+        hot_hashes, "gh", "semi"
+    )
+    # Pass 2 — exact confirmation over the candidate minority: group on the
+    # raw gram text so a hash collision cannot fabricate a duplicate.
+    hot_grams = (
+        cand.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    dup = cand.join(hot_grams, "gram", "semi").select("_id", "pos")
+    # Interval union: [pos, pos+L-1] windows, sorted per doc; a window opens
+    # a new span iff it clears the previous window's reach (pos > prev+L
+    # covers both overlap and zero-gap adjacency, since ends are monotone
+    # in pos for fixed L).
+    w = Window.partitionBy("_id").orderBy("pos")
+    flagged = dup.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + F.lit(L)),
+            1,
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn("_isl", F.sum("_new").over(w))
+    return (
+        isl.groupBy("_id", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_windows",
+        )
+    )

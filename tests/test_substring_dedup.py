@@ -99,3 +99,90 @@ def test_fingerprint_key_equals_raw_key(spark, sf_dir):
         ).collect()
     }
     assert raw == fp
+
+
+# ---------------------------------------------------------------------------
+# Character-granular duplicate spans (dup_char_spans)
+# ---------------------------------------------------------------------------
+
+from schwab_elt_etl_pipeline_spark.operators.dedup import dup_char_spans  # noqa: E402
+
+
+def _spans(spark, texts: list[str], L: int) -> dict[int, list[tuple]]:
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    out: dict[int, list[tuple]] = {}
+    for r in dup_char_spans(df, min_len=L).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_len"], r["n_windows"])
+        )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def _ref_spans(texts: list[str], L: int) -> dict[int, list[tuple]]:
+    """Sequential reference: corpus-wide L-gram counts, then interval union
+    (merge overlap AND zero-gap adjacency) per doc."""
+    from collections import Counter
+
+    counts = Counter(
+        t[i : i + L] for t in texts for i in range(len(t) - L + 1)
+    )
+    out: dict[int, list[tuple]] = {}
+    for doc_id, t in enumerate(texts):
+        dup_pos = [
+            i + 1 for i in range(len(t) - L + 1) if counts[t[i : i + L]] >= 2
+        ]
+        spans, cur = [], None
+        for p in dup_pos:
+            if cur is not None and p <= cur[1] + 1:  # overlap or adjacent
+                cur = (cur[0], max(cur[1], p + L - 1), cur[2] + 1)
+            else:
+                if cur:
+                    spans.append(cur)
+                cur = (p, p + L - 1, 1)
+        if cur:
+            spans.append(cur)
+        if spans:
+            out[doc_id] = sorted((s, e, e - s + 1, n) for s, e, n in spans)
+    return out
+
+
+def test_char_spans_cross_doc_copy(spark):
+    # A 12-char block pasted into both docs -> one maximal span in EACH doc
+    # (character semantics count every occurrence, not occurrences-after-
+    # the-first: the output is a duplication MAP, excision policy is the
+    # caller's).
+    texts = ["AAAA_SHARED_BLOCK_AAAA" + "qrs" * 4, "zzz" + "AAAA_SHARED_BLOCK_AAAA" + "tuv" * 4]
+    assert _spans(spark, texts, 8) == _ref_spans(texts, 8)
+
+
+def test_char_spans_within_doc_repeat(spark):
+    # The same 10-char run twice INSIDE one doc is duplication too.
+    t = "0123456789-filler-middle-0123456789-end!!"
+    got = _spans(spark, [t], 10)
+    assert got == _ref_spans([t], 10)
+    assert 0 in got and len(got[0]) == 2  # two separated maximal spans
+
+
+def test_char_spans_adjacent_windows_merge(spark):
+    # Consecutive duplicated window positions merge into ONE maximal span
+    # covering the whole copied block (maximality: block length > L).
+    block = "the-quick-brown-fox-jumps-over-lazy-dogs"  # 40 chars
+    texts = [block + "#first-unique-suffix", "pad*" + block + "@second-suffix"]
+    got = _spans(spark, texts, 8)
+    assert got == _ref_spans(texts, 8)
+    # the whole block is one span in each doc
+    assert got[0][0][:2] == (1, len(block))
+    assert got[1][0][:2] == (5, 4 + len(block))
+
+
+def test_char_spans_no_duplication_empty(spark):
+    texts = ["entirely unique text one", "another text with nothing shared!"]
+    assert _spans(spark, texts, 10) == {}
+
+
+def test_char_spans_short_docs_skipped(spark):
+    # Docs shorter than L yield no windows (sequence(1, n<1) would descend).
+    texts = ["tiny", "tiny"]
+    assert _spans(spark, texts, 10) == {}
