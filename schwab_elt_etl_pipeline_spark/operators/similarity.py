@@ -344,16 +344,35 @@ def _first_vec_len(df: DataFrame, vec_col: str, what: str) -> int:
     return len(row["v"])
 
 
-def _require_dim(df: DataFrame, vec_col: str, dim: int, what: str) -> None:
+def _require_dim(
+    df: DataFrame, vec_col: str, dim: int, what: str, strict: bool = False
+) -> None:
     """Probe the first vector of ``df`` and fail loudly on dimension drift:
     a mismatched vector would otherwise yield NULL subvector distances
     (``zip_with`` pads the short side with NULL) and silently wrong top-k.
-    Empty frames pass — an empty query set is a valid no-op."""
+    Empty frames pass — an empty query set is a valid no-op.
+
+    LIMITATION (deliberate, cheap-guard trade-off): the default probe reads
+    only the FIRST vector, so drift WITHIN the frame — mixed-length vectors
+    after row 1 — still slips through to the NULL-padded failure mode this
+    guard documents. ``strict=True`` adds one full-column aggregate
+    asserting min(size) == max(size) == dim; the index BUILD path uses it
+    (one extra scan over data that is being scanned anyway), the per-query
+    serving path keeps the O(1) probe."""
     row = df.select(as_double(vec_col).alias("v")).first()
     if row is not None and row["v"] is not None and len(row["v"]) != dim:
         raise ValueError(
             f"{what} dimension {len(row['v'])} != index dimension {dim}"
         )
+    if strict and row is not None:
+        lo, hi = df.select(
+            F.min(F.size(vec_col)), F.max(F.size(vec_col))
+        ).first()
+        if lo != dim or hi != dim:
+            raise ValueError(
+                f"{what} has mixed vector dimensions (min {lo}, max {hi}) "
+                f"!= index dimension {dim}"
+            )
 
 
 def pq_subvectors(
@@ -639,6 +658,10 @@ def build_pq_index(
     rebuilds, exactly like the incremental ANN index
     (``streaming/corpus.py update_ann_index``)."""
     dim = _first_vec_len(corpus, vec_col, "PQ index corpus")
+    # Build path: strict probe (full min/max-size aggregate) — within-frame
+    # dimension drift must fail HERE, not as NULL-padded distances at query
+    # time; one extra aggregate is cheap against an offline index build.
+    _require_dim(corpus, vec_col, dim, "PQ index corpus", strict=True)
     subs = pq_subvectors(corpus, m, dim, id_col, vec_col)
     books = pq_train_codebooks(
         corpus, m, k_codes, id_col, vec_col, seed, dim=dim, subvectors=subs
@@ -701,6 +724,6 @@ def extend_pq_index(
     books = books_table.read()
     m = books.select("sub").distinct().count()
     width = len(books.select("centroid").first()["centroid"])
-    _require_dim(new_vectors, vec_col, m * width, "new vector")
+    _require_dim(new_vectors, vec_col, m * width, "new vector", strict=True)
     codes = pq_encode(new_vectors, books, m, m * width, id_col, vec_col)
     codes_table.insert_new(codes, keys=[id_col, "sub"])
