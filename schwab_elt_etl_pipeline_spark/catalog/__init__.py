@@ -104,40 +104,47 @@ def all_specs() -> list[QuerySpec]:
     return specs
 
 
-#: Round-5 sampling priority: written DURING round 5, consumed by the driver
-#: at the END of round 5 → CORRECTNESS_r05 (the r4 verdict flagged the old
-#: labels as off-by-one; this naming matches the driver's artifacts). See
-#: comment in all_specs(). Python's sort is stable, so names not listed keep
-#: module order after the front.
+#: Round-6 sampling priority: written DURING round 6, consumed by the driver
+#: at the END of round 6 → CORRECTNESS_r06. Rotation policy (VERDICT r5
+#: directive #2): new-this-round queries first, then the 9 queries whose
+#: latest driver hash-match is round 2 (the stalest cohort — they sat at
+#: positions 51+ of the round-5 sample), then the 47 whose latest green is
+#: round 3, oldest verification debt first. With the 50-entry sample window
+#: the tail of the round-3 cohort queues for round 7; the round-4/round-5
+#: cohorts (green ≤2 rounds ago) keep module order behind the front.
+#: Python's sort is stable, so names not listed keep module order.
 _FRONT = [
-    # (a) new in round 5 (never driver-sampled)
-    "ann_ivfadc", "ann_pq_index",
-    # (b) oracle upgraded rows-only → verdict-level SQL in round 4; they sat
-    # at positions 51–54 of the 50-entry round-4 sample, so the upgraded form
-    # has never been driver-checked — first in line (VERDICT r4 directive #1)
-    "ann_ivf_kmeans", "a_hll_partitioned_merge", "a_heavy_hitters_sketch",
-    "a_approx_quantiles",
-    # (c) last driver-green in round 1 — the oldest cohort, due re-verification
-    "j8_merge_upsert", "j10_join_aggregate", "a1_dedup_distinct",
-    "a2_distinct_entities", "j9_batch_dedup", "p9_content_filter",
-    "a3a6_two_level_signed", "a7_max_per_entity_ts", "a8_bucket_minmax",
-    "a10_dedup_max_pair", "w_moving_avgs", "o2_sort_limit",
-    "set_union_branches", "t3_latest_per_key", "t9_gapfill_locf",
-    # (d) last driver-green in round 2 — the first 29 fit the 50-entry
-    # sample; the remaining 9 queue behind them for round 6
-    "flagship_vertical_analytics", "pipeline_verts_e2e", "f2_symbol_pipeline",
-    "f5_multiformat_parse", "dedup_exact", "dedup_keep_best",
-    "corpus_mix_sample", "curation_pipeline", "text_quality",
-    "lang_id_heuristic", "doc_fingerprint", "ngram_jaccard_pairs",
-    "dedup_clusters", "token_vocab_topk", "ann_cosine_topk",
-    "ann_bucketed_topk", "embedding_near_dup", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q11_important_suppliers",
-    "q15_top_supplier", "q20_part_promotion", "q21_blame_supplier",
-    "multimodal_decode", "multimodal_frame_sample", "a_collect_sorted",
-    "a_cube_revenue", "a_stats_moments", "dq_summary_lineitem",
-    "fuzzy_name_pairs", "j_interval_views_after_purchase", "p_pivot_status",
-    "p_unpivot_candles", "sample_hash_mod", "scd2_customer_versions",
-    "t_tumbling_candles", "w_rank_family",
+    # (a) new in round 6 (never driver-sampled)
+    "substring_dup_spans",
+    # (b) last driver-green in round 2 — the stalest cohort (VERDICT r5 #2)
+    "dq_summary_lineitem", "fuzzy_name_pairs",
+    "j_interval_views_after_purchase", "p_pivot_status", "p_unpivot_candles",
+    "sample_hash_mod", "scd2_customer_versions", "t_tumbling_candles",
+    "w_rank_family",
+    # (c) last driver-green in round 3 — oldest re-verification debt next;
+    # scan/filter/join fundamentals first (highest blast radius if a
+    # regression slipped in), then aggregates/windows/curation, then the
+    # TPC-H block; the tail past the 50-entry window queues for round 7
+    "s1_scan_projection", "p_predicates", "p5_time_of_day",
+    "f16_json_extract",
+    "j1_left_join", "j2_left_join_composite", "j3_anti_join",
+    "j4_surrogate_resolve", "j5_self_band_join", "j6_semi_join",
+    "j7_merge_insert_only",
+    "a_count_distinct", "a_histogram_binned", "a_mad_robust",
+    "a_percentiles", "a_rollup_revenue",
+    "w_lag_delta", "t_asof_enrich", "t_hopping_windows", "t_session_window",
+    "t_vwap_weighted", "rollup_multires_1h",
+    "bpe_pair_stats", "corpus_curation_e2e", "decontam_ngram_overlap",
+    "doc_chunking", "gopher_repetition", "kmeans_assign_fixed",
+    "pii_redact_scrub", "semantic_dedup_keep",
+    "q_daily_user_rank", "q_top_customers",
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_region_revenue", "q6_revenue_change",
+    "q10_returned_items", "q12_shipmode_buckets",
+    # --- 50-entry sample window ends here; below queues for round 7 ---
+    "q13_customer_distribution", "q14_promo_share", "q16_supplier_variety",
+    "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive_join",
+    "q22_global_avg_anti",
 ]
 
 
