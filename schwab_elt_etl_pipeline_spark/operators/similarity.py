@@ -678,11 +678,23 @@ def pq_query_index(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_epoch: int | None = None,
 ) -> DataFrame:
     """ADC search against a persisted PQ index — no corpus access at all.
-    Output matches :func:`pq_adc_topk` on the same build (test-pinned)."""
+    Output matches :func:`pq_adc_topk` on the same build (test-pinned).
+
+    ``exclude_epoch`` (streaming replay hook): skip codes stamped with that
+    ``_epoch`` — a replayed foreachBatch epoch must not see the rows its
+    first attempt appended, or batch-mates would surface as neighbors that
+    were absent from the original output. NULL-epoch rows (batch appends)
+    always count as indexed, matching the null-safe convention of
+    ``update_window_index``."""
     books = books_table.read()
     codes = codes_table.read()
+    if exclude_epoch is not None and "_epoch" in codes.columns:
+        codes = codes.filter(
+            F.coalesce(F.col("_epoch") != F.lit(exclude_epoch), F.lit(True))
+        )
     m = books.select("sub").distinct().count()
     width = len(books.select("centroid").first()["centroid"])
     dim = m * width
@@ -713,6 +725,7 @@ def extend_pq_index(
     codes_table,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    epoch: int | None = None,
 ) -> None:
     """Incrementally add vectors to a persisted PQ index: encode ONLY the
     batch against the EXISTING codebooks and dup-guard-append the codes
@@ -720,10 +733,27 @@ def extend_pq_index(
     call; the codebooks stay fixed between retrains, exactly how production
     PQ serving amortizes index maintenance (the quantization error of new
     data drifts slowly; retrain via :func:`build_pq_index` on a cadence,
-    with versioned overwrite keeping readers snapshot-isolated)."""
+    with versioned overwrite keeping readers snapshot-isolated).
+
+    ``epoch`` is the streaming replay-stability hook
+    (``streaming/corpus.py update_pq_index``): when the codes table carries
+    an ``_epoch`` column, the batch's codes are stamped with it so a
+    replayed foreachBatch epoch can exclude its OWN prior claims from the
+    query scan and reproduce its original shortlist bit-for-bit. The column
+    is schema-following — a batch-built table without ``_epoch`` stays
+    clean, and ``epoch`` on such a table is a loud error rather than a
+    silent schema fork."""
     books = books_table.read()
     m = books.select("sub").distinct().count()
     width = len(books.select("centroid").first()["centroid"])
     _require_dim(new_vectors, vec_col, m * width, "new vector", strict=True)
     codes = pq_encode(new_vectors, books, m, m * width, id_col, vec_col)
+    has_epoch_col = "_epoch" in codes_table.read().columns
+    if has_epoch_col:
+        codes = codes.withColumn("_epoch", F.lit(epoch).cast("long"))
+    elif epoch is not None:
+        raise ValueError(
+            "epoch passed but the codes table has no _epoch column — "
+            "bootstrap the index via streaming/corpus.py update_pq_index"
+        )
     codes_table.insert_new(codes, keys=[id_col, "sub"])

@@ -26,6 +26,9 @@ up incrementally. This module runs the batch curation operators
   twin of ``operators/dedup.py passage_dedup_rebuild``, probing a persistent
   passage-fingerprint table so cross-batch boilerplate is dropped with
   O(batch) work and 8-byte join keys.
+- ``update_pq_index``: incremental persisted PQ index — ADC-query the code
+  table with each embedding batch, then append the batch's codes under the
+  fixed codebooks; epoch-stamped for bit-for-bit replay stability.
 """
 
 from __future__ import annotations
@@ -439,3 +442,83 @@ def update_window_index(
     )
     index.insert_new(new_fps, keys=["fp"])
     return out
+
+
+def update_pq_index(
+    batch: DataFrame,
+    books_table: ParquetTable,
+    codes_table: ParquetTable,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    epoch: int | None = None,
+) -> DataFrame:
+    """Incrementally maintain a persisted PQ (product-quantization) index
+    over an embedding stream — the compressed-domain sibling of
+    :func:`update_ann_index`, completing the incremental-index family
+    (MinHash / passage-fp / window-fp / sign-LSH / PQ).
+
+    Per call: (1) ADC-query the EXISTING index with the batch's vectors
+    (``pq_query_index`` — scans m-ints-per-vector codes + kilobyte
+    codebooks, never raw vectors) and return the top-k shortlist; (2) encode
+    the batch against the FIXED codebooks and dup-guard-append its codes
+    (``extend_pq_index`` — ``insert_new`` on (id, sub), so replays add
+    nothing). The first-ever batch TRAINS the codebooks (seeded k-means) and
+    seeds the code table, returning an empty shortlist, exactly as
+    :func:`update_ann_index` seeds its LSH table. O(batch × code-table scan)
+    per trigger, never O(corpus) in raw-vector bytes — at 100 TB the code
+    table is 16× smaller than the vectors and the codebooks broadcast.
+
+    Replay stability: codes are stamped with the foreachBatch ``epoch``; the
+    query pass excludes rows claimed BY THIS epoch (null-safe, same
+    convention as :func:`update_window_index`), so a replayed batch neither
+    self-matches nor sees its batch-mates and reproduces its original
+    shortlist bit-for-bit. Codebooks never retrain in-stream — quantization
+    drift is a cadence decision (rebuild via ``build_pq_index``; versioned
+    overwrite keeps readers snapshot-isolated), mirroring how production PQ
+    serving amortizes index maintenance. Batching equivalence is pinned by
+    test_streaming_corpus: with the same seed batch, stream-built codes ==
+    batch-built codes (``build_pq_index`` on the seed + one
+    ``extend_pq_index`` of the remainder), because encoding is pointwise
+    under fixed codebooks.
+    """
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        _first_vec_len,
+        _require_dim,
+        pq_encode,
+        pq_query_index,
+        pq_train_codebooks,
+        extend_pq_index,
+    )
+
+    if not books_table.exists():
+        dim = _first_vec_len(batch, vec_col, "PQ index seed batch")
+        _require_dim(batch, vec_col, dim, "PQ index seed batch", strict=True)
+        books = pq_train_codebooks(
+            batch, m, k_codes, id_col, vec_col, seed, dim=dim
+        )
+        books_table.overwrite_versioned(books)
+        codes = pq_encode(batch, books, m, dim, id_col, vec_col).withColumn(
+            "_epoch", F.lit(epoch).cast("long")
+        )
+        codes_table.overwrite_versioned(codes)
+        return (
+            batch.select(
+                F.col(id_col).alias("q_id"),
+                F.col(id_col).alias(id_col),
+                F.lit(0.0).alias("adc_d2"),
+            ).limit(0)
+        )
+    shortlist = pq_query_index(
+        books_table, codes_table, batch, k, id_col, vec_col,
+        exclude_epoch=epoch,
+    )
+    # Materialize before the append mutates the code table: the shortlist's
+    # lineage reads the PRE-append snapshot (versioned reads pin a _v dir,
+    # but localCheckpoint also spares the replayed-query recompute).
+    shortlist = shortlist.localCheckpoint(eager=True)
+    extend_pq_index(batch, books_table, codes_table, id_col, vec_col, epoch=epoch)
+    return shortlist

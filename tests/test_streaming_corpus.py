@@ -352,3 +352,99 @@ def test_window_index_null_epoch_rows_stay_seen(spark, dirs):
         for r in update_window_index(b2, index, window_tokens=8, epoch=5).collect()
     }
     assert out == {1: (8, "")}
+
+
+# ---------------------------------------------------------------------------
+# Incremental persisted PQ index (update_pq_index)
+# ---------------------------------------------------------------------------
+
+
+def _pq_dirs():
+    return [tempfile.mkdtemp(prefix=p) for p in ("pq_books_", "pq_codes_")]
+
+
+def _emb_batch(spark, rng, ids, base):
+    rows = [
+        (int(i), [float(x) for x in (base + 0.01 * rng.standard_normal(8))])
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+def test_pq_index_stream_equals_batch_build(spark):
+    """Stream-built code table == batch-built (build on the seed batch +
+    one extend of the remainder): encoding is pointwise under fixed
+    codebooks, so batching cannot change the codes."""
+    import numpy as np
+
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        build_pq_index,
+        extend_pq_index,
+    )
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_pq_index
+
+    rng = np.random.default_rng(7)
+    base_a, base_b = rng.standard_normal(8), rng.standard_normal(8)
+    seed = _emb_batch(spark, rng, range(0, 6), base_a)
+    b2 = _emb_batch(spark, rng, range(6, 10), base_b)
+    b3 = _emb_batch(spark, rng, range(10, 14), base_a)
+
+    s_dirs, b_dirs = _pq_dirs(), _pq_dirs()
+    try:
+        sb, sc = (ParquetTable(spark, d) for d in s_dirs)
+        bb, bc = (ParquetTable(spark, d) for d in b_dirs)
+        # stream path: three epochs
+        assert update_pq_index(seed, sb, sc, m=4, k_codes=4, epoch=0).count() == 0
+        update_pq_index(b2, sb, sc, m=4, k_codes=4, epoch=1)
+        update_pq_index(b3, sb, sc, m=4, k_codes=4, epoch=2)
+        # batch path: build on the SAME seed, extend once with the rest
+        build_pq_index(seed, bb, bc, m=4, k_codes=4)
+        extend_pq_index(b2.unionByName(b3), bb, bc)
+        stream_codes = {
+            (r["vec_id"], r["sub"], r["code"]) for r in sc.read().collect()
+        }
+        batch_codes = {
+            (r["vec_id"], r["sub"], r["code"]) for r in bc.read().collect()
+        }
+        assert stream_codes == batch_codes
+        # codebooks identical too (same seed batch, same kmeans seed)
+        sbooks = {(r["sub"], r["code"], tuple(r["centroid"])) for r in sb.read().collect()}
+        bbooks = {(r["sub"], r["code"], tuple(r["centroid"])) for r in bb.read().collect()}
+        assert sbooks == bbooks
+    finally:
+        for d in s_dirs + b_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pq_index_query_and_replay_stability(spark):
+    """The shortlist ranks same-cluster vectors first, the append is
+    replay-idempotent, and a replayed epoch reproduces its original
+    shortlist (its own claims are excluded from the query scan)."""
+    import numpy as np
+
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_pq_index
+
+    rng = np.random.default_rng(13)
+    base_a = rng.standard_normal(8) * 3
+    base_b = -base_a
+    seed = _emb_batch(spark, rng, range(0, 5), base_a)  # cluster A: ids 0-4
+    far = _emb_batch(spark, rng, range(5, 10), base_b)  # cluster B: ids 5-9
+    probe = _emb_batch(spark, rng, [100, 101], base_a)  # near cluster A
+
+    dirs = _pq_dirs()
+    try:
+        books, codes = (ParquetTable(spark, d) for d in dirs)
+        update_pq_index(seed, books, codes, m=4, k_codes=4, epoch=0)
+        update_pq_index(far, books, codes, m=4, k_codes=4, epoch=1)
+        out = update_pq_index(probe, books, codes, m=4, k_codes=4, k=3, epoch=2)
+        got = {(r["q_id"], r["vec_id"]) for r in out.collect()}
+        # every neighbor of the A-cluster probes is an A-cluster id
+        assert got and all(v in range(0, 5) for _, v in got)
+        n = codes.read().count()
+        # replay epoch 2: no new codes, identical shortlist
+        out2 = update_pq_index(probe, books, codes, m=4, k_codes=4, k=3, epoch=2)
+        assert codes.read().count() == n
+        assert {(r["q_id"], r["vec_id"]) for r in out2.collect()} == got
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
