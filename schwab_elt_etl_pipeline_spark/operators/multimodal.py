@@ -19,6 +19,7 @@ from __future__ import annotations
 import array
 import hashlib
 import io
+import math
 import sys
 import wave
 import zlib
@@ -264,10 +265,233 @@ def _decode_png(payload: bytes) -> list[float] | None:
         return None
 
 
+#: zigzag scan order → natural (row*8+col) coefficient index
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_IDCT_M = None  # lazy 8×8 DCT-III basis (numpy), built once per worker
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded JPEG data: un-stuffs
+    0xFF 0x00, stops at any real marker (restart handling consumes RSTn
+    explicitly via :meth:`restart`)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.bit = data, pos, 0
+
+    def _cur(self) -> int:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise EOFError
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+            if nxt != 0x00:  # a real marker terminates entropy data
+                raise EOFError
+        return b
+
+    def read_bit(self) -> int:
+        b = self._cur()
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if b == 0xFF else 1  # skip the stuffed 0x00
+        return v
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, size = 0, 0
+        while size <= 16:
+            code = (code << 1) | self.read_bit()
+            size += 1
+            sym = table.get((size, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        if self.bit:
+            self.bit = 0
+            self.pos += 2 if self.data[self.pos] == 0xFF else 1
+        if not (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected RST marker")
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(payload: bytes) -> list[float] | None:
+    """REAL image decode for baseline (and extended-sequential) Huffman
+    JPEG — SOF0/SOF1, 8-bit, interleaved single scan, restart markers
+    supported — pure stdlib + numpy (IDCT as two 8×8 matmuls). Only the
+    LUMA component is inverse-transformed (features are grayscale); chroma
+    blocks are entropy-decoded to keep the bitstream in sync, then
+    discarded — the same Y-only shortcut a thumbnailing service uses.
+    Progressive (SOF2), arithmetic coding, 12-bit precision, and
+    non-interleaved multi-scan files → None (stub fallback)."""
+    try:
+        if not payload.startswith(b"\xff\xd8"):
+            return None
+        import numpy as np
+
+        global _JPEG_IDCT_M
+        if _JPEG_IDCT_M is None:
+            m = np.empty((8, 8))
+            for u in range(8):
+                cu = (1.0 / math.sqrt(2)) if u == 0 else 1.0
+                for x in range(8):
+                    m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+            _JPEG_IDCT_M = m
+        qt: dict[int, list[int]] = {}
+        hufftabs: dict[tuple[int, int], dict] = {}
+        comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+        w = h = None
+        restart = 0
+        pos = 2
+        data_start = None
+        scan: list[tuple[int, int, int]] = []  # (comp_index, dc_id, ac_id)
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue  # no segment body
+            ln = int.from_bytes(payload[pos : pos + 2], "big")
+            seg = payload[pos + 2 : pos + ln]
+            if marker == 0xDB:  # DQT (possibly several tables)
+                at = 0
+                while at < len(seg):
+                    if seg[at] >> 4:
+                        return None  # 16-bit quant tables → unsupported
+                    tid = seg[at] & 0x0F
+                    tbl = [0] * 64
+                    for i in range(64):
+                        tbl[_JPEG_ZIGZAG[i]] = seg[at + 1 + i]
+                    qt[tid] = tbl
+                    at += 65
+            elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+                if seg[0] != 8:
+                    return None
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                n = seg[5]
+                comps = [
+                    (seg[6 + 3 * i], seg[7 + 3 * i] >> 4,
+                     seg[7 + 3 * i] & 0x0F, seg[8 + 3 * i])
+                    for i in range(n)
+                ]
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                at = 0
+                while at < len(seg):
+                    tc, th = seg[at] >> 4, seg[at] & 0x0F
+                    counts = seg[at + 1 : at + 17]
+                    syms = seg[at + 17 : at + 17 + sum(counts)]
+                    table, code, si = {}, 0, 0
+                    for size in range(1, 17):
+                        for _ in range(counts[size - 1]):
+                            table[(size, code)] = syms[si]
+                            code += 1
+                            si += 1
+                        code <<= 1
+                    hufftabs[(tc, th)] = table
+                    at += 17 + sum(counts)
+            elif marker == 0xDD:  # DRI
+                restart = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:  # SOS — entropy data follows the header
+                ns = seg[0]
+                cid_index = {c[0]: i for i, c in enumerate(comps)}
+                for i in range(ns):
+                    cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    scan.append((cid_index[cid], tt >> 4, tt & 0x0F))
+                data_start = pos + ln
+                break
+            elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF:
+                return None  # progressive / arithmetic / hierarchical
+            pos += ln
+        if data_start is None or not comps or len(scan) != len(comps):
+            return None
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        ly = comps[0]  # luma is the first SOF component by convention
+        plane = np.zeros((mcuy * ly[2] * 8, mcux * ly[1] * 8))
+        lq = np.array(qt[ly[3]], dtype=float).reshape(8, 8)
+        reader = _JpegBits(payload, data_start)
+        pred = [0] * len(comps)
+        M = _JPEG_IDCT_M
+        for mcu in range(mcux * mcuy):
+            if restart and mcu and mcu % restart == 0:
+                reader.restart()
+                pred = [0] * len(comps)
+            my, mx = divmod(mcu, mcux)
+            for ci, dc_id, ac_id in scan:
+                _, ch, cv, _tq = comps[ci]
+                dct = hufftabs[(0, dc_id)]
+                act = hufftabs[(1, ac_id)]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coef = [0] * 64
+                        t = reader.huff(dct)
+                        pred[ci] += _jpeg_extend(reader.receive(t), t)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                return None
+                            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                reader.receive(s), s
+                            )
+                            k += 1
+                        if ci == 0:  # Y-only IDCT
+                            block = (
+                                M.T
+                                @ (np.array(coef, dtype=float).reshape(8, 8) * lq)
+                                @ M
+                            )
+                            y0 = (my * cv + by) * 8
+                            x0 = (mx * ch + bx) * 8
+                            plane[y0 : y0 + 8, x0 : x0 + 8] = block
+        lh = (h * ly[2] + vmax - 1) // vmax
+        lw = (w * ly[1] + hmax - 1) // hmax
+        gray = np.clip(plane[:lh, :lw] + 128.0, 0.0, 255.0) / 255.0
+        return _gray_slice_features([float(x) for x in gray.ravel()])
+    except Exception:
+        return None
+
+
 def _decode_one(payload: bytes) -> list[float]:
-    """Feature kernel: WAV audio and PPM/BMP/PNG images decode for real
-    through pure-stdlib readers (always available, and taking precedence so
-    those formats' features never depend on which codecs are installed);
+    """Feature kernel: WAV audio and PPM/BMP/PNG/baseline-JPEG images decode
+    for real through pure-stdlib readers (always available, and taking
+    precedence so those formats' features never depend on which codecs are
+    installed);
     with Pillow present, any OTHER image format decodes to a grayscale
     signature of the same shape (Pillow's own luma/resampling weights);
     otherwise — or when the bytes aren't decodable — the deterministic
@@ -277,7 +501,7 @@ def _decode_one(payload: bytes) -> list[float]:
         if feats is not None:
             return feats
     if payload:
-        for kernel in (_decode_ppm, _decode_bmp, _decode_png):
+        for kernel in (_decode_ppm, _decode_bmp, _decode_png, _decode_jpeg):
             feats = kernel(payload)
             if feats is not None:
                 return feats

@@ -238,3 +238,224 @@ def test_png_rgba_and_rejections():
     assert _decode_png(b"\x89PNG\r\n\x1a\n" + b"junk") is None
     truncated = _make_png([[(1, 2, 3)]], filters=[0])[:-20]
     assert _decode_png(truncated) is None
+
+
+# --- real baseline-JPEG decode (stdlib + numpy IDCT) ------------------------
+
+import numpy as np
+import pytest
+
+from schwab_elt_etl_pipeline_spark.operators.multimodal import (
+    _decode_jpeg,
+    _decode_one,
+)
+
+
+def _dct_m():
+    m = np.empty((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+_M = _dct_m()
+_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _BitW:
+    """MSB-first bit writer with 0xFF byte stuffing and 1-padding."""
+
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, val, bits):
+        for i in range(bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def align(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _category(v):
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _encode_jpeg(gray, n_comp=1, quant=8, restart=0):
+    """Minimal baseline encoder: single-length canonical Huffman tables
+    (every symbol at code length 8 — the decoder must rebuild canonical
+    codes, not pattern-match Annex K), quality = uniform quant table,
+    optional restart markers. n_comp=3 appends constant chroma planes so
+    the decoder must entropy-decode non-luma blocks to stay in sync."""
+    h, w = gray.shape
+    bh, bw = h // 8, w // 8
+    assert h % 8 == 0 and w % 8 == 0
+    # quantized blocks in scan order
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            blk = gray[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            blocks.append(
+                np.rint((_M @ blk @ _M.T) / quant).astype(int).ravel()
+            )
+    def tokens():
+        """(is_ac, symbol, value, value_bits) stream — ONE definition of the
+        emission order so symbol gathering and bit writing cannot drift
+        (restart markers reset the DC predictors in both passes)."""
+        preds = [0] * n_comp
+        for i, b in enumerate(blocks):
+            if restart and i and i % restart == 0:
+                yield ("RST", None, None, None)
+                preds = [0] * n_comp
+            for ci in range(n_comp):
+                zz = (
+                    [int(b[_ZZ[k]]) for k in range(64)]
+                    if ci == 0
+                    else [0] * 64  # constant-128 chroma: diff 0, EOB
+                )
+                diff = zz[0] - preds[ci]
+                preds[ci] = zz[0]
+                t = _category(diff)
+                yield (0, t, diff if diff >= 0 else diff + (1 << t) - 1, t)
+                run = 0
+                last_nz = max((k for k in range(64) if zz[k]), default=0)
+                for k in range(1, 64):
+                    if k > last_nz:
+                        yield (1, 0x00, 0, 0)  # EOB
+                        break
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        yield (1, 0xF0, 0, 0)
+                        run -= 16
+                    s = _category(zz[k])
+                    v = zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1
+                    yield (1, (run << 4) | s, v, s)
+                    run = 0
+
+    dc_syms, ac_syms = {0}, {0x00}
+    for kind, sym, _v, _n in tokens():
+        if kind == 0:
+            dc_syms.add(sym)
+        elif kind == 1:
+            ac_syms.add(sym)
+    dc_list, ac_list = sorted(dc_syms), sorted(ac_syms)
+    dc_code = {s: i for i, s in enumerate(dc_list)}
+    ac_code = {s: i for i, s in enumerate(ac_list)}
+
+    def dht(tc, syms):
+        counts = bytes(len(syms) if i == 7 else 0 for i in range(16))
+        return bytes([tc << 4]) + counts + bytes(syms)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    qtbl = bytes([0]) + bytes(quant for _ in range(64))
+    comps_sof = b"".join(
+        bytes([cid, 0x11, 0]) for cid in range(1, n_comp + 1)
+    )
+    comps_sos = b"".join(bytes([cid, 0x00]) for cid in range(1, n_comp + 1))
+    head = (
+        b"\xff\xd8"
+        + seg(0xDB, qtbl)
+        + seg(
+            0xC0,
+            bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + bytes([n_comp]) + comps_sof,
+        )
+        + seg(0xC4, dht(0, dc_list))
+        + seg(0xC4, dht(1, ac_list))
+        + (seg(0xDD, restart.to_bytes(2, "big")) if restart else b"")
+        + seg(0xDA, bytes([n_comp]) + comps_sos + bytes([0, 63, 0]))
+    )
+    wbits = _BitW()
+    rst = 0
+    for kind, sym, v, nbits in tokens():
+        if kind == "RST":
+            wbits.align()
+            wbits.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            continue
+        wbits.put(dc_code[sym] if kind == 0 else ac_code[sym], 8)
+        if nbits:
+            wbits.put(v, nbits)
+    wbits.align()
+    return head + bytes(wbits.out) + b"\xff\xd9", blocks
+
+
+def _expected_features(blocks, h, w, quant):
+    """Mirror of the decoder's dequant→IDCT→shift→clip pipeline."""
+    bw = w // 8
+    plane = np.zeros((h, w))
+    for i, b in enumerate(blocks):
+        by, bx = divmod(i, bw)
+        coef = np.array(b, dtype=float).reshape(8, 8) * quant
+        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _M.T @ coef @ _M
+    gray = np.clip(plane + 128.0, 0.0, 255.0) / 255.0
+    return _gray_slice_features([float(x) for x in gray.ravel()])
+
+
+def _gradient(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.clip(40.0 + 7.0 * x + 3.0 * y + 20.0 * np.sin(x / 3.0), 0, 255)
+
+
+def test_jpeg_grayscale_roundtrip():
+    gray = _gradient(16, 24)
+    payload, blocks = _encode_jpeg(gray, n_comp=1)
+    got = _decode_jpeg(payload)
+    assert got is not None
+    want = _expected_features(blocks, 16, 24, 8)
+    assert got == pytest.approx(want, abs=1e-9)
+    # and the decode is faithful to the source image, not just self-consistent
+    src = _gray_slice_features([float(v) / 255.0 for v in gray.ravel()])
+    assert got == pytest.approx(src, abs=0.05)
+
+
+def test_jpeg_restart_markers_same_features():
+    gray = _gradient(16, 24)
+    plain, _ = _encode_jpeg(gray, n_comp=1)
+    with_rst, _ = _encode_jpeg(gray, n_comp=1, restart=2)
+    assert with_rst != plain
+    assert _decode_jpeg(with_rst) == _decode_jpeg(plain)
+
+
+def test_jpeg_three_component_chroma_sync():
+    # constant chroma adds entropy-coded blocks the decoder must consume
+    # (not transform) to keep the luma bitstream in sync
+    gray = _gradient(8, 16)
+    mono, _ = _encode_jpeg(gray, n_comp=1)
+    color, _ = _encode_jpeg(gray, n_comp=3)
+    assert len(color) > len(mono)
+    assert _decode_jpeg(color) == _decode_jpeg(mono)
+
+
+def test_jpeg_progressive_and_garbage_reject():
+    gray = _gradient(8, 8)
+    payload, _ = _encode_jpeg(gray)
+    progressive = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert _decode_jpeg(progressive) is None
+    assert _decode_jpeg(b"\xff\xd8\x00\x01") is None
+    assert _decode_jpeg(b"not a jpeg") is None
+
+
+def test_jpeg_dispatch_beats_stub():
+    gray = _gradient(16, 16)
+    payload, _ = _encode_jpeg(gray)
+    feats = _decode_one(payload)
+    assert feats == _decode_jpeg(payload)
+    assert feats != _decode_one_stub(payload)
