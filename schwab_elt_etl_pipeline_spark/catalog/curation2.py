@@ -822,8 +822,14 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a 64-bit collision can nominate a candidate, never fabricate a span).
     Core in ``operators/dedup.py`` ``dup_char_spans``. Complements the
     token-window ``substring_dedup``, which rebuilds text; this emits the
-    spans themselves with 1-based inclusive character positions."""
-    docs = load_table(spark, sf_dir, "documents")
+    spans themselves with 1-based inclusive character positions. The
+    repartition before the stride-1 explode matters: a single small input
+    file is ONE scan partition, and the ~300 windows/doc blow-up must fan
+    out BEFORE it happens, not after (same discipline as
+    ``substring_dedup``)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return dup_char_spans(docs, min_len=_SPAN_L)
 
 

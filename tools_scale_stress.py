@@ -30,7 +30,11 @@ from schwab_elt_etl_pipeline_spark.catalog import all_specs
 from schwab_elt_etl_pipeline_spark.session import get_spark
 
 #: The 5 most expensive BENCH_r04 queries (judge-audited) + substring_dedup
-#: (6th, tied) — the shuffle-heaviest plans in the headline set.
+#: (6th, tied) — the shuffle-heaviest plans in the headline set — plus the
+#: round-6 byte-exact span finder, whose stride-1 char-window explode is the
+#: biggest row blow-up in the catalog (worth stressing: exact windows
+#: survive the copy-tag perturbation unchanged, so at 10× nearly EVERY
+#: window is duplicated — a harsher duplication regime than production).
 QUERIES = [
     "pipeline_verts_e2e",
     "neardup_canonicalize",
@@ -38,6 +42,7 @@ QUERIES = [
     "embedding_curation_e2e",
     "w_rolling_zscore",
     "substring_dedup",
+    "substring_dup_spans",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
