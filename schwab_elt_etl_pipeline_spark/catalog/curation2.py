@@ -25,6 +25,7 @@ from schwab_elt_etl_pipeline_spark.operators.curation import (
     semantic_dedup_verdicts,
 )
 from schwab_elt_etl_pipeline_spark.operators.dedup import (
+    dup_char_excise_rebuild,
     dup_char_spans,
     passage_dedup_rebuild,
     substring_dedup_rebuild,
@@ -866,11 +867,67 @@ GROUP BY doc_id, isl
 """
 
 
+def substring_dup_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-granular ExactSubstr dedup with the Lee et al. removal
+    policy APPLIED: the corpus-wide first occurrence (by doc, then
+    position) of every duplicated >= 40-char substring survives; later
+    occurrences' characters are excised and documents rebuild from the
+    survivors. The actionable twin of ``substring_dup_spans`` (the
+    duplication map) and the char-granular twin of ``substring_dedup``
+    (token windows). Core in ``operators/dedup.py``
+    ``dup_char_excise_rebuild`` — shared two-pass candidate front end
+    (8-byte hash count, exact-gram ranking over the hot minority only) and
+    the SAME running-coverage excision back end as the token form, with
+    characters as tokens and an empty rebuild separator."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return dup_char_excise_rebuild(docs, min_len=_SPAN_L)
+
+
+SUBSTRING_DUP_EXCISE_SQL = f"""
+WITH chars AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         substring(text, CAST(i AS INT), 1) AS ch
+  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)
+  WHERE length(text) >= 1
+), w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         substring(text, CAST(i AS INT), {_SPAN_L}) AS gram
+  FROM documents,
+       UNNEST(generate_series(1, length(text) - {_SPAN_L - 1})) AS t(i)
+  WHERE length(text) >= {_SPAN_L}
+), dup AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+        FROM w)
+  WHERE rk > 1
+), marked AS (
+  SELECT c.doc_id, c.pos, c.ch,
+         MAX(CASE WHEN d.pos IS NOT NULL THEN c.pos + {_SPAN_L - 1} END)
+           OVER (PARTITION BY c.doc_id ORDER BY c.pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cover_end
+  FROM chars c LEFT JOIN dup d ON d.doc_id = c.doc_id AND d.pos = c.pos
+)
+SELECT doc_id,
+       COUNT(*) AS n_chars,
+       COUNT(*) FILTER (WHERE cover_end >= pos) AS n_dropped,
+       COALESCE(string_agg(ch, '' ORDER BY pos)
+                FILTER (WHERE cover_end IS NULL OR cover_end < pos), '')
+         AS deduped_text
+FROM marked
+GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("substring_dedup", substring_dedup, SUBSTRING_DEDUP_SQL, headline=True,
               doc="substring-granular ExactSubstr dedup: overlapping-window spans, boundary-free"),
     QuerySpec("substring_dup_spans", substring_dup_spans, SUBSTRING_DUP_SPANS_SQL,
               doc="byte-exact ExactSubstr duplicate spans: suffix-array semantics via L-gram seed-and-merge"),
+    QuerySpec("substring_dup_excise", substring_dup_excise, SUBSTRING_DUP_EXCISE_SQL,
+              doc="char-granular ExactSubstr dedup applied: first occurrence survives, text rebuilt"),
     QuerySpec("corpus_curation_e2e", corpus_curation_e2e, CORPUS_E2E_SQL,
               headline=True,
               doc="FULL curation pipeline: dup + decontam + length + repetition → verdict cascade"),

@@ -622,13 +622,19 @@ def doc_tokens_and_windows(
 
 
 def excise_and_rebuild(
-    tokens: DataFrame, dup_starts: DataFrame, k: int, id_col: str = "doc_id"
+    tokens: DataFrame,
+    dup_starts: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    sep: str = " ",
 ) -> DataFrame:
     """Shared substring-dedup back end: mark every token covered by a
     duplicate k-window start (running-coverage sweep — O(n) per doc, no
     pairwise interval logic) and rebuild each doc from the survivors.
     ``dup_starts`` carries (_id, start). Output:
-    (id, n_tokens, n_dropped, deduped_text)."""
+    (id, n_tokens, n_dropped, deduped_text). ``sep`` is the rebuild
+    separator — " " for token streams, "" when the "tokens" are single
+    characters (:func:`dup_char_excise_rebuild`)."""
     from pyspark.sql.window import Window
 
     dup = dup_starts.select(
@@ -658,7 +664,7 @@ def excise_and_rebuild(
                     ),
                     lambda x: x["token"],
                 ),
-                " ",
+                sep,
             ).alias("deduped_text"),
         )
         .withColumnRenamed("_id", id_col)
@@ -709,30 +715,7 @@ def dup_char_spans(
     from pyspark.sql.window import Window
 
     L = min_len
-    base = docs.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
-    ).filter(F.length("_t") >= L)
-    # sequence(1, n) DESCENDS for n < 1 — the length filter above guards it.
-    wins = base.select(
-        "_id",
-        F.explode(F.sequence(F.lit(1), F.length("_t") - F.lit(L - 1))).alias("pos"),
-        "_t",
-    ).select(
-        "_id",
-        "pos",
-        F.col("_t").substr(F.col("pos"), F.lit(L)).alias("gram"),
-    )
-    # Pass 1 — corpus-wide counts keyed on the 8-byte hash (map-side
-    # combinable; the shuffle never carries gram text).
-    hot_hashes = (
-        wins.groupBy(F.xxhash64("gram").alias("gh"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("gh")
-    )
-    cand = wins.withColumn("gh", F.xxhash64("gram")).join(
-        hot_hashes, "gh", "semi"
-    )
+    cand = _hot_char_window_candidates(docs, L, id_col, text_col)
     # Pass 2 — exact confirmation over the candidate minority: group on the
     # raw gram text so a hash collision cannot fabricate a duplicate.
     hot_grams = (
@@ -770,4 +753,92 @@ def dup_char_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
             "n_windows",
         )
+    )
+
+
+def _hot_char_window_candidates(
+    docs: DataFrame, L: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared char-granular front end for :func:`dup_char_spans` and
+    :func:`dup_char_excise_rebuild`: (_id, pos, gram) for every stride-1
+    L-char window whose text occurs >= 2 times corpus-wide. Two-pass
+    discipline — pass 1 counts on the 8-byte ``xxhash64`` key (map-side
+    combinable; the shuffle never carries gram text), pass 2 is a semi-join
+    back so only the hash-hot minority carries its gram forward for exact
+    confirmation by the caller."""
+    base = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).filter(F.length("_t") >= L)
+    # sequence(1, n) DESCENDS for n < 1 — the length filter above guards it.
+    wins = base.select(
+        "_id",
+        F.explode(F.sequence(F.lit(1), F.length("_t") - F.lit(L - 1))).alias("pos"),
+        "_t",
+    ).select(
+        "_id",
+        "pos",
+        F.col("_t").substr(F.col("pos"), F.lit(L)).alias("gram"),
+    )
+    hot_hashes = (
+        wins.groupBy(F.xxhash64("gram").alias("gh"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    return wins.withColumn("gh", F.xxhash64("gram")).join(hot_hashes, "gh", "semi")
+
+
+def dup_char_excise_rebuild(
+    docs: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-granular ExactSubstr dedup WITH the Lee et al. removal
+    policy applied: the corpus-wide FIRST occurrence (by id, then position)
+    of every duplicated >= L-char substring survives; every later
+    occurrence's characters are excised and documents rebuild from the
+    surviving characters. The actionable twin of :func:`dup_char_spans`
+    (which emits the duplication map over ALL occurrences) and the
+    character-granular twin of :func:`substring_dedup_rebuild` (token
+    windows, space-separated rebuild).
+
+    Shape: the shared two-pass front end keeps the corpus-wide count
+    shuffle at 8 bytes/window; only hash-hot candidates carry gram text
+    into the exact first-occurrence ranking (window over (gram) ordered by
+    (id, pos) — byte-exact, a 64-bit collision cannot merge two distinct
+    grams into one ranking). Excision reuses :func:`excise_and_rebuild`
+    verbatim with characters as the tokens and an empty separator — the
+    running-coverage sweep, drop accounting, and rebuild are ONE definition
+    across token- and char-granular dedup. Same hot-key caveat as the
+    token form: a boilerplate span repeated millions of times makes the
+    per-gram ``row_number`` the straggler; the skew-safe variant ranks
+    nothing and takes min(struct(id, pos)) per gram instead.
+
+    Output: (id, n_chars, n_dropped, deduped_text) — counts in characters.
+    Docs shorter than L pass through whole; empty docs yield no rows (no
+    characters to keep or drop), matching the SQL oracle's UNNEST
+    semantics.
+    """
+    from pyspark.sql.window import Window
+
+    L = min_len
+    base = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).filter(F.length("_t") >= 1)
+    chars = base.select(
+        "_id",
+        F.explode(F.sequence(F.lit(1), F.length("_t"))).alias("pos"),
+        "_t",
+    ).select("_id", "pos", F.col("_t").substr(F.col("pos"), F.lit(1)).alias("token"))
+    cand = _hot_char_window_candidates(docs, L, id_col, text_col)
+    first = Window.partitionBy("gram").orderBy("_id", "pos")
+    dup_starts = (
+        cand.withColumn("rk", F.row_number().over(first))
+        .filter(F.col("rk") > 1)
+        .select("_id", F.col("pos").alias("start"))
+    )
+    return (
+        excise_and_rebuild(chars, dup_starts, L, id_col, sep="")
+        .withColumnRenamed("n_tokens", "n_chars")
     )

@@ -186,3 +186,78 @@ def test_char_spans_short_docs_skipped(spark):
     # Docs shorter than L yield no windows (sequence(1, n<1) would descend).
     texts = ["tiny", "tiny"]
     assert _spans(spark, texts, 10) == {}
+
+
+# ---------------------------------------------------------------------------
+# Character-granular excision (dup_char_excise_rebuild)
+# ---------------------------------------------------------------------------
+
+from schwab_elt_etl_pipeline_spark.operators.dedup import (  # noqa: E402
+    dup_char_excise_rebuild,
+)
+
+
+def _ref_excise(texts: list[str], L: int) -> dict[int, tuple[int, int, str]]:
+    """Sequential reference: corpus-wide first L-gram occurrence (doc, pos)
+    survives; later occurrences drop all L of their chars; rebuild."""
+    seen: set[str] = set()
+    dup_starts: dict[int, list[int]] = {}
+    for doc_id, t in enumerate(texts):
+        for i in range(len(t) - L + 1):
+            g = t[i : i + L]
+            if g in seen:
+                dup_starts.setdefault(doc_id, []).append(i)
+            else:
+                seen.add(g)
+    out = {}
+    for doc_id, t in enumerate(texts):
+        if not t:
+            continue  # no char rows -> no output row (UNNEST semantics)
+        dropped = [False] * len(t)
+        for s in dup_starts.get(doc_id, []):
+            for i in range(s, s + L):
+                dropped[i] = True
+        kept = "".join(c for c, d in zip(t, dropped) if not d)
+        out[doc_id] = (len(t), sum(dropped), kept)
+    return out
+
+
+def _run_excise(spark, texts: list[str], L: int) -> dict[int, tuple[int, int, str]]:
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    return {
+        r["doc_id"]: (r["n_chars"], r["n_dropped"], r["deduped_text"])
+        for r in dup_char_excise_rebuild(df, min_len=L).collect()
+    }
+
+
+def test_char_excise_first_occurrence_survives(spark):
+    block = "SHARED-BLOCK-OF-TEXT!"  # 21 chars, repeated verbatim
+    texts = ["intro " + block + " tail-one", "pad " + block + " tail-two", "x"]
+    got = _run_excise(spark, texts, 12)
+    assert got == _ref_excise(texts, 12)
+    assert block in got[0][2]          # first occurrence kept intact
+    assert block not in got[1][2]      # later occurrence excised
+    assert got[2] == (1, 0, "x")       # short doc passes through whole
+
+
+def test_char_excise_within_doc_repeat(spark):
+    t = "abcdefghij--middle--abcdefghij--end"
+    got = _run_excise(spark, [t], 10)
+    assert got == _ref_excise([t], 10)
+    assert got[0][1] >= 10  # the second run of the block is dropped
+
+
+def test_char_excise_no_dups_is_identity(spark):
+    texts = ["totally unique text", "another different one entirely"]
+    got = _run_excise(spark, texts, 10)
+    assert got == {i: (len(t), 0, t) for i, t in enumerate(texts)}
+
+
+def test_char_excise_matches_reference_on_overlaps(spark):
+    # overlapping duplicated windows inside one doc: coverage union, not
+    # double-count
+    t = "0123456789" * 4  # every 10-gram repeats at stride 10 (and offsets)
+    got = _run_excise(spark, [t], 10)
+    assert got == _ref_excise([t], 10)
