@@ -757,3 +757,200 @@ def extend_pq_index(
             "bootstrap the index via streaming/corpus.py update_pq_index"
         )
     codes_table.insert_new(codes, keys=[id_col, "sub"])
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVFADC index (build / query / extend)
+# ---------------------------------------------------------------------------
+
+
+def _assign_cells(
+    vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, cell): nearest coarse centroid per vector — one broadcast
+    join (cells are a kB-scale table by construction) + a map-side argmin
+    via ``min_by``; the vectors never shuffle. Ties break on the LOWER cell
+    id (min_by on struct(d2, cell)), a deterministic rule the extend path
+    and any re-encode agree on."""
+    expanded = vectors.select(
+        F.col(id_col), as_double(vec_col).alias("vec")
+    ).join(F.broadcast(cents))
+    return (
+        expanded.withColumn("c_d2", _l2sq(F.col("vec"), F.col("centroid")))
+        .groupBy(id_col)
+        .agg(
+            F.first("vec").alias("vec"),
+            F.min_by("cell", F.struct("c_d2", "cell")).alias("cell"),
+        )
+    )
+
+
+def build_ivfadc_index(
+    corpus: DataFrame,
+    cents_table,
+    books_table,
+    codes_table,
+    n_centroids: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist an IVFADC index (Jégou et al.: coarse inverted file +
+    residual product quantization) as three warehouse tables: coarse
+    centroids (``cell, centroid`` — kilobytes), residual PQ codebooks
+    (``sub, code, centroid`` — kilobytes), and the code table
+    (``id, cell, sub, code`` — m small ints per vector). The persisted
+    sibling of :func:`ivfpq_topk` (same seeds: coarse ``seed``, books
+    ``seed + 100``) and the IVF-structured sibling of
+    :func:`build_pq_index`. Queries probe only their nearest cells' codes;
+    raw vectors are never read at serving time. Versioned overwrite keeps
+    readers snapshot-isolated across rebuilds."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    dim = _first_vec_len(corpus, vec_col, "IVFADC index corpus")
+    _require_dim(corpus, vec_col, dim, "IVFADC index corpus", strict=True)
+    feats = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("vec")
+    ).withColumn("features", array_to_vector("vec"))
+    coarse = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
+    assigned = coarse.transform(feats).select(
+        id_col, "vec", F.col("prediction").alias("cell")
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(coarse.clusterCenters())],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    residuals = assigned.join(F.broadcast(cents), "cell").select(
+        id_col,
+        "cell",
+        F.zip_with("vec", "centroid", lambda x, y: x - y).alias("res"),
+    )
+    res_subs = pq_subvectors(residuals, m, dim, id_col, "res")
+    books = pq_train_codebooks(
+        residuals, m, k_codes, id_col, "res", seed + 100, dim=dim,
+        subvectors=res_subs,
+    )
+    codes = pq_encode(
+        residuals, books, m, dim, id_col, "res", subvectors=res_subs
+    ).join(residuals.select(id_col, "cell"), id_col)
+    cents_table.overwrite_versioned(cents)
+    books_table.overwrite_versioned(books)
+    codes_table.overwrite_versioned(codes)
+
+
+def ivfadc_query_index(
+    cents_table,
+    books_table,
+    codes_table,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """ADC search against a persisted IVFADC index — probes only the
+    ``n_probe`` nearest cells' code rows; no corpus access at all. The
+    distance table is per (query, probed cell) because the residual depends
+    on the cell. ``exclude_epoch`` is the streaming replay hook, identical
+    to :func:`pq_query_index`'s (null-safe; batch-written NULL-epoch rows
+    always count as indexed)."""
+    cents = cents_table.read()
+    books = books_table.read()
+    codes = codes_table.read()
+    if exclude_epoch is not None and "_epoch" in codes.columns:
+        codes = codes.filter(
+            F.coalesce(F.col("_epoch") != F.lit(exclude_epoch), F.lit(True))
+        )
+    m = books.select("sub").distinct().count()
+    width = len(books.select("centroid").first()["centroid"])
+    dim = m * width
+    _require_dim(queries, vec_col, dim, "query")
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec")
+    )
+    q_cells = (
+        qv.join(F.broadcast(cents))
+        .withColumn("c_d2", _l2sq(F.col("q_vec"), F.col("centroid")))
+        .withColumn(
+            "c_rank",
+            F.row_number().over(Window.partitionBy("q_id").orderBy("c_d2", "cell")),
+        )
+        .filter(F.col("c_rank") <= n_probe)
+        .select(
+            "q_id",
+            "cell",
+            F.zip_with("q_vec", "centroid", lambda x, y: x - y).alias("q_res"),
+        )
+    )
+    q_res_subs = pq_subvectors(
+        q_cells.withColumn("_qc", F.struct("q_id", "cell")), m, dim, "_qc", "q_res"
+    )
+    dtable = q_res_subs.join(F.broadcast(books), "sub").select(
+        F.col("_qc.q_id").alias("q_id"),
+        F.col("_qc.cell").alias("cell"),
+        "sub",
+        "code",
+        _l2sq(F.col("subvec"), F.col("centroid")).alias("d2"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["cell", "sub", "code"])
+        .filter(F.col(id_col) != F.col("q_id"))
+        .groupBy("q_id", id_col)
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", id_col, "adc_d2")
+    )
+
+
+def extend_ivfadc_index(
+    new_vectors: DataFrame,
+    cents_table,
+    books_table,
+    codes_table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    epoch: int | None = None,
+) -> None:
+    """Incrementally add vectors to a persisted IVFADC index: assign each
+    batch vector to its nearest FIXED coarse cell (broadcast centroids +
+    map-side argmin — the batch never shuffles), residual-encode against
+    the FIXED codebooks, and dup-guard-append (``insert_new`` on (id, sub)
+    — replays add nothing). O(batch) per call; coarse centroids and
+    codebooks retrain only on a rebuild cadence via
+    :func:`build_ivfadc_index`, exactly as :func:`extend_pq_index`. Same
+    schema-following ``_epoch`` rule: stamped when the codes table carries
+    the column, loud error when ``epoch`` is passed against a batch-built
+    table without it."""
+    cents = cents_table.read()
+    books = books_table.read()
+    m = books.select("sub").distinct().count()
+    width = len(books.select("centroid").first()["centroid"])
+    dim = m * width
+    _require_dim(new_vectors, vec_col, dim, "new vector", strict=True)
+    assigned = _assign_cells(new_vectors, cents, id_col, vec_col)
+    residuals = assigned.join(F.broadcast(cents), "cell").select(
+        id_col,
+        "cell",
+        F.zip_with("vec", "centroid", lambda x, y: x - y).alias("res"),
+    )
+    codes = pq_encode(residuals, books, m, dim, id_col, "res").join(
+        residuals.select(id_col, "cell"), id_col
+    )
+    has_epoch_col = "_epoch" in codes_table.read().columns
+    if has_epoch_col:
+        codes = codes.withColumn("_epoch", F.lit(epoch).cast("long"))
+    elif epoch is not None:
+        raise ValueError(
+            "epoch passed but the codes table has no _epoch column — "
+            "bootstrap the index via streaming/corpus.py update_ivfadc_index"
+        )
+    codes_table.insert_new(codes, keys=[id_col, "sub"])

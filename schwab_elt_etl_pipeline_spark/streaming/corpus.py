@@ -29,6 +29,9 @@ up incrementally. This module runs the batch curation operators
 - ``update_pq_index``: incremental persisted PQ index — ADC-query the code
   table with each embedding batch, then append the batch's codes under the
   fixed codebooks; epoch-stamped for bit-for-bit replay stability.
+- ``update_ivfadc_index``: the cell-structured sibling — coarse inverted
+  file + residual PQ; queries probe only their nearest cells' code rows,
+  appends assign-and-encode against fixed centroids/codebooks.
 """
 
 from __future__ import annotations
@@ -521,4 +524,65 @@ def update_pq_index(
     # but localCheckpoint also spares the replayed-query recompute).
     shortlist = shortlist.localCheckpoint(eager=True)
     extend_pq_index(batch, books_table, codes_table, id_col, vec_col, epoch=epoch)
+    return shortlist
+
+
+def update_ivfadc_index(
+    batch: DataFrame,
+    cents_table: ParquetTable,
+    books_table: ParquetTable,
+    codes_table: ParquetTable,
+    n_centroids: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    epoch: int | None = None,
+) -> DataFrame:
+    """Incrementally maintain a persisted IVFADC index (coarse inverted
+    file + residual PQ) over an embedding stream — the cell-structured
+    sibling of :func:`update_pq_index`, with the same contract: per call,
+    (1) ADC-query the existing index with the batch (probing only each
+    query's ``n_probe`` nearest cells' code rows), (2) assign the batch to
+    its FIXED coarse cells, residual-encode against the FIXED codebooks,
+    and dup-guard-append. The first batch trains both quantizer levels and
+    seeds the tables, returning an empty shortlist. Epoch-stamped codes +
+    null-safe epoch exclusion give bit-for-bit replay stability; stream ≡
+    batch code tables are pinned by test (assignment and encoding are
+    pointwise under fixed centroids/codebooks)."""
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        build_ivfadc_index,
+        extend_ivfadc_index,
+        ivfadc_query_index,
+    )
+
+    if not cents_table.exists():
+        build_ivfadc_index(
+            batch, cents_table, books_table, codes_table,
+            n_centroids=n_centroids, m=m, k_codes=k_codes,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
+        # retrofit the epoch column onto the seed build so later epochs can
+        # exclude their own replayed claims (build writes epoch-less codes)
+        codes_table.overwrite_versioned(
+            codes_table.read().withColumn("_epoch", F.lit(epoch).cast("long"))
+        )
+        return (
+            batch.select(
+                F.col(id_col).alias("q_id"),
+                F.col(id_col).alias(id_col),
+                F.lit(0.0).alias("adc_d2"),
+            ).limit(0)
+        )
+    shortlist = ivfadc_query_index(
+        cents_table, books_table, codes_table, batch, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, exclude_epoch=epoch,
+    ).localCheckpoint(eager=True)
+    extend_ivfadc_index(
+        batch, cents_table, books_table, codes_table, id_col, vec_col,
+        epoch=epoch,
+    )
     return shortlist

@@ -448,3 +448,100 @@ def test_pq_index_query_and_replay_stability(spark):
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental persisted IVFADC index (update_ivfadc_index)
+# ---------------------------------------------------------------------------
+
+
+def _ivfadc_dirs():
+    return [tempfile.mkdtemp(prefix=p) for p in ("ivf_cents_", "ivf_books_", "ivf_codes_")]
+
+
+def test_ivfadc_index_stream_equals_batch_build(spark):
+    """Stream-built IVFADC code table == batch-built (build on the seed
+    batch + one extend of the remainder): cell assignment and residual
+    encoding are pointwise under fixed centroids/codebooks."""
+    import numpy as np
+
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        build_ivfadc_index,
+        extend_ivfadc_index,
+    )
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_ivfadc_index
+
+    rng = np.random.default_rng(23)
+    base_a, base_b = rng.standard_normal(8) * 2, rng.standard_normal(8) * 2
+    seed = _emb_batch(spark, rng, range(0, 6), base_a).unionByName(
+        _emb_batch(spark, rng, range(20, 26), base_b)
+    )
+    b2 = _emb_batch(spark, rng, range(6, 10), base_b)
+    b3 = _emb_batch(spark, rng, range(10, 14), base_a)
+
+    s_dirs, b_dirs = _ivfadc_dirs(), _ivfadc_dirs()
+    try:
+        sc_, sb, scd = (ParquetTable(spark, d) for d in s_dirs)
+        bc_, bb, bcd = (ParquetTable(spark, d) for d in b_dirs)
+        assert (
+            update_ivfadc_index(
+                seed, sc_, sb, scd, n_centroids=2, m=4, k_codes=4, epoch=0
+            ).count()
+            == 0
+        )
+        update_ivfadc_index(b2, sc_, sb, scd, n_centroids=2, m=4, k_codes=4, epoch=1)
+        update_ivfadc_index(b3, sc_, sb, scd, n_centroids=2, m=4, k_codes=4, epoch=2)
+        build_ivfadc_index(seed, bc_, bb, bcd, n_centroids=2, m=4, k_codes=4)
+        extend_ivfadc_index(b2.unionByName(b3), bc_, bb, bcd)
+        stream_codes = {
+            (r["vec_id"], r["cell"], r["sub"], r["code"])
+            for r in scd.read().collect()
+        }
+        batch_codes = {
+            (r["vec_id"], r["cell"], r["sub"], r["code"])
+            for r in bcd.read().collect()
+        }
+        assert stream_codes == batch_codes
+        s_cents = {(r["cell"], tuple(r["centroid"])) for r in sc_.read().collect()}
+        b_cents = {(r["cell"], tuple(r["centroid"])) for r in bc_.read().collect()}
+        assert s_cents == b_cents
+    finally:
+        for d in s_dirs + b_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivfadc_index_query_and_replay_stability(spark):
+    """Probing near cluster A retrieves A-cluster ids; replays append
+    nothing and reproduce the original shortlist."""
+    import numpy as np
+
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_ivfadc_index
+
+    rng = np.random.default_rng(29)
+    base_a = rng.standard_normal(8) * 4
+    base_b = -base_a
+    seed = _emb_batch(spark, rng, range(0, 5), base_a).unionByName(
+        _emb_batch(spark, rng, range(5, 10), base_b)
+    )
+    probe = _emb_batch(spark, rng, [100, 101], base_a)
+
+    dirs = _ivfadc_dirs()
+    try:
+        cents, books, codes = (ParquetTable(spark, d) for d in dirs)
+        update_ivfadc_index(seed, cents, books, codes, n_centroids=2, m=4, k_codes=4, epoch=0)
+        out = update_ivfadc_index(
+            probe, cents, books, codes, n_centroids=2, m=4, k_codes=4, k=3,
+            n_probe=1, epoch=1,
+        )
+        got = {(r["q_id"], r["vec_id"]) for r in out.collect()}
+        assert got and all(v in range(0, 5) for _, v in got)
+        n = codes.read().count()
+        out2 = update_ivfadc_index(
+            probe, cents, books, codes, n_centroids=2, m=4, k_codes=4, k=3,
+            n_probe=1, epoch=1,
+        )
+        assert codes.read().count() == n
+        assert {(r["q_id"], r["vec_id"]) for r in out2.collect()} == got
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
