@@ -43,6 +43,7 @@ QUERIES = [
     "w_rolling_zscore",
     "substring_dedup",
     "substring_dup_spans",
+    "substring_dup_excise",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
