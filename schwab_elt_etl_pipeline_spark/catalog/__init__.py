@@ -115,7 +115,7 @@ def all_specs() -> list[QuerySpec]:
 #: Python's sort is stable, so names not listed keep module order.
 _FRONT = [
     # (a) new in round 6 (never driver-sampled)
-    "substring_dup_spans", "substring_dup_excise",
+    "substring_dup_spans", "substring_dup_excise", "ann_ivfadc_index",
     # (b) last driver-green in round 2 — the stalest cohort (VERDICT r5 #2)
     "dq_summary_lineitem", "fuzzy_name_pairs",
     "j_interval_views_after_purchase", "p_pivot_status", "p_unpivot_candles",

@@ -462,6 +462,44 @@ def ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_PQ_INDEX_SQL = ANN_PQ_SQL  # same certificate: exact top-1 anchor + verdict
 
 
+def ann_ivfadc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-IVFADC-index serving path, certified end-to-end —
+    ``ann_pq_index``'s sibling for the cell-structured layout: BUILD the
+    index (coarse centroids + residual codebooks + cell-tagged code table)
+    into versioned warehouse tables at a deterministic path with
+    ``vacuum(keep_last=2)`` disk bounding, run the corpus-free probed-cell
+    ADC query (``ivfadc_query_index`` touches only the 4 probed cells' code
+    rows + kilobyte centroid/codebook tables), exact-rerank the
+    50-candidate shortlist, and emit the same exact-top-1-anchor + recall
+    verdict as ``ann_ivfadc`` (identical params n_centroids=8/n_probe=4/
+    m=8/k=16/seeds, so the measured recall and the ≥ 3 floor carry over).
+    Deterministic: seeded two-level k-means + versioned overwrite."""
+    import tempfile
+
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        build_ivfadc_index,
+        ivfadc_query_index,
+    )
+    from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    root = os.path.join(tempfile.gettempdir(), "schwab_spark_ann_ivfadc_index")
+    cents_t = ParquetTable(spark, f"{root}/cents")
+    books_t = ParquetTable(spark, f"{root}/books")
+    codes_t = ParquetTable(spark, f"{root}/codes", cluster_by=("cell",))
+    build_ivfadc_index(emb, cents_t, books_t, codes_t, n_centroids=8, m=8, k_codes=16)
+    for t in (cents_t, books_t, codes_t):
+        t.vacuum(keep_last=2)
+    shortlist = ivfadc_query_index(cents_t, books_t, codes_t, q, k=50, n_probe=4)
+    return _shortlist_rerank_verdicts(emb, q, shortlist, recall_floor=3).select(
+        "q_id", "exact_top1_d2", "recall_ok"
+    )
+
+
+ANN_IVFADC_INDEX_SQL = ANN_PQ_SQL  # same certificate: exact top-1 anchor + verdict
+
+
 SPECS = [
     QuerySpec("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_SQL, headline=True,
               doc="brute-force cosine top-k (exact baseline)"),
@@ -475,6 +513,8 @@ SPECS = [
               doc="IVFADC ANN: coarse-cell probe + residual-PQ ADC shortlist + exact rerank, verdict-certified"),
     QuerySpec("ann_pq_index", ann_pq_index, ANN_PQ_INDEX_SQL,
               doc="persisted PQ index: build warehouse tables, corpus-free ADC query, verdict-certified"),
+    QuerySpec("ann_ivfadc_index", ann_ivfadc_index, ANN_IVFADC_INDEX_SQL,
+              doc="persisted IVFADC index: build warehouse tables, probed-cell ADC query, verdict-certified"),
     QuerySpec("embedding_near_dup", embedding_near_dup, EMBEDDING_NEAR_DUP_SQL,
               doc="banded embedding-cosine near-dup pairs"),
     QuerySpec("ann_projected_rerank", ann_projected_rerank, ANN_PROJECTED_SQL,

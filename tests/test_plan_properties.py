@@ -77,6 +77,7 @@ _SANCTIONED_BNLJ = {
     "ann_pq_adc",            # ≤3-row query-vector set (exact-anchor pass)
     "ann_ivfadc",            # ≤3-row query-vector set (exact-anchor pass)
     "ann_pq_index",          # ≤3-row query-vector set (exact-anchor pass)
+    "ann_ivfadc_index",      # ≤3-row query-vector set (exact-anchor pass)
     "embedding_near_dup",    # pairwise baseline over broadcast sample
     "kmeans_assign_fixed",   # E-step: corpus × broadcast centroid set (8 rows)
     "q11_important_suppliers",  # 1-row global-total broadcast

@@ -121,6 +121,7 @@ _BNLJ_OK = {
     "ann_pq_adc",            # ≤8-row query-vector set (exact-anchor pass)
     "ann_ivfadc",            # ≤8-row query-vector set (exact-anchor pass)
     "ann_pq_index",          # ≤8-row query-vector set (exact-anchor pass)
+    "ann_ivfadc_index",      # ≤8-row query-vector set (exact-anchor pass)
     "kmeans_assign_fixed",   # ≤16-row centroid table
     "q11_important_suppliers",  # 1-row global-threshold scalar
     "q22_global_avg_anti",   # 1-row global-average scalar
