@@ -140,8 +140,9 @@ _FRONT = [
     "q_daily_user_rank", "q_top_customers",
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
     "q4_order_priority", "q5_region_revenue", "q6_revenue_change",
+    # --- 50-entry sample window ends here (3 new + 9 r2 + 38 r3); below
+    # queues for the round-7 rotation ---
     "q10_returned_items", "q12_shipmode_buckets",
-    # --- 50-entry sample window ends here; below queues for round 7 ---
     "q13_customer_distribution", "q14_promo_share", "q16_supplier_variety",
     "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive_join",
     "q22_global_avg_anti",
