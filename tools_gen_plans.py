@@ -24,6 +24,8 @@ _NAMES = [
     "bm25_retrieval",
     "passage_dedup",
     "substring_dedup",
+    "substring_dup_spans",
+    "substring_dup_excise",
     "t9_gapfill_locf",
 ]
 
