@@ -54,6 +54,7 @@ def all_specs() -> list[QuerySpec]:
         analytics7,
         analytics8,
         analytics9,
+        analytics10,
         curation2,
         curation3,
         domain,
@@ -69,6 +70,7 @@ def all_specs() -> list[QuerySpec]:
     for mod in (
         analytics8,
         analytics9,
+        analytics10,
         curation3,
         analytics6,
         analytics7,
@@ -114,7 +116,9 @@ def all_specs() -> list[QuerySpec]:
 #: cohorts (green ≤2 rounds ago) keep module order behind the front.
 #: Python's sort is stable, so names not listed keep module order.
 _FRONT = [
-    # (a) new in round 6 (never driver-sampled)
+    # (a) new in round 6 (never driver-sampled) — prefix-scan wave first
+    "w_running_total_global", "p_skyline_pareto",
+    "sample_weighted_systematic", "t_interp_linear",
     "substring_dup_spans", "substring_dup_excise", "ann_ivfadc_index",
     # (b) last driver-green in round 2 — the stalest cohort (VERDICT r5 #2)
     "dq_summary_lineitem", "fuzzy_name_pairs",
@@ -138,10 +142,11 @@ _FRONT = [
     "doc_chunking", "gopher_repetition", "kmeans_assign_fixed",
     "pii_redact_scrub", "semantic_dedup_keep",
     "q_daily_user_rank", "q_top_customers",
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_region_revenue", "q6_revenue_change",
-    # --- 50-entry sample window ends here (3 new + 9 r2 + 38 r3); below
+    "q1_pricing_summary", "q2_min_cost_supplier",
+    # --- 50-entry sample window ends here (7 new + 9 r2 + 34 r3); below
     # queues for the round-7 rotation ---
+    "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
+    "q6_revenue_change",
     "q10_returned_items", "q12_shipmode_buckets",
     "q13_customer_distribution", "q14_promo_share", "q16_supplier_variety",
     "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive_join",

@@ -1,0 +1,240 @@
+"""Round-6 wave: global-order analytics without single-partition plans.
+
+Every query here exercises the distributed prefix scan
+(``operators/prefix.py``) or the interpolation gap-fill
+(``operators/gapfill.py``): the operator family the reference writes as
+T-SQL ``... OVER (ORDER BY ...)`` running scans (docs/sql_server.md
+running-total idioms) and its timeseries backfill proc
+(docs/sql_server.md:443-450). A naive Spark translation of any of these is a
+``SinglePartition`` window — the canonical 100 TB serialization bug — so the
+DuckDB oracles here state exactly that naive global-window SQL, and the hash
+match proves the two-phase scan computes the identical answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
+from schwab_elt_etl_pipeline_spark.operators.gapfill import gapfill_interpolate
+from schwab_elt_etl_pipeline_spark.operators.prefix import prefix_agg
+from schwab_elt_etl_pipeline_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# Global running total — the reference's running-balance idiom, two-phase.
+# --------------------------------------------------------------------------
+def w_running_total_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative Q1-1995 order revenue in global orderkey order.
+
+    The oracle is the textbook ``SUM() OVER (ORDER BY ...)`` with no
+    PARTITION BY; the engine answers it with the Blelloch two-phase scan —
+    range shuffle + per-partition window + bounded offset broadcast — so the
+    data never passes through one task. Exact decimal partials, one final
+    cast to double.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-03-31")
+    )
+    base = orders.select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,4)").alias("_p")
+    )
+    out = prefix_agg(base, ["o_orderkey"], "_p", "_run", how="sum")
+    return out.select(
+        "o_orderkey",
+        F.col("_p").cast("double").alias("price"),
+        F.col("_run").cast("double").alias("running_total"),
+    )
+
+
+W_RUNNING_TOTAL_SQL = """
+SELECT o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+            ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+"""
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (skyline): min price / max size over part.
+# --------------------------------------------------------------------------
+def p_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of distinct (price, size) points: cheapest-for-their-capacity
+    parts — no other part is both no-more-expensive and no-smaller with one
+    strict.
+
+    2-D skyline reduces to a sweep: keep a point iff it is the max size at
+    its price AND strictly beats the running max size over all cheaper
+    prices. The per-price max is an ordinary groupBy; the running max over
+    the price order is the EXCLUSIVE distributed prefix scan — so the sweep
+    that single-node engines do with one sorted pass runs partition-parallel
+    here (local skylines + bounded boundary merge, the classic distributed
+    skyline decomposition).
+    """
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    ).distinct()
+    per_price = pts.groupBy("price").agg(F.max("size").alias("size"))
+    swept = prefix_agg(
+        per_price, ["price"], "size", "_prior", how="max", inclusive=False
+    )
+    frontier = swept.filter(
+        F.col("_prior").isNull() | (F.col("size") > F.col("_prior"))
+    )
+    return frontier.select(F.col("price").cast("double").alias("price"), "size")
+
+
+P_SKYLINE_SQL = """
+WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
+per_price AS (SELECT price, MAX(size) AS size FROM pts GROUP BY price),
+swept AS (
+  SELECT price, size,
+         MAX(size) OVER (ORDER BY price
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior
+  FROM per_price)
+SELECT CAST(price AS DOUBLE) AS price, size
+FROM swept WHERE prior IS NULL OR size > prior
+"""
+
+
+# --------------------------------------------------------------------------
+# Weighted systematic sampling — exact-k, integer-exact, fully distributed.
+# --------------------------------------------------------------------------
+_SAMPLE_K = 100
+
+
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~k orders sampled with probability proportional to total price.
+
+    Deterministic systematic (cumulative-weight stride) sampling: walk the
+    orderkey-ordered cumulative weight line and take one row per stride
+    ``T = total/k`` — the standard PPS scheme, and the one whose selection
+    set is EXACTLY reproducible in integer arithmetic (weights in cents, so
+    no float threshold can disagree between engines). Both the per-row
+    cumulative weight and the grand total come out of one prefix-scan pass
+    (``total_out=`` rides the same bounded broadcast — no 1-row crossJoin,
+    no BNLJ). A row is selected iff its weight interval crosses a stride
+    boundary: ``cum div T > (cum - w) div T``.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderkey", (F.col("o_totalprice") * 100).cast("long").alias("_wc")
+    )
+    c = prefix_agg(
+        w, ["o_orderkey"], "_wc", "_cum", how="sum", total_out="_grand"
+    )
+    c = c.withColumn(
+        "_t", F.greatest(F.expr(f"_grand div {_SAMPLE_K}"), F.lit(1).cast("long"))
+    )
+    picked = c.filter(F.expr("_cum div _t > (_cum - _wc) div _t"))
+    return picked.select(
+        "o_orderkey", F.expr("_cum div _t").alias("bucket")
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+WITH w AS (
+  SELECT o_orderkey, CAST(o_totalprice * 100 AS BIGINT) AS wc FROM orders),
+c AS (
+  SELECT o_orderkey, wc,
+         CAST(SUM(wc) OVER (ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(SUM(wc) OVER () AS BIGINT) AS grand FROM w),
+p AS (
+  SELECT o_orderkey, wc, cum,
+         GREATEST(grand // {_SAMPLE_K}, 1) AS t FROM c)
+SELECT o_orderkey, cum // t AS bucket
+FROM p WHERE cum // t > (cum - wc) // t
+"""
+
+
+# --------------------------------------------------------------------------
+# T9b: linear-interpolation gap fill (LOCF's sibling).
+# --------------------------------------------------------------------------
+def t_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user value series, gaps filled by linear interpolation.
+
+    Same grid machinery as ``t9_gapfill_locf`` (shared ``_grid_union``);
+    the fill bracketes each grid point between its neighbouring non-NULL
+    observations and lerps on whole-second elapsed/span — an exact integer
+    ratio, so the IEEE multiply-add matches the oracle bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("h", F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz"))
+        .groupBy("user_id", "h")
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
+    )
+    return gapfill_interpolate(
+        hourly, entity=["user_id"], ts="h", values=["value"], step="interval 1 hour"
+    )
+
+
+T_INTERP_SQL = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), hourly AS (
+  SELECT user_id, h, value FROM ranked WHERE rn = 1
+), bounds AS (
+  SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY user_id
+), grid AS (
+  SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+), unioned AS (
+  SELECT user_id, h, 0 AS is_grid, value,
+         CASE WHEN value IS NOT NULL THEN h END AS obs_ts
+  FROM hourly
+  UNION ALL
+  SELECT user_id, h, 1, NULL, NULL FROM grid
+), marked AS (
+  SELECT user_id, h, is_grid,
+         LAST_VALUE(obs_ts IGNORE NULLS) OVER wb AS pt,
+         LAST_VALUE(value IGNORE NULLS) OVER wb AS pv,
+         FIRST_VALUE(obs_ts IGNORE NULLS) OVER wf AS nt,
+         FIRST_VALUE(value IGNORE NULLS) OVER wf AS nv
+  FROM unioned
+  WINDOW wb AS (PARTITION BY user_id ORDER BY h, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY h, is_grid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, h,
+       CASE WHEN pt IS NULL THEN nv
+            WHEN nt IS NULL THEN pv
+            ELSE pv + (nv - pv) * (date_diff('second', pt, h)
+                                   / date_diff('second', pt, nt))
+       END AS value
+FROM marked WHERE is_grid = 1
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "w_running_total_global", w_running_total_global, W_RUNNING_TOTAL_SQL,
+        doc="global running total via distributed prefix scan",
+    ),
+    QuerySpec(
+        "p_skyline_pareto", p_skyline_pareto, P_SKYLINE_SQL,
+        doc="Pareto skyline (min price / max size) via exclusive prefix max",
+    ),
+    QuerySpec(
+        "sample_weighted_systematic", sample_weighted_systematic,
+        SAMPLE_WEIGHTED_SQL,
+        doc="exact-k PPS systematic sample on the cumulative-weight line",
+    ),
+    QuerySpec(
+        "t_interp_linear", t_interp_linear, T_INTERP_SQL,
+        doc="T9b grid + linear interpolation gapfill",
+    ),
+]

@@ -53,6 +53,123 @@ def gapfill_locf(
     to be grid-aligned). Observations before ``grid_start`` seed the fill;
     observations after ``grid_end`` are ignored.
     """
+    unioned = _grid_union(df, entity, ts, values, step, grid_start, grid_end)
+    entity_cols = [F.col(c) for c in entity]
+    w = (
+        Window.partitionBy(*entity_cols)
+        .orderBy(ts, "_is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        unioned.select(
+            *entity_cols,
+            F.col(ts),
+            F.col("_is_grid"),
+            *[F.last(v, ignorenulls=True).over(w).alias(v) for v in values],
+        )
+        .filter(F.col("_is_grid") == 1)
+        .drop("_is_grid")
+    )
+    return filled
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    entity: Sequence[str],
+    ts: str,
+    values: Sequence[str],
+    step: str = "interval 1 minute",
+    grid_start: str | None = None,
+    grid_end: str | None = None,
+) -> DataFrame:
+    """Densify ``df`` to a regular grid and LINEARLY interpolate ``values``.
+
+    The LOCF sibling answers "what was the latest known value"; this one
+    answers "what was the value, assuming it moved linearly between
+    observations" — the shape the reference's timeseries backfill docs call
+    "accurate multi-leg pricing" interpolation (docs/sql_server.md:443-450).
+
+    Per grid point: the surrounding non-NULL observations bracket it and the
+    value is ``prev + (next - prev) * Δt_elapsed / Δt_span`` with Δt in whole
+    seconds (an exact integer ratio, so the single IEEE multiply-add is
+    bit-reproducible across engines). Before the first observation the next
+    value is used (NOCB), after the last the previous carries forward (LOCF);
+    observations with NULL values are transparent, exactly as in LOCF.
+
+    Same scale shape as LOCF: the grid explode fans out pre-partitioned, then
+    ONE entity-keyed exchange serves both window directions (forward and
+    backward frames share the same sort).
+    """
+    unioned = _grid_union(df, entity, ts, values, step, grid_start, grid_end)
+    entity_cols = [F.col(c) for c in entity]
+    wb = (
+        Window.partitionBy(*entity_cols)
+        .orderBy(ts, "_is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*entity_cols)
+        .orderBy(ts, "_is_grid")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    # Track (timestamp, value) of the bracketing NON-NULL observations. An
+    # observation exactly on a grid timestamp sorts BEFORE its grid row
+    # ((ts, _is_grid) order), so it lands in the backward frame — the grid
+    # row reproduces it exactly (elapsed = 0). NULL-valued observations are
+    # excluded from BOTH the timestamp and value trackers so (pt, pv) stay a
+    # consistent pair.
+    out = unioned.select(
+        *entity_cols,
+        F.col(ts),
+        F.col("_is_grid"),
+        *[c for v in values for c in (
+            F.last(
+                F.when((F.col("_is_grid") == 0) & F.col(v).isNotNull(), F.col(ts)),
+                ignorenulls=True,
+            ).over(wb).alias(f"__pt_{v}"),
+            F.last(F.when(F.col("_is_grid") == 0, F.col(v)), ignorenulls=True)
+            .over(wb).alias(f"__pv_{v}"),
+            F.first(
+                F.when((F.col("_is_grid") == 0) & F.col(v).isNotNull(), F.col(ts)),
+                ignorenulls=True,
+            ).over(wf).alias(f"__nt_{v}"),
+            F.first(F.when(F.col("_is_grid") == 0, F.col(v)), ignorenulls=True)
+            .over(wf).alias(f"__nv_{v}"),
+        )],
+    )
+    for v in values:
+        pt, pv = F.col(f"__pt_{v}"), F.col(f"__pv_{v}")
+        nt, nv = F.col(f"__nt_{v}"), F.col(f"__nv_{v}")
+        frac = (
+            F.expr(f"timestampdiff(SECOND, __pt_{v}, {ts})")
+            / F.expr(f"timestampdiff(SECOND, __pt_{v}, __nt_{v})")
+        )
+        out = out.withColumn(
+            v,
+            F.when(pt.isNull(), nv)
+            .when(nt.isNull(), pv)
+            .otherwise(pv + (nv - pv) * frac),
+        )
+    return (
+        out.filter(F.col("_is_grid") == 1)
+        .select(*entity_cols, F.col(ts), *[F.col(v) for v in values])
+    )
+
+
+def _grid_union(
+    df: DataFrame,
+    entity: Sequence[str],
+    ts: str,
+    values: Sequence[str],
+    step: str,
+    grid_start: str | None,
+    grid_end: str | None,
+) -> DataFrame:
+    """Observations ∪ dense grid rows, tagged ``_is_grid`` (0 = observation).
+
+    Shared by LOCF and linear interpolation — both fill by windowing over
+    this union ordered by ``(ts, _is_grid)``.
+    """
     entity_cols = [F.col(c) for c in entity]
 
     bounds = df.groupBy(*entity_cols).agg(
@@ -73,11 +190,12 @@ def gapfill_locf(
         F.explode(F.sequence(start_expr, end_expr, F.expr(step))).alias(ts),
     )
 
-    # Union observations with grid rows and LOCF in one window pass. Ordering
-    # by (ts, _is_grid) puts an observation at exactly a grid timestamp BEFORE
-    # that grid row, so the grid row picks it up; off-grid observations land
-    # between grid rows and carry forward to the next one (as-of semantics).
-    # An equality join would silently drop every non-aligned observation.
+    # Union observations with grid rows; the fill is one window pass in the
+    # caller. Ordering by (ts, _is_grid) puts an observation at exactly a grid
+    # timestamp BEFORE that grid row, so the grid row picks it up; off-grid
+    # observations land between grid rows and carry to the next one (as-of
+    # semantics). An equality join would silently drop every non-aligned
+    # observation.
     value_types = dict(df.dtypes)
     obs = df.select(
         *entity_cols,
@@ -91,20 +209,4 @@ def gapfill_locf(
         F.lit(1).alias("_is_grid"),
         *[F.lit(None).cast(value_types[v]).alias(v) for v in values],
     )
-    w = (
-        Window.partitionBy(*entity_cols)
-        .orderBy(ts, "_is_grid")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = (
-        obs.unionByName(grid_rows)
-        .select(
-            *entity_cols,
-            F.col(ts),
-            F.col("_is_grid"),
-            *[F.last(v, ignorenulls=True).over(w).alias(v) for v in values],
-        )
-        .filter(F.col("_is_grid") == 1)
-        .drop("_is_grid")
-    )
-    return filled
+    return obs.unionByName(grid_rows)
