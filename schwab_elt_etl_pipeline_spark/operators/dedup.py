@@ -257,6 +257,39 @@ def minhash_verified_pairs(
     return _verify_pairs_exact(cands, sh, tau)
 
 
+def simhash_blocked(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocks: int = 8,
+) -> DataFrame:
+    """Pigeonhole-blocked SimHash rows ``(id, sig, block, key)``: the 64-bit
+    signature cut into ``blocks`` contiguous bit-chunks, one row per chunk.
+
+    The bucketable form shared by the batch candidate join
+    (:func:`simhash_block_candidates`) and the streaming incremental index
+    (streaming/corpus.py ``update_simhash_index``) — both probe on the
+    ``(block, key)`` equi-key, so recall guarantees are identical.
+    """
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    base, rem = divmod(64, blocks)
+    chunks, start = [], 0
+    for bk in range(blocks):
+        w = base + (1 if bk < rem else 0)
+        chunks.append(
+            F.struct(
+                F.lit(bk).alias("block"),
+                F.shiftrightunsigned("sig", start)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("key"),
+            )
+        )
+        start += w
+    return sigs.select(
+        "id", "sig", F.explode(F.array(*chunks)).alias("bb")
+    ).select("id", "sig", "bb.block", "bb.key")
+
+
 def simhash_block_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -276,23 +309,7 @@ def simhash_block_candidates(
 
     Output: ``(a_id, b_id, hamming)`` deduplicated across blocks.
     """
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
-    base, rem = divmod(64, blocks)
-    chunks, start = [], 0
-    for bk in range(blocks):
-        w = base + (1 if bk < rem else 0)
-        chunks.append(
-            F.struct(
-                F.lit(bk).alias("block"),
-                F.shiftrightunsigned("sig", start)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("key"),
-            )
-        )
-        start += w
-    banded = sigs.select(
-        "id", "sig", F.explode(F.array(*chunks)).alias("bb")
-    ).select("id", "sig", "bb.block", "bb.key")
+    banded = simhash_blocked(df, id_col=id_col, text_col=text_col, blocks=blocks)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -22,6 +22,9 @@ up incrementally. This module runs the batch curation operators
   fingerprints are signed), and near-dup candidates for a batch are found by
   joining the BATCH's band buckets against the persistent index — O(batch)
   work per trigger, exactly how an at-scale dedup service amortizes LSH.
+- ``update_simhash_index``: the pigeonhole-blocked sibling of the MinHash
+  index — same probe-don't-rescan protocol on (block, key) buckets, with
+  SimHash's deterministic recall guarantee (Hamming ≤ blocks-1).
 - ``update_passage_index``: incremental SUB-document dedup — the streaming
   twin of ``operators/dedup.py passage_dedup_rebuild``, probing a persistent
   passage-fingerprint table so cross-batch boilerplate is dropped with
@@ -44,6 +47,7 @@ from schwab_elt_etl_pipeline_spark.streaming.runner import start_foreach_batch
 
 from schwab_elt_etl_pipeline_spark.operators.dedup import (
     _banded_signatures,
+    simhash_blocked,
     split_passages,
 )
 from schwab_elt_etl_pipeline_spark.operators.text import (
@@ -193,6 +197,60 @@ def update_minhash_index(
             ["batch_id", "index_id"]
         )
         index.insert_new(signed, keys=["id", "band"])
+        return cands
+    index.overwrite_versioned(signed)
+    return self_cands.dropDuplicates(["batch_id", "index_id"])
+
+
+def update_simhash_index(
+    batch: DataFrame,
+    index: ParquetTable,
+    blocks: int = 8,
+) -> DataFrame:
+    """Incrementally maintain a pigeonhole-blocked SimHash index and return
+    the batch's near-dup candidates against the entire corpus seen so far.
+
+    The bit-for-bit same blocking as the batch operator
+    (``operators/dedup.py simhash_blocked``): the 64-bit signature cut into
+    ``blocks`` chunks, a pair surfacing when ANY chunk collides — guaranteed
+    recall for Hamming ≤ blocks-1 (pigeonhole), incremental cost O(batch).
+    Protocol mirrors ``update_minhash_index``: sign only the batch, probe the
+    pre-bucketed index on the (block, key) equi-key, self-join the batch for
+    pairs arriving together, then append idempotently on (id, block).
+
+    Output: ``(batch_id, index_id, hamming)``.
+    """
+    signed = simhash_blocked(
+        batch, id_col="doc_id", text_col="text", blocks=blocks
+    ).localCheckpoint(eager=True)
+
+    def _pairs(left, right, residual):
+        return (
+            left.alias("a")
+            .join(
+                right.alias("b"),
+                (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.key") == F.col("b.key"))
+                & residual,
+            )
+            .select(
+                F.col("a.id").alias("batch_id"),
+                F.col("b.id").alias("index_id"),
+                F.bit_count(
+                    F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+                ).alias("hamming"),
+            )
+        )
+
+    # same-batch pairs: both sides enter the index only after this call, so
+    # the index probe alone would never surface them (see minhash twin)
+    self_cands = _pairs(signed, signed, F.col("a.id") < F.col("b.id"))
+    if index.exists():
+        probed = _pairs(signed, index.read(), F.col("a.id") != F.col("b.id"))
+        cands = probed.unionByName(self_cands).dropDuplicates(
+            ["batch_id", "index_id"]
+        )
+        index.insert_new(signed, keys=["id", "block"])
         return cands
     index.overwrite_versioned(signed)
     return self_cands.dropDuplicates(["batch_id", "index_id"])

@@ -545,3 +545,46 @@ def test_ivfadc_index_query_and_replay_stability(spark):
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_simhash_index_matches_batch_operator(spark, dirs):
+    """Stream-incremental SimHash candidates over two batches must equal the
+    batch operator's pair set over the union corpus (same blocking, same
+    recall guarantee), and the index append must be replay-idempotent."""
+    from schwab_elt_etl_pipeline_spark.operators.dedup import simhash_block_candidates
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_simhash_index
+
+    _, idx_dir, _ = dirs
+    index = ParquetTable(spark, idx_dir)
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows1 = [
+        (1, base),
+        (2, base + " truly"),            # near-dup of 1, same batch
+        (3, "completely different words about spark shuffles and joins"),
+    ]
+    rows2 = [
+        (11, base + " indeed"),          # near-dup of 1/2, later batch
+        (12, "novel content unrelated to anything indexed before now"),
+    ]
+    schema = "doc_id long, text string"
+    out1 = update_simhash_index(spark.createDataFrame(rows1, schema), index)
+    out2 = update_simhash_index(spark.createDataFrame(rows2, schema), index)
+    streamed = {
+        tuple(sorted((r["batch_id"], r["index_id"])))
+        for out in (out1, out2)
+        for r in out.collect()
+    }
+
+    batch = simhash_block_candidates(
+        spark.createDataFrame(rows1 + rows2, schema)
+    )
+    expected = {
+        tuple(sorted((r["a_id"], r["b_id"]))) for r in batch.collect()
+    }
+    assert streamed == expected
+    assert (1, 2) in streamed  # sanity: the near-dups actually collide
+
+    # replaying batch 2 must not grow the index (insert_new on (id, block))
+    n = index.read().count()
+    update_simhash_index(spark.createDataFrame(rows2, schema), index)
+    assert index.read().count() == n
