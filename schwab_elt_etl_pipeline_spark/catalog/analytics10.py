@@ -230,11 +230,11 @@ SPECS = [
     ),
     QuerySpec(
         "sample_weighted_systematic", sample_weighted_systematic,
-        SAMPLE_WEIGHTED_SQL,
+        SAMPLE_WEIGHTED_SQL, headline=True,
         doc="exact-k PPS systematic sample on the cumulative-weight line",
     ),
     QuerySpec(
-        "t_interp_linear", t_interp_linear, T_INTERP_SQL,
+        "t_interp_linear", t_interp_linear, T_INTERP_SQL, headline=True,
         doc="T9b grid + linear interpolation gapfill",
     ),
 ]

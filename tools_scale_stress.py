@@ -44,10 +44,15 @@ QUERIES = [
     "substring_dedup",
     "substring_dup_spans",
     "substring_dup_excise",
+    # round-6 prefix-scan wave: the global-order plans whose NAIVE form
+    # (SinglePartition window) cannot scale at all — the ratio certifies the
+    # two-phase scan stays linear as the order line grows 10×
+    "sample_weighted_systematic",
+    "t_interp_linear",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
-TABLES = ["lineitem", "documents", "embeddings", "events"]
+TABLES = ["lineitem", "documents", "embeddings", "events", "orders"]
 
 _SHIFT = 10_000_000  # key offset per replica copy: far above any sf0.1 key
 
@@ -96,6 +101,10 @@ def _replicate(spark: SparkSession, src: str, table: str, factor: int) -> DataFr
             )
         elif table == "lineitem":
             df = df.withColumn("l_orderkey", F.col("l_orderkey") + i * _SHIFT)
+        elif table == "orders":
+            # key shift only: the cumulative-weight line gets 10× more
+            # points with the same weight distribution (prefix-scan stress)
+            df = df.withColumn("o_orderkey", F.col("o_orderkey") + i * _SHIFT)
         copies.append(df)
     out = copies[0]
     for c in copies[1:]:
@@ -162,8 +171,9 @@ def write_scale_md(base: str, factor: int, runs: int, results: dict) -> None:
     lines = [
         "# SCALE — measured scale-stress ratios",
         "",
-        f"`python tools_scale_stress.py` at factor **{factor}×** over the six",
-        f"shuffle-heaviest headline plans. Base tables: `{base}`; replicas are",
+        f"`python tools_scale_stress.py` at factor **{factor}×** over the",
+        f"{len(results)} shuffle-heaviest catalog plans. Base tables: `{base}`;",
+        "replicas are",
         "key-shifted + content-perturbed so duplicate mass, group counts, and",
         "candidate-pair counts grow LINEARLY with the factor (naive duplication",
         "would square true-duplicate mass — see `_replicate` docstring).",
