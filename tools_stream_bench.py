@@ -1,0 +1,269 @@
+"""Streaming throughput benchmark: sustained rows/sec through the four
+Structured Streaming paths, measured end-to-end (decode + state + sink +
+per-micro-batch checkpoint commits) on ``local[$SPARK_GRAFT_CPUS]``.
+
+The reference is a live streaming ETL (websocket LEVELONE ticks -> parse ->
+SQL Server; reference services/schwab_stream.py), so ticks/sec is its
+natural headline number — it publishes none, so the claim recorded here is
+absolute measured throughput of this engine's equivalents:
+
+1. ``decode_bronze``   — newline-JSON tick files (byte-identical payloads to
+   the socket/kafka transports, same ``from_json`` decode) -> date-partitioned
+   bronze parquet sink.
+2. ``medallion_silver``— parquet tick stream -> per-batch OPT insert-new +
+   broadcast surrogate resolve + OPTM max-dedup insert (the full set-based
+   silver maintenance, exactly-once by construction).
+3. ``candles``         — tick stream -> watermarked 1-minute OHLC windows
+   (stateful event-time aggregation) -> append parquet sink.
+4. ``corpus_cascade``  — document shards -> quality gate + lang-id +
+   fingerprint -> watermarked exactly-once dedup ingest (anti-join sink).
+
+Inputs are pre-generated so the measured interval is pure stream processing:
+``maxFilesPerTrigger`` slices the input into several micro-batches, so the
+rate INCLUDES checkpoint/commit overhead per trigger — the number a
+continuously-triggered deployment would sustain, not a single-batch burst.
+
+Env knobs: STREAM_BENCH_TICKS (default 2,000,000), STREAM_BENCH_DOC_COPIES
+(default 4 key-shifted copies of $SPARK_GRAFT_SF_DIR documents),
+STREAM_BENCH_SHARDS (default 32 input files), STREAM_BENCH_TRIGGER_FILES
+(default 8 files/micro-batch), STREAM_BENCH_DIR (default /tmp/stream_bench).
+
+Writes ``STREAMBENCH.md`` and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.session import get_spark
+from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
+
+#: 2024-06-17 14:00 UTC — a fixed Monday inside the option universe's life.
+_BASE_MS = 1718632800000
+
+
+def gen_ticks(spark: SparkSession, n: int, shards: int, root: str) -> tuple[str, str]:
+    """Deterministic tick corpus: ``n`` rows over a 1,200-contract universe
+    (200 strikes x C/P x 3 expiries) with every 20th row an underlying $SPX
+    tick — the two message shapes the LEVELONE feed interleaves. Written
+    both as parquet shards (the ``files`` transport) and as newline-JSON
+    text shards (byte-identical to socket/kafka payloads)."""
+    pq_dir, js_dir = f"{root}/ticks_parquet", f"{root}/ticks_json"
+    idx = F.col("id") % 1200
+    strike = (F.lit(5000) + (idx % 200) * 5).cast("int")
+    cp = F.when(F.floor(idx / 200) % 2 == 0, F.lit("C")).otherwise(F.lit("P"))
+    expiry = F.element_at(
+        F.array(F.lit("240621"), F.lit("240719"), F.lit("240816")),
+        F.floor(idx / 400).cast("int") + 1,
+    )
+    opt_symbol = F.concat(
+        F.lit("SPXW  "), expiry, cp, F.lpad((strike * 1000).cast("string"), 8, "0")
+    )
+    is_under = (F.col("id") % 20) == 0
+    received = F.lit(_BASE_MS) + F.col("id") * 5  # 5 ms cadence
+    ticks = (
+        spark.range(n)
+        .select(
+            received.alias("received_at"),
+            F.when(is_under, F.lit("$SPX")).otherwise(opt_symbol).alias("symbol"),
+            F.when(~is_under, F.lit(20.0) + (F.col("id") % 1000) / 100.0).alias("37"),
+            F.when(~is_under, received - F.col("id") % 997).alias("38"),
+            F.when(is_under, F.lit(5500.0) + (F.col("id") % 500) / 10.0).alias("3"),
+            F.when(is_under, received).alias("35"),
+        )
+        .repartition(shards)
+    )
+    ticks.write.mode("overwrite").parquet(pq_dir)
+    ticks.select(
+        F.to_json(
+            F.struct("received_at", "symbol", F.col("37"), F.col("38"), F.col("3"), F.col("35"))
+        ).alias("value")
+    ).write.mode("overwrite").text(js_dir)
+    return pq_dir, js_dir
+
+
+def gen_docs(spark: SparkSession, sf_dir: str, copies: int, shards: int, root: str) -> tuple[str, int]:
+    """Key-shifted document replicas + an ingest timestamp for the watermark.
+    The shift keeps doc_ids unique so exact-dedup drops only the true
+    (content-fingerprint) repeats across copies — which IS the interesting
+    load for the dedup state store."""
+    out = f"{root}/docs_parquet"
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = [
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000)) for i in range(copies)
+    ]
+    docs = frames[0]
+    for f in frames[1:]:
+        docs = docs.unionByName(f)
+    docs = docs.withColumn(
+        "ingest_ts", F.timestamp_millis(F.lit(_BASE_MS) + (F.col("doc_id") % 3_600_000))
+    ).repartition(shards)
+    docs.write.mode("overwrite").parquet(out)
+    n = spark.read.parquet(out).count()
+    return out, n
+
+
+def _drain(q) -> float:
+    t0 = time.perf_counter()
+    q.awaitTermination()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_ticks = int(os.environ.get("STREAM_BENCH_TICKS", "2000000"))
+    copies = int(os.environ.get("STREAM_BENCH_DOC_COPIES", "4"))
+    shards = int(os.environ.get("STREAM_BENCH_SHARDS", "32"))
+    per_trigger = int(os.environ.get("STREAM_BENCH_TRIGGER_FILES", "8"))
+    root = os.environ.get("STREAM_BENCH_DIR", "/tmp/stream_bench")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+
+    from schwab_elt_etl_pipeline_spark.streaming import (
+        read_quote_stream,
+        windowed_candles,
+        write_bronze_stream,
+    )
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import (
+        curate_stream,
+        read_document_stream,
+        write_curated_stream,
+    )
+    from schwab_elt_etl_pipeline_spark.streaming.pipeline import run_streaming_silver
+
+    spark = get_spark(app_name="stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"generating {n_ticks} ticks ({shards} shards) ...", flush=True)
+    pq_dir, js_dir = gen_ticks(spark, n_ticks, shards, root)
+    docs_dir, n_docs = gen_docs(spark, sf_dir, copies, shards, root)
+    print(f"generated {n_docs} docs", flush=True)
+    results: dict[str, dict] = {}
+
+    def record(stage: str, rows: int, wall: float, out_rows: int) -> None:
+        results[stage] = {
+            "rows_in": rows,
+            "wall_s": round(wall, 2),
+            "rows_per_s": int(rows / wall),
+            "rows_out": out_rows,
+        }
+        print(f"  {stage}: {rows} rows in {wall:.2f}s -> {results[stage]['rows_per_s']}/s", flush=True)
+
+    # 1. JSON decode -> bronze parquet
+    sink, ckpt = f"{root}/bronze", f"{root}/bronze_ckpt"
+    q = write_bronze_stream(
+        read_quote_stream(spark, js_dir, max_files_per_trigger=per_trigger, fmt="json-files"),
+        sink,
+        ckpt,
+    )
+    wall = _drain(q)
+    record("decode_bronze", n_ticks, wall, spark.read.parquet(sink).count())
+
+    # 2. medallion silver maintenance (foreachBatch: insert-new + resolve + dedup)
+    opt = ParquetTable(spark, f"{root}/opt")
+    optm = ParquetTable(spark, f"{root}/optm")
+    q = run_streaming_silver(
+        read_quote_stream(spark, pq_dir, max_files_per_trigger=per_trigger),
+        opt,
+        optm,
+        f"{root}/silver_ckpt",
+    )
+    wall = _drain(q)
+    record("medallion_silver", n_ticks, wall, optm.read().count())
+
+    # 3. watermarked OHLC candles (stateful event-time aggregation)
+    # 30 s watermark (vs the 5 min service default): the synthetic feed is
+    # in-order, and a tight watermark lets append mode finalize nearly every
+    # window before the availableNow drain ends — rows_out then reflects the
+    # real emission volume instead of state still parked at stream end.
+    candles = windowed_candles(
+        read_quote_stream(spark, pq_dir, max_files_per_trigger=per_trigger),
+        watermark="30 seconds",
+    )
+    q = (
+        candles.writeStream.format("parquet")
+        .option("path", f"{root}/candles")
+        .option("checkpointLocation", f"{root}/candles_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wall = _drain(q)
+    record("candles", n_ticks, wall, spark.read.parquet(f"{root}/candles").count())
+
+    # 4. corpus curation + exactly-once dedup ingest
+    bronze_docs = ParquetTable(spark, f"{root}/docs_bronze")
+    q = write_curated_stream(
+        curate_stream(read_document_stream(spark, docs_dir, max_files_per_trigger=per_trigger)),
+        bronze_docs,
+        f"{root}/docs_ckpt",
+    )
+    wall = _drain(q)
+    record("corpus_cascade", n_docs, wall, bronze_docs.read().count())
+
+    payload = {
+        "metric": "streaming throughput (rows/sec, end-to-end incl. checkpoints)",
+        "ticks": n_ticks,
+        "docs": n_docs,
+        "shards": shards,
+        "files_per_trigger": per_trigger,
+        "results": results,
+    }
+    write_streambench_md(payload)
+    print(json.dumps(payload))
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def write_streambench_md(payload: dict) -> None:
+    r = payload["results"]
+    lines = [
+        "# STREAMBENCH — measured Structured Streaming throughput",
+        "",
+        f"`python tools_stream_bench.py`: {payload['ticks']:,} synthetic LEVELONE",
+        f"ticks / {payload['docs']:,} crawl documents, {payload['shards']} input",
+        f"shards drained `availableNow` at {payload['files_per_trigger']}",
+        "files/micro-batch, so every rate below pays per-trigger checkpoint",
+        "commits — the sustained service rate, not a one-batch burst. The JSON",
+        "stage decodes the exact byte payloads the socket/kafka transports",
+        "deliver (shared `parse_stream_json`).",
+        "",
+        "| stage | rows in | wall s | rows/sec | rows out |",
+        "|---|---|---|---|---|",
+    ]
+    for stage, v in r.items():
+        lines.append(
+            f"| {stage} | {v['rows_in']:,} | {v['wall_s']} | "
+            f"**{v['rows_per_s']:,}** | {v['rows_out']:,} |"
+        )
+    lines += [
+        "",
+        "The reference publishes no throughput numbers (BASELINE.md); its",
+        "ingest path is a single-threaded websocket handler writing to SQL",
+        "Server per message batch. The rates above are one `local[32]` node.",
+        "decode/candles/corpus shuffle only on their state key (symbol /",
+        "window / fingerprint), so executors scale them out;",
+        "`medallion_silver` additionally anti-joins every batch against the",
+        "OPTM key set it has accumulated, so its rate is net of that growing",
+        "read — the honest price of exactly-once inserts (a served deployment",
+        "bounds it by date-partitioning the sink so the anti-join prunes to",
+        "the partitions a batch can touch).",
+        "",
+        "```json",
+        json.dumps(payload),
+        "```",
+        "",
+    ]
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "STREAMBENCH.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
