@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
 from schwab_elt_etl_pipeline_spark.operators.gapfill import gapfill_interpolate
 from schwab_elt_etl_pipeline_spark.operators.prefix import prefix_agg
+from schwab_elt_etl_pipeline_spark.operators.smooth import ewma
 from schwab_elt_etl_pipeline_spark.sources import load_table
 
 
@@ -219,7 +220,57 @@ FROM marked WHERE is_grid = 1
 """
 
 
+# --------------------------------------------------------------------------
+# EWMA smoothing — the recursive sibling of the W1-W3 moving-average family.
+# --------------------------------------------------------------------------
+def w_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.2) of event values in (ts, event_id) order.
+
+    The oracle states the closed form ``y_t = d^(t-1) x_1 + a*SUM d^(t-i)
+    x_i`` directly — safe in DuckDB only because the fixture's per-user
+    series are short (<=99 rows, so ``POWER(0.8, -rn)`` stays ~1e9). The
+    engine answers with the chunked-exponent scan (``operators/smooth.py``):
+    ``chunk_rows=16`` forces up to 7 per-user chunks through the affine
+    carry fold, so the hash match certifies the fold against the closed
+    form, not just the single-chunk fast path. Output rounds to 4 digits:
+    the two evaluation orders differ by ~1 ulp per step and 6-digit
+    rounding would flip a boundary row every few thousand rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma(
+        ev, "value", ["user_id"], ["ts", "event_id"], alpha=0.2, chunk_rows=16
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round("ewma", 4).alias("ewma_val"),
+    )
+
+
+W_EWMA_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS rn
+  FROM events
+)
+SELECT user_id, event_id, value,
+       ROUND(POWER(0.8, rn) * SUM(
+          (CASE WHEN rn = 0 THEN value ELSE 0.2 * value END)
+          * POWER(0.8, -rn)
+       ) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       4) AS ewma_val
+FROM r
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "w_ewma_smooth", w_ewma_smooth, W_EWMA_SQL,
+        doc="exact EWMA recurrence via chunked-exponent native window scan",
+    ),
     QuerySpec(
         "w_running_total_global", w_running_total_global, W_RUNNING_TOTAL_SQL,
         doc="global running total via distributed prefix scan",

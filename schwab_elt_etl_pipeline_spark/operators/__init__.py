@@ -81,6 +81,7 @@ from schwab_elt_etl_pipeline_spark.operators.text import (
     lang_id,
     token_count,
 )
+from schwab_elt_etl_pipeline_spark.operators.smooth import ewma
 from schwab_elt_etl_pipeline_spark.operators.windows import (
     leading_avg,
     rolling_avg,
@@ -114,6 +115,7 @@ __all__ = [
     "decontaminate",
     "dq_summary",
     "eval_gram_set",
+    "ewma",
     "exact_dup_groups",
     "fingerprint",
     "frame_sample_plan",
