@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
 from schwab_elt_etl_pipeline_spark.operators.gapfill import gapfill_interpolate
 from schwab_elt_etl_pipeline_spark.operators.prefix import prefix_agg
+from schwab_elt_etl_pipeline_spark.operators.recurrence import linear_recurrence
 from schwab_elt_etl_pipeline_spark.operators.smooth import ewma
 from schwab_elt_etl_pipeline_spark.sources import load_table
 
@@ -266,10 +267,140 @@ FROM r
 """
 
 
+# --------------------------------------------------------------------------
+# EW volatility — the diagonal case of the linear-recurrence scan.
+# --------------------------------------------------------------------------
+def w_ew_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics EW mean + EW std (lambda=0.8) per user.
+
+    One ``linear_recurrence`` pass carries EWMA(x) and EWMA(x^2) jointly
+    (diagonal A — the state components never mix), then
+    ``std = sqrt(m2 - m1^2)``. The oracle states the scalar closed form
+    twice; ``chunk_rows=16`` again forces the multi-chunk carry fold. This
+    certifies the matrix scan degenerates exactly to two independent EWMAs.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_x2", F.col("value") * F.col("value")
+    )
+    out = linear_recurrence(
+        ev,
+        ["value", "_x2"],
+        ["user_id"],
+        ["ts", "event_id"],
+        A=[[0.8, 0.0], [0.0, 0.8]],
+        B=[[0.2, 0.0], [0.0, 0.2]],
+        init=[[1.0, 0.0], [0.0, 1.0]],
+        outs=["_m1", "_m2"],
+        chunk_rows=16,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round("_m1", 4).alias("ew_mean"),
+        F.round(
+            F.sqrt(F.greatest(F.col("_m2") - F.col("_m1") * F.col("_m1"), F.lit(0.0))),
+            4,
+        ).alias("ew_std"),
+    )
+
+
+W_EWVOL_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS rn
+  FROM events
+), m AS (
+  SELECT user_id, event_id, value,
+         POWER(0.8, rn) * SUM(
+            (CASE WHEN rn = 0 THEN value ELSE 0.2 * value END)
+            * POWER(0.8, -rn)
+         ) OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m1,
+         POWER(0.8, rn) * SUM(
+            (CASE WHEN rn = 0 THEN value*value ELSE 0.2 * value*value END)
+            * POWER(0.8, -rn)
+         ) OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m2
+  FROM r
+)
+SELECT user_id, event_id, value,
+       ROUND(m1, 4) AS ew_mean,
+       ROUND(SQRT(GREATEST(m2 - m1*m1, 0)), 4) AS ew_std
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Holt level+trend — the full-matrix (complex-eigenvalue) case.
+# --------------------------------------------------------------------------
+def w_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (alpha=0.4, beta=0.3) per user.
+
+    The 2-state recurrence ``l_t = a*x + (1-a)(l+b); b_t = B(l_t - l_(t-1))
+    + (1-B) b_t-1`` in matrix form: A = [[0.6, 0.6], [-0.12, 0.88]]
+    (complex eigenvalues, |lambda| = sqrt(0.6)), B = [0.4, 0.12], seed
+    (x_1, 0). SQL cannot state a closed form here, so the oracle IS the
+    recurrence — a DuckDB recursive CTE stepping rn by rn — and the hash
+    match proves the chunked matrix-power scan equals sequential execution.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = linear_recurrence(
+        ev,
+        ["value"],
+        ["user_id"],
+        ["ts", "event_id"],
+        A=[[0.6, 0.6], [-0.12, 0.88]],
+        B=[[0.4], [0.12]],
+        init=[[1.0], [0.0]],
+        outs=["_l", "_b"],
+        chunk_rows=16,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round("_l", 4).alias("lvl"),
+        F.round("_b", 4).alias("trend"),
+        F.round(F.col("_l") + F.col("_b"), 4).alias("fcast"),
+    )
+
+
+W_HOLT_SQL = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS rn
+  FROM events
+), r AS (
+  SELECT user_id, event_id, value, rn,
+         1.0 * COALESCE(value, 0) AS l, CAST(0 AS DOUBLE) AS b
+  FROM base WHERE rn = 0
+  UNION ALL
+  SELECT base.user_id, base.event_id, base.value, base.rn,
+         0.6 * r.l + 0.6 * r.b + 0.4 * COALESCE(base.value, 0) AS l,
+         -0.12 * r.l + 0.88 * r.b + 0.12 * COALESCE(base.value, 0) AS b
+  FROM r JOIN base ON base.user_id = r.user_id AND base.rn = r.rn + 1
+)
+SELECT user_id, event_id, value,
+       ROUND(l, 4) AS lvl, ROUND(b, 4) AS trend, ROUND(l + b, 4) AS fcast
+FROM r
+"""
+
+
 SPECS = [
     QuerySpec(
         "w_ewma_smooth", w_ewma_smooth, W_EWMA_SQL,
         doc="exact EWMA recurrence via chunked-exponent native window scan",
+    ),
+    QuerySpec(
+        "w_ew_volatility", w_ew_volatility, W_EWVOL_SQL,
+        doc="EW mean+std via one diagonal linear-recurrence pass",
+    ),
+    QuerySpec(
+        "w_holt_trend", w_holt_trend, W_HOLT_SQL,
+        doc="Holt level+trend matrix scan vs sequential recursive-CTE oracle",
     ),
     QuerySpec(
         "w_running_total_global", w_running_total_global, W_RUNNING_TOTAL_SQL,

@@ -81,6 +81,7 @@ from schwab_elt_etl_pipeline_spark.operators.text import (
     lang_id,
     token_count,
 )
+from schwab_elt_etl_pipeline_spark.operators.recurrence import linear_recurrence
 from schwab_elt_etl_pipeline_spark.operators.smooth import ewma
 from schwab_elt_etl_pipeline_spark.operators.windows import (
     leading_avg,
@@ -127,6 +128,7 @@ __all__ = [
     "jaccard",
     "lang_id",
     "leading_avg",
+    "linear_recurrence",
     "merge_upsert",
     "minhash_lsh_candidates",
     "minhash_signature",
