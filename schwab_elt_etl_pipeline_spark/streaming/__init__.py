@@ -24,6 +24,10 @@ from schwab_elt_etl_pipeline_spark.streaming.scd_enrich import (
     enrich_batch_asof,
     start_scd2_enrich,
 )
+from schwab_elt_etl_pipeline_spark.streaming.smooth_stream import (
+    ewma_stream,
+    recurrence_stream,
+)
 from schwab_elt_etl_pipeline_spark.streaming.tws_latest import (
     latest_quote_changelog,
 )
@@ -32,11 +36,13 @@ __all__ = [
     "curate_stream",
     "dedup_stream",
     "enrich_batch_asof",
+    "ewma_stream",
     "latest_per_key",
     "latest_quote_changelog",
     "ProgressRecorder",
     "read_document_stream",
     "read_quote_stream",
+    "recurrence_stream",
     "start_scd2_enrich",
     "tick_sessions",
     "update_ann_index",
