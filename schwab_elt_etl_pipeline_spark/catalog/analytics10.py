@@ -399,7 +399,7 @@ SPECS = [
         doc="EW mean+std via one diagonal linear-recurrence pass",
     ),
     QuerySpec(
-        "w_holt_trend", w_holt_trend, W_HOLT_SQL,
+        "w_holt_trend", w_holt_trend, W_HOLT_SQL, headline=True,
         doc="Holt level+trend matrix scan vs sequential recursive-CTE oracle",
     ),
     QuerySpec(

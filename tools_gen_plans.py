@@ -27,6 +27,7 @@ _NAMES = [
     "substring_dup_spans",
     "substring_dup_excise",
     "t9_gapfill_locf",
+    "w_holt_trend",
 ]
 
 _HEADER = """# PLANS — executed physical plans of the heaviest headline queries

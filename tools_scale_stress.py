@@ -49,6 +49,10 @@ QUERIES = [
     # two-phase scan stays linear as the order line grows 10×
     "sample_weighted_systematic",
     "t_interp_linear",
+    # linear-recurrence scan: the key shift gives 10x MORE users with the
+    # same series length — the ratio certifies the chunked matrix-power
+    # fold is per-entity work with no global stage
+    "w_holt_trend",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
