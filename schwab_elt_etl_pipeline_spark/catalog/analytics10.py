@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
 from schwab_elt_etl_pipeline_spark.operators.gapfill import gapfill_interpolate
@@ -389,10 +390,132 @@ FROM r
 """
 
 
+# --------------------------------------------------------------------------
+# CUSUM change detection — a NONLINEAR recurrence via the prefix identity.
+# --------------------------------------------------------------------------
+def w_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper CUSUM (target 75 ~ mean+0.5 sigma, threshold 200 ~ 4 sigma) per user.
+
+    ``S_t = max(0, S_(t-1) + z_t)`` has a max() in the recurrence, so the
+    linear-recurrence scan doesn't apply — but the reset-at-zero clamp has
+    an exact prefix identity: ``S_t = P_t - min(0, min_(i<=t) P_i)`` where
+    ``P`` is the running sum of ``z``. Two native window scans on the same
+    entity exchange, no recursion anywhere. Exact decimal partials make the
+    running sum and min order-independent, so the oracle matches without
+    rounding slack.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    z = F.col("value").cast("decimal(18,6)") - F.lit(75)
+    run = ev.select(
+        "user_id", "event_id", "ts", "value", F.sum(z).over(w).alias("_p")
+    )
+    s = F.col("_p") - F.least(
+        F.lit(0).cast("decimal(28,6)"), F.min("_p").over(w)
+    )
+    return run.select(
+        "user_id",
+        "event_id",
+        "value",
+        s.cast("double").alias("cusum"),
+        (s > 200).cast("int").alias("alarm"),
+    )
+
+
+W_CUSUM_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts, value,
+         SUM(CAST(value AS DECIMAL(18,6)) - 75) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM events
+), m AS (
+  SELECT user_id, event_id, value, run,
+         MIN(run) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo
+  FROM p
+), s AS (
+  -- CASE, not LEAST: DuckDB's LEAST promotes DECIMAL args to DOUBLE,
+  -- which would reintroduce the fp drift the decimals exist to avoid
+  SELECT user_id, event_id, value,
+         run - (CASE WHEN lo < 0 THEN lo ELSE CAST(0 AS DECIMAL(38,6)) END)
+           AS cusum
+  FROM m
+)
+SELECT user_id, event_id, value,
+       CAST(cusum AS DOUBLE) AS cusum,
+       CAST(cusum > 200 AS INT) AS alarm
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Max drawdown — running peak minus current, maximized per entity.
+# --------------------------------------------------------------------------
+def w_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst peak-to-trough decline of each user's cumulative value line.
+
+    ``D_t = max_(i<=t) P_i - P_t`` (running max over the same prefix-sum
+    line CUSUM uses), aggregated to one row per user. Exact decimals end
+    to end; the double cast happens once at the output boundary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).alias("_p"),
+    )
+    dd = F.max("_p").over(w) - F.col("_p")
+    return (
+        run.select("user_id", dd.alias("_dd"))
+        .groupBy("user_id")
+        .agg(F.max("_dd").cast("double").alias("max_drawdown"))
+    )
+
+
+W_DRAWDOWN_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(value AS DECIMAL(18,6))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM events
+), d AS (
+  SELECT user_id,
+         MAX(run) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+         run
+  FROM p
+)
+SELECT user_id, CAST(MAX(peak - run) AS DOUBLE) AS max_drawdown
+FROM d GROUP BY user_id
+"""
+
+
 SPECS = [
     QuerySpec(
         "w_ewma_smooth", w_ewma_smooth, W_EWMA_SQL,
         doc="exact EWMA recurrence via chunked-exponent native window scan",
+    ),
+    QuerySpec(
+        "w_cusum_shift", w_cusum_shift, W_CUSUM_SQL,
+        doc="CUSUM clamp recurrence via the exact prefix-min identity",
+    ),
+    QuerySpec(
+        "w_max_drawdown", w_max_drawdown, W_DRAWDOWN_SQL,
+        doc="per-user max drawdown from exact decimal prefix sums",
     ),
     QuerySpec(
         "w_ew_volatility", w_ew_volatility, W_EWVOL_SQL,
