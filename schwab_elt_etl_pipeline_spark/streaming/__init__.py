@@ -25,6 +25,7 @@ from schwab_elt_etl_pipeline_spark.streaming.scd_enrich import (
     start_scd2_enrich,
 )
 from schwab_elt_etl_pipeline_spark.streaming.smooth_stream import (
+    cusum_stream,
     ewma_stream,
     recurrence_stream,
 )
@@ -34,6 +35,7 @@ from schwab_elt_etl_pipeline_spark.streaming.tws_latest import (
 
 __all__ = [
     "curate_stream",
+    "cusum_stream",
     "dedup_stream",
     "enrich_batch_asof",
     "ewma_stream",

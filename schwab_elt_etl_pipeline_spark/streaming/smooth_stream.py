@@ -115,6 +115,62 @@ def recurrence_stream(
     )
 
 
+def cusum_stream(
+    stream: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    order: Sequence[str],
+    target: float,
+    out: str = "cusum",
+) -> DataFrame:
+    """Upper CUSUM ``S_t = max(0, S_(t-1) + (x_t - target))`` per key.
+
+    The clamp makes this recurrence nonlinear, so it is NOT a
+    :func:`recurrence_stream` instance — but it is still one scalar of
+    state per key.  Batch side the engine computes the same quantity
+    without recursion via the prefix identity ``S_t = P_t - min(0, min
+    P_i)`` (catalog ``w_cusum_shift``); the stream≡batch parity test
+    cross-certifies the identity against the textbook sequential form.
+    A null observation leaves the state untouched (its ``z`` is unknown,
+    matching the batch side where a null contributes nothing to either
+    the prefix sum or the prefix min).
+    """
+    out_schema = StructType(
+        list(stream.schema.fields) + [StructField(out, DoubleType())]
+    )
+    passthrough = [f.name for f in stream.schema.fields]
+    order_cols = list(order)
+
+    def step(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        s = float(state.get[0]) if state.exists else 0.0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+            xs = pdf[value].to_numpy(dtype=float)
+            vals = np.empty(len(pdf))
+            for i, x in enumerate(xs):
+                if not np.isnan(x):
+                    s = max(0.0, s + (x - target))
+                vals[i] = s
+            res = pdf[passthrough].copy()
+            res[out] = vals
+            yield res
+        state.update((s,))
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType="s double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def ewma_stream(
     stream: DataFrame,
     value: str,

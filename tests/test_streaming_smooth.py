@@ -108,6 +108,54 @@ def test_recurrence_stream_matches_batch_holt(spark):
         assert r.trend == pytest.approx(wt, rel=1e-12), (r.ent, r.t)
 
 
+def test_cusum_stream_matches_prefix_identity(spark):
+    """The streaming clamp recurrence must equal the batch prefix-min
+    identity S_t = P_t - min(0, min P_i) — the w_cusum_shift construction —
+    cross-certifying the identity against sequential execution."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from schwab_elt_etl_pipeline_spark.streaming.smooth_stream import cusum_stream
+
+    target = 9.0
+    rows = _run_stream(
+        spark, lambda s: cusum_stream(s, "x", ["ent"], ["t"], target=target)
+    )
+
+    batch_df = spark.createDataFrame(BATCH1 + BATCH2, SCHEMA)
+    w = (
+        Window.partitionBy("ent")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = batch_df.select(
+        "ent", "t", F.sum(F.col("x") - target).over(w).alias("_p")
+    )
+    ident = run.select(
+        "ent",
+        "t",
+        (
+            F.col("_p")
+            - F.least(F.lit(0.0), F.min("_p").over(w))
+        ).alias("cusum"),
+    )
+    want = {(r.ent, r.t): r.cusum for r in ident.collect()}
+
+    # sequential ground truth, null leaves state untouched
+    seq = {}
+    st = {}
+    for ent, t, x in BATCH1 + BATCH2:
+        s = st.get(ent, 0.0)
+        if x is not None:
+            s = max(0.0, s + (x - target))
+        st[ent] = s
+        seq[(ent, t)] = s
+
+    assert len(rows) == len(want) == len(seq)
+    for r in rows:
+        assert r.cusum == pytest.approx(seq[(r.ent, r.t)], abs=1e-9), (r.ent, r.t)
+        assert r.cusum == pytest.approx(want[(r.ent, r.t)], abs=1e-9), (r.ent, r.t)
+
+
 def test_stream_validation():
     with pytest.raises(ValueError):
         ewma_stream(None, "x", ["e"], ["t"], alpha=0.0)
