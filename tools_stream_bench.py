@@ -1,4 +1,4 @@
-"""Streaming throughput benchmark: sustained rows/sec through the four
+"""Streaming throughput benchmark: sustained rows/sec through the five
 Structured Streaming paths, measured end-to-end (decode + state + sink +
 per-micro-batch checkpoint commits) on ``local[$SPARK_GRAFT_CPUS]``.
 
@@ -17,6 +17,9 @@ absolute measured throughput of this engine's equivalents:
    (stateful event-time aggregation) -> append parquet sink.
 4. ``corpus_cascade``  — document shards -> quality gate + lang-id +
    fingerprint -> watermarked exactly-once dedup ingest (anti-join sink).
+5. ``stateful_smoothing`` — tick stream -> per-contract EWMA of the option
+   mark (``applyInPandasWithState``, 1,200 keys of persistent state) ->
+   append parquet sink.
 
 Inputs are pre-generated so the measured interval is pure stream processing:
 ``maxFilesPerTrigger`` slices the input into several micro-batches, so the
@@ -206,6 +209,29 @@ def main() -> None:
     wall = _drain(q)
     record("corpus_cascade", n_docs, wall, bronze_docs.read().count())
 
+    # 5. stateful per-key smoothing (applyInPandasWithState EWMA of the
+    # option mark per contract — 1,200 keys of persistent state)
+    from schwab_elt_etl_pipeline_spark.streaming import ewma_stream
+
+    q = (
+        ewma_stream(
+            read_quote_stream(spark, pq_dir, max_files_per_trigger=per_trigger),
+            "37",
+            ["symbol"],
+            ["received_at"],
+            alpha=0.1,
+            out="mark_ewma",
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{root}/smoothed")
+        .option("checkpointLocation", f"{root}/smooth_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wall = _drain(q)
+    record("stateful_smoothing", n_ticks, wall, spark.read.parquet(f"{root}/smoothed").count())
+
     payload = {
         "metric": "streaming throughput (rows/sec, end-to-end incl. checkpoints)",
         "ticks": n_ticks,
@@ -252,7 +278,10 @@ def write_streambench_md(payload: dict) -> None:
         "OPTM key set it has accumulated, so its rate is net of that growing",
         "read — the honest price of exactly-once inserts (a served deployment",
         "bounds it by date-partitioning the sink so the anti-join prunes to",
-        "the partitions a batch can touch).",
+        "the partitions a batch can touch). `stateful_smoothing` crosses the",
+        "Arrow/pandas boundary every batch (applyInPandasWithState is the",
+        "sanctioned Python edge) — its rate is the honest cost of per-key",
+        "Python state, and it still emits every input row downstream.",
         "",
         "```json",
         json.dumps(payload),
