@@ -504,10 +504,79 @@ FROM d GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Rolling median + MAD outlier flag — the robust-smoothing sibling.
+# --------------------------------------------------------------------------
+def w_rolling_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """21-row rolling median per user, outliers flagged at 5 robust sigmas.
+
+    The robust counterpart of the EWMA/Holt family: a rolling exact median
+    (order statistics cannot be EW-smoothed) for the local level, scaled by
+    the per-user global MAD (two grouped medians + a broadcast join-back —
+    the `a_mad_robust` shape). The flag compares against ROUNDED med/MAD on
+    both sides so a 1-ulp interpolation difference between engines cannot
+    flip a boundary row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med_u = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("_med_u")
+    )
+    mad_u = (
+        ev.join(F.broadcast(med_u), "user_id")
+        .withColumn("_dev", F.abs(F.col("value") - F.col("_med_u")))
+        .groupBy("user_id")
+        .agg(F.round(F.expr("percentile(_dev, 0.5)"), 4).alias("_mad"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, 10)
+    )
+    rolled = ev.withColumn(
+        "_roll", F.round(F.expr("percentile(value, 0.5)").over(w), 4)
+    )
+    return (
+        rolled.join(F.broadcast(mad_u), "user_id")
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("_roll").alias("roll_med"),
+            (
+                F.abs(F.col("value") - F.col("_roll")) > 5 * F.col("_mad")
+            ).cast("int").alias("is_outlier"),
+        )
+    )
+
+
+W_ROLLMED_SQL = """
+WITH med AS (
+  SELECT user_id, MEDIAN(value) AS med_u FROM events GROUP BY user_id
+), mad AS (
+  SELECT e.user_id, ROUND(MEDIAN(ABS(e.value - m.med_u)), 4) AS mad_u
+  FROM events e JOIN med m ON e.user_id = m.user_id
+  GROUP BY e.user_id
+), rolled AS (
+  SELECT user_id, event_id, value,
+         ROUND(MEDIAN(value) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING), 4) AS roll_med
+  FROM events
+)
+SELECT r.user_id, r.event_id, r.value, r.roll_med,
+       CAST(ABS(r.value - r.roll_med) > 5 * m.mad_u AS INT) AS is_outlier
+FROM rolled r JOIN mad m ON r.user_id = m.user_id
+"""
+
+
 SPECS = [
     QuerySpec(
         "w_ewma_smooth", w_ewma_smooth, W_EWMA_SQL,
         doc="exact EWMA recurrence via chunked-exponent native window scan",
+    ),
+    QuerySpec(
+        "w_rolling_median_mad", w_rolling_median_mad, W_ROLLMED_SQL,
+        doc="rolling exact median + per-user MAD outlier flags",
     ),
     QuerySpec(
         "w_cusum_shift", w_cusum_shift, W_CUSUM_SQL,
