@@ -142,6 +142,43 @@ def test_null_decays_without_update(spark):
     assert got[2] == pytest.approx(12.5)
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _floats = st.one_of(
+        st.none(),
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=64),
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        xs=st.lists(_floats, min_size=1, max_size=60),
+        alpha=st.floats(min_value=0.05, max_value=0.95),
+        chunk=st.integers(min_value=1, max_value=9),
+    )
+    def test_property_random_series_match_sequential(spark, xs, alpha, chunk):
+        """Any series/alpha/chunking: the chunked scan equals the sequential
+        recurrence (EWMA form y_1 = x_1, nulls decay without update)."""
+        rows = [(0, t, x) for t, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "ent int, t int, x double")
+        got = {
+            r.t: r.s0
+            for r in linear_recurrence(
+                df, ["x"], ["ent"], ["t"],
+                A=[[1.0 - alpha]], B=[[alpha]], init=[[1.0]],
+                outs=["s0"], chunk_rows=chunk,
+            ).collect()
+        }
+        want = _sequential(
+            [(x,) for x in xs], [[1.0 - alpha]], [[alpha]], [[1.0]]
+        )
+        for t in range(len(xs)):
+            assert got[t] == pytest.approx(want[t][0], rel=1e-9, abs=1e-9)
+
+except ImportError:  # pragma: no cover - hypothesis is baked into the env
+    pass
+
+
 def test_shape_validation():
     with pytest.raises(ValueError):
         linear_recurrence(None, ["x"], ["e"], ["t"], [[1.0, 0.0]], [[1.0]])
