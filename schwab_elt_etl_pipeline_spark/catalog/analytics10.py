@@ -358,13 +358,15 @@ def w_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         outs=["_l", "_b"],
         chunk_rows=16,
     )
+    # "+ 0.0" after ROUND canonicalizes IEEE negative zero (a tiny negative
+    # trend rounds to -0.0 in one engine and 0.0 in the other at sf0.1)
     return out.select(
         "user_id",
         "event_id",
         "value",
-        F.round("_l", 4).alias("lvl"),
-        F.round("_b", 4).alias("trend"),
-        F.round(F.col("_l") + F.col("_b"), 4).alias("fcast"),
+        (F.round("_l", 4) + F.lit(0.0)).alias("lvl"),
+        (F.round("_b", 4) + F.lit(0.0)).alias("trend"),
+        (F.round(F.col("_l") + F.col("_b"), 4) + F.lit(0.0)).alias("fcast"),
     )
 
 
@@ -385,7 +387,8 @@ WITH RECURSIVE base AS (
   FROM r JOIN base ON base.user_id = r.user_id AND base.rn = r.rn + 1
 )
 SELECT user_id, event_id, value,
-       ROUND(l, 4) AS lvl, ROUND(b, 4) AS trend, ROUND(l + b, 4) AS fcast
+       ROUND(l, 4) + 0.0 AS lvl, ROUND(b, 4) + 0.0 AS trend,
+       ROUND(l + b, 4) + 0.0 AS fcast
 FROM r
 """
 
