@@ -122,6 +122,7 @@ _FRONT = [
     "substring_dup_spans", "substring_dup_excise", "ann_ivfadc_index",
     "w_ewma_smooth", "w_ew_volatility", "w_holt_trend",
     "w_cusum_shift", "w_max_drawdown", "w_rolling_median_mad",
+    "t_seasonal_residuals",
     # (b) last driver-green in round 2 — the stalest cohort (VERDICT r5 #2)
     "dq_summary_lineitem", "fuzzy_name_pairs",
     "j_interval_views_after_purchase", "p_pivot_status", "p_unpivot_candles",
@@ -141,10 +142,11 @@ _FRONT = [
     "w_lag_delta", "t_asof_enrich", "t_hopping_windows", "t_session_window",
     "t_vwap_weighted", "rollup_multires_1h",
     "bpe_pair_stats", "corpus_curation_e2e", "decontam_ngram_overlap",
-    "doc_chunking", "gopher_repetition", "kmeans_assign_fixed",
-    # --- 50-entry sample window ends here (13 new + 9 r2 + 28 r3); below
+    "doc_chunking", "gopher_repetition",
+    # --- 50-entry sample window ends here (14 new + 9 r2 + 27 r3); below
     # queues for the round-7 rotation ---
-    "pii_redact_scrub", "semantic_dedup_keep", "q_daily_user_rank",
+    "kmeans_assign_fixed", "pii_redact_scrub", "semantic_dedup_keep",
+    "q_daily_user_rank",
     "q_top_customers", "q1_pricing_summary", "q2_min_cost_supplier",
     "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
     "q6_revenue_change",

@@ -572,10 +572,73 @@ FROM rolled r JOIN mad m ON r.user_id = m.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Seasonal baseline residuals — the calendar leg of the anomaly toolkit.
+# --------------------------------------------------------------------------
+def t_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal median baseline per event type, 4-MAD flags.
+
+    The seasonal sibling of w_rolling_median_mad / w_cusum_shift: the
+    baseline is the exact median per (event_type, hour-of-day) cell — a
+    bounded table (types x 24) that broadcasts — and the scale is the MAD
+    of residuals in the same cell. Rounded baseline/MAD feed the flag on
+    both sides so interpolation ulps can't flip a boundary row.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hod", F.hour("ts")
+    )
+    base = ev.groupBy("event_type", "hod").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("baseline")
+    )
+    dev = ev.join(F.broadcast(base), ["event_type", "hod"]).withColumn(
+        "resid", F.col("value") - F.col("baseline")
+    )
+    mad = dev.groupBy("event_type", "hod").agg(
+        F.round(F.expr("percentile(abs(resid), 0.5)"), 4).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), ["event_type", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            "value",
+            "baseline",
+            F.round("resid", 4).alias("resid"),
+            (F.abs(F.col("resid")) > 4 * F.col("mad")).cast("int").alias("is_anom"),
+        )
+    )
+
+
+T_SEASONAL_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, EXTRACT(hour FROM ts) AS hod, value FROM events
+), base AS (
+  SELECT event_type, hod, ROUND(MEDIAN(value), 4) AS baseline
+  FROM e GROUP BY event_type, hod
+), dev AS (
+  SELECT e.event_id, e.event_type, e.hod, e.value, b.baseline,
+         e.value - b.baseline AS resid
+  FROM e JOIN base b ON e.event_type = b.event_type AND e.hod = b.hod
+), mad AS (
+  SELECT event_type, hod, ROUND(MEDIAN(ABS(resid)), 4) AS mad
+  FROM dev GROUP BY event_type, hod
+)
+SELECT d.event_id, d.event_type, CAST(d.hod AS INT) AS hod, d.value,
+       d.baseline, ROUND(d.resid, 4) AS resid,
+       CAST(ABS(d.resid) > 4 * m.mad AS INT) AS is_anom
+FROM dev d JOIN mad m ON d.event_type = m.event_type AND d.hod = m.hod
+"""
+
+
 SPECS = [
     QuerySpec(
         "w_ewma_smooth", w_ewma_smooth, W_EWMA_SQL,
         doc="exact EWMA recurrence via chunked-exponent native window scan",
+    ),
+    QuerySpec(
+        "t_seasonal_residuals", t_seasonal_residuals, T_SEASONAL_SQL,
+        doc="hour-of-day median baseline + MAD anomaly flags per event type",
     ),
     QuerySpec(
         "w_rolling_median_mad", w_rolling_median_mad, W_ROLLMED_SQL,
