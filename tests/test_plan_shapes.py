@@ -193,3 +193,24 @@ def test_substring_dedup_shuffle_budget(spark, sf_dir):
     assert re.search(r"hashpartitioning\(wtext#\d+L", plan), (
         "rank key is not the 8-byte fingerprint"
     )
+
+
+def test_recurrence_scan_exchange_budget(spark, sf_dir):
+    """The linear-recurrence scan (w_holt_trend) pays: the entity-keyed
+    window exchange, the chunk-summary aggregate exchange(s), and the
+    summary join-back — never a SinglePartition stage, never Python, and
+    the matrix-power lookups are plan literals (no extra table/scan)."""
+    plan = plan_of(spark, sf_dir, "w_holt_trend")
+    assert plan.count("Exchange") <= 4
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one events scan feeds both the ranked rows and the summaries
+    assert len(scan_lines(plan)) <= 2
+
+
+def test_seasonal_residuals_baselines_broadcast(spark, sf_dir):
+    """Both the (event_type, hod) baseline and MAD tables are bounded
+    (types x 24) and must join by broadcast — no SMJ on the fact side."""
+    plan = plan_of(spark, sf_dir, "t_seasonal_residuals")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
