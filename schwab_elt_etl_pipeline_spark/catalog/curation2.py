@@ -925,8 +925,10 @@ SPECS = [
     QuerySpec("substring_dedup", substring_dedup, SUBSTRING_DEDUP_SQL, headline=True,
               doc="substring-granular ExactSubstr dedup: overlapping-window spans, boundary-free"),
     QuerySpec("substring_dup_spans", substring_dup_spans, SUBSTRING_DUP_SPANS_SQL,
+              headline=True,
               doc="byte-exact ExactSubstr duplicate spans: suffix-array semantics via L-gram seed-and-merge"),
     QuerySpec("substring_dup_excise", substring_dup_excise, SUBSTRING_DUP_EXCISE_SQL,
+              headline=True,
               doc="char-granular ExactSubstr dedup applied: first occurrence survives, text rebuilt"),
     QuerySpec("corpus_curation_e2e", corpus_curation_e2e, CORPUS_E2E_SQL,
               headline=True,
