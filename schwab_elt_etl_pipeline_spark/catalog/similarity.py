@@ -419,6 +419,27 @@ def ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_IVFADC_SQL = ANN_PQ_SQL  # same certificate: exact top-1 anchor + verdict
 
 
+def _index_root(name: str) -> str:
+    """Deterministic-but-scoped warehouse root for persisted ANN indexes.
+
+    Deterministic per (user, name) so repeated driver samples / bench runs
+    reuse + vacuum ONE location instead of leaking per-run temp dirs; scoped
+    by ``getpass.getuser()`` so multi-user hosts do not fight over ownership
+    of a shared /tmp path. ``SPARK_GRAFT_WAREHOUSE`` overrides the base dir
+    for deployments that want full isolation (e.g. parallel CI shards each
+    pointing at their own scratch root).
+    """
+    import getpass
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_WAREHOUSE") or tempfile.gettempdir()
+    try:
+        user = getpass.getuser()
+    except (KeyError, OSError):  # no passwd entry (containers)
+        user = f"uid{os.getuid()}" if hasattr(os, "getuid") else "anon"
+    return os.path.join(base, f"schwab_spark_{user}", name)
+
+
 def ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-PQ-index serving path, certified end-to-end: BUILD the
     index (per-subspace codebooks + m-ints-per-vector code table) into
@@ -437,8 +458,6 @@ def ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Build-once/query-many deployment is exercised by tests; here the point
     is driver-certifying the index query path itself. Deterministic: seeded
     k-means + versioned overwrite."""
-    import tempfile
-
     from schwab_elt_etl_pipeline_spark.operators.similarity import (
         build_pq_index,
         pq_query_index,
@@ -447,7 +466,7 @@ def ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
-    root = os.path.join(tempfile.gettempdir(), "schwab_spark_ann_pq_index")
+    root = _index_root("ann_pq_index")
     books_t = ParquetTable(spark, f"{root}/books")
     codes_t = ParquetTable(spark, f"{root}/codes", cluster_by=("vec_id",))
     build_pq_index(emb, books_t, codes_t, m=16, k_codes=16)
@@ -474,8 +493,6 @@ def ann_ivfadc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict as ``ann_ivfadc`` (identical params n_centroids=8/n_probe=4/
     m=8/k=16/seeds, so the measured recall and the ≥ 3 floor carry over).
     Deterministic: seeded two-level k-means + versioned overwrite."""
-    import tempfile
-
     from schwab_elt_etl_pipeline_spark.operators.similarity import (
         build_ivfadc_index,
         ivfadc_query_index,
@@ -484,7 +501,7 @@ def ann_ivfadc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
-    root = os.path.join(tempfile.gettempdir(), "schwab_spark_ann_ivfadc_index")
+    root = _index_root("ann_ivfadc_index")
     cents_t = ParquetTable(spark, f"{root}/cents")
     books_t = ParquetTable(spark, f"{root}/books")
     codes_t = ParquetTable(spark, f"{root}/codes", cluster_by=("cell",))

@@ -777,32 +777,42 @@ def _hot_char_window_candidates(
     docs: DataFrame, L: int, id_col: str, text_col: str
 ) -> DataFrame:
     """Shared char-granular front end for :func:`dup_char_spans` and
-    :func:`dup_char_excise_rebuild`: (_id, pos, gram) for every stride-1
+    :func:`dup_char_excise_rebuild`: (_id, pos, gram, gh) for every stride-1
     L-char window whose text occurs >= 2 times corpus-wide. Two-pass
-    discipline — pass 1 counts on the 8-byte ``xxhash64`` key (map-side
-    combinable; the shuffle never carries gram text), pass 2 is a semi-join
-    back so only the hash-hot minority carries its gram forward for exact
-    confirmation by the caller."""
+    discipline, and NO shuffle in it ever carries gram text — pass 1 counts
+    on the 8-byte ``xxhash64`` key (map-side combinable), pass 2 probes with
+    (_id, pos, gh) rows only (24 bytes/window even when ``hot_hashes``
+    outgrows the broadcast threshold and the semi-join becomes a shuffle
+    join), and survivors get their gram RECOMPUTED by joining the hot
+    positions back to the doc text — a shuffle of O(corpus bytes + hot
+    positions), not O(L x corpus) window text. The caller then does exact
+    confirmation over the hash-hot minority."""
     base = docs.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).filter(F.length("_t") >= L)
     # sequence(1, n) DESCENDS for n < 1 — the length filter above guards it.
-    wins = base.select(
+    probes = base.select(
         "_id",
         F.explode(F.sequence(F.lit(1), F.length("_t") - F.lit(L - 1))).alias("pos"),
         "_t",
     ).select(
         "_id",
         "pos",
-        F.col("_t").substr(F.col("pos"), F.lit(L)).alias("gram"),
+        F.xxhash64(F.col("_t").substr(F.col("pos"), F.lit(L))).alias("gh"),
     )
     hot_hashes = (
-        wins.groupBy(F.xxhash64("gram").alias("gh"))
+        probes.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
         .select("gh")
     )
-    return wins.withColumn("gh", F.xxhash64("gram")).join(hot_hashes, "gh", "semi")
+    hot_pos = probes.join(hot_hashes, "gh", "semi")
+    return hot_pos.join(base, "_id").select(
+        "_id",
+        "pos",
+        F.col("_t").substr(F.col("pos"), F.lit(L)).alias("gram"),
+        "gh",
+    )
 
 
 def dup_char_excise_rebuild(

@@ -21,15 +21,19 @@ DataFrame primitives:
    broadcast-joined back as each partition's *offset*;
 4. the global running value is ``local ⊕ offset`` (sum/max are associative).
 
-The totals branch re-evaluates the range exchange (column pruning gives the
-two branches different scan schemas, so Spark does not plan a
-``ReusedExchange``). Correctness still holds because ``RangePartitioner``'s
-reservoir sampling is seeded per partition index (deterministic for a given
-lineage): both branches derive identical range boundaries, and AQE's
-partition coalescing — a pure function of the identical map-output sizes —
-merges only ADJACENT ranges, which keeps ``spark_partition_id()`` monotone in
-the order key. The skewed/coalesced cases are pinned in tests/test_prefix.py
-against a single-partition-window reference.
+Both the local branch and the totals branch consume the SAME materialized
+range exchange: the ranged frame is local-checkpointed, so downstream
+branches share one concrete RDD with one ``RangePartitioner`` — identical
+boundaries and ``spark_partition_id()`` assignments by construction. Without
+this, Catalyst plans the exchange twice (column pruning gives the branches
+different scan schemas, so no ``ReusedExchange``), and ``RangePartitioner``'s
+reservoir sample is order-dependent once a partition exceeds the
+per-partition sample size — upstream-shuffled inputs (or task retries) could
+silently diverge between evaluations and misalign the offsets. Note the
+explicit-``numPartitions`` range exchange is a ``REPARTITION_BY_NUM`` shuffle
+origin, which AQE never coalesces — partition ids stay monotone in the order
+key. The skew case is pinned in tests/test_prefix.py against a
+single-partition-window reference.
 
 Wall-clock cost: one range shuffle of the data + one bounded broadcast —
 versus the SinglePartition plan's full serialization. The combine step is the
@@ -87,8 +91,16 @@ def prefix_agg(
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     order_cols = [F.col(c) for c in order_by]
 
-    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
-        _PID, F.spark_partition_id()
+    # localCheckpoint (lazy) pins ONE concrete RDD behind both downstream
+    # branches: the range boundaries are sampled once and the pid column is
+    # identical everywhere it is read. Lazy (not eager) so building the plan
+    # stays action-free; the first action materializes and persists the
+    # ranged partitions (MEMORY_AND_DISK), and a lost block fails the job
+    # loudly instead of recomputing with a possibly different sample.
+    ranged = (
+        df.repartitionByRange(n_part, *order_cols)
+        .localCheckpoint(eager=False)
+        .withColumn(_PID, F.spark_partition_id())
     )
 
     hi = 0 if inclusive else -1

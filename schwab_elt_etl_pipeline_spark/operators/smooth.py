@@ -89,7 +89,12 @@ def ewma(
     if alpha == 1.0:  # degenerate: no memory
         return df.withColumn(out, F.col(value).cast("double"))
     decay = 1.0 - alpha
-    b = chunk_rows or _chunk_rows(alpha)
+    # Clamp caller overrides to the numeric-safety bound: pow(decay, -j) for
+    # j up to the chunk size must stay finite, so an oversized chunk_rows
+    # would silently turn the fold into inf/NaN (linear_recurrence clamps
+    # its override the same way).
+    safe = _chunk_rows(alpha)
+    b = min(chunk_rows, safe) if chunk_rows else safe
 
     w_rank = Window.partitionBy(*part).orderBy(*order)
     ranked = df.withColumn(_RN, F.row_number().over(w_rank) - F.lit(1))

@@ -37,9 +37,12 @@ def test_matches_single_partition_window(spark, how, inclusive):
     assert bad == 0
 
 
-def test_skewed_keys_and_aqe_coalescing(spark):
-    """99% of keys in a narrow band + AQE coalescing of the tiny partitions:
-    the offsets must still line up with the data's partition ids."""
+def test_skewed_keys_sampler_determinism(spark):
+    """99% of keys in a narrow band hammers RangePartitioner's reservoir
+    sample; the offsets must still line up with the data's partition ids.
+    (AQE coalescing cannot occur here: prefix_agg passes an explicit
+    numPartitions, a REPARTITION_BY_NUM shuffle origin AQE never coalesces —
+    the checkpoint-shared exchange is what keeps both branches aligned.)"""
     rows = [(1000 + (i % 17), i % 11, i) for i in range(6000)]
     rows += [(i, 1, 100000 + i) for i in range(60)]  # sparse far tail
     df = spark.createDataFrame(rows, "k long, v long, tb long")
@@ -70,7 +73,9 @@ def test_plan_keeps_data_out_of_single_partition(spark):
     )
     out = prefix_agg(df, ["k"], "v", "run", num_partitions=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan
+    # The range exchange is materialized ONCE behind the shared localCheckpoint
+    # — downstream it appears as a Scan ExistingRDD feeding both branches.
+    assert "Scan ExistingRDD" in plan
     assert plan.count("SinglePartition") == 1
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -111,6 +111,13 @@ def test_chunk_rows_bound_is_safe():
         assert -b * math.log(1.0 - alpha) <= 600.0 + 1e-9
 
 
+def test_oversized_chunk_rows_is_clamped(spark):
+    """A caller-supplied chunk_rows past the numeric-safety bound must be
+    clamped, not overflow pow(decay, -j) to inf and yield silent NaNs."""
+    alpha = 0.01  # safe bound ~ 512; chunk_rows=100000 would overflow doubles
+    _check(spark, _series(2000), alpha=alpha, chunk_rows=100_000, rel=1e-7)
+
+
 def test_unsorted_input_and_extra_columns(spark):
     rows = [(0, t, float(t), f"tag{t}") for t in (3, 0, 2, 1, 4)]
     df = spark.createDataFrame(rows, "ent int, t int, x double, tag string")
