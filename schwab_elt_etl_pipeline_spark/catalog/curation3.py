@@ -25,6 +25,7 @@ from schwab_elt_etl_pipeline_spark.operators.tokenize import (
     apply_pair_merges,
     explode_tokens,
     rebuild_docs,
+    train_merges,
 )
 from schwab_elt_etl_pipeline_spark.sources import load_table
 
@@ -94,6 +95,103 @@ FROM {last} GROUP BY doc_id
 
 
 BPE_APPLY_SQL = _bpe_sql()
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE training: the full learn loop (count -> argmax -> merge)^k
+# ---------------------------------------------------------------------------
+
+_N_TRAIN_MERGES = 6
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first ``_N_TRAIN_MERGES`` BPE merge rules from the corpus:
+    each iteration counts adjacent token pairs corpus-wide (map-side
+    combinable), takes the argmax pair (ties (lhs, rhs) ascending), and
+    greedily rewrites every occurrence before re-counting — so later rules
+    can and do involve tokens produced by earlier rules. Emits the learned
+    merge table (step, lhs, rhs, freq-at-selection, merged token).
+
+    The only driver-side state per iteration is the single winning pair —
+    at 100 TB each round is one pair-count shuffle plus a window pass on
+    the existing doc_id partitioning (``operators/tokenize.py
+    train_merges``). The DuckDB oracle certifies the loop end-to-end with
+    k *unrolled* CTE steps, each selecting its own winner in SQL — the
+    sequential reference recursion against the distributed loop."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    learned, _ = train_merges(explode_tokens(docs), _N_TRAIN_MERGES)
+    out = spark.createDataFrame(
+        learned, "step int, lhs string, rhs string, freq bigint"
+    )
+    return out.select(
+        "step", "lhs", "rhs", "freq",
+        F.concat_ws("_", "lhs", "rhs").alias("token"),
+    )
+
+
+def _train_step_sql(i: int, prev: str) -> str:
+    """One learn iteration as chained CTEs: select the winning pair from
+    ``prev`` (p{i}), then the same greedy merge pass as ``_merge_pass_sql``
+    with the pair coming from scalar subqueries instead of literals."""
+    lhs, rhs = f"(SELECT lhs FROM p{i})", f"(SELECT rhs FROM p{i})"
+    return f"""
+p{i} AS MATERIALIZED (
+  SELECT tok AS lhs, nxt AS rhs, COUNT(*) AS freq
+  FROM (SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM {prev})
+  WHERE nxt IS NOT NULL
+  GROUP BY tok, nxt
+  ORDER BY freq DESC, lhs ASC, rhs ASC
+  LIMIT 1
+), e{i} AS MATERIALIZED (
+  SELECT doc_id, pos, tok,
+         (tok = {lhs} AND lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) = {rhs}) AS elig
+  FROM {prev}
+), r{i} AS MATERIALIZED (
+  SELECT *, (elig AND NOT COALESCE(lag(elig) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)) AS run_start
+  FROM e{i}
+), g{i} AS MATERIALIZED (
+  SELECT *, SUM(CASE WHEN run_start THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+  FROM r{i}
+), m{i} AS MATERIALIZED (
+  SELECT *, (elig AND ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY pos) % 2 = 1) AS merged
+  FROM g{i}
+), k{i} AS MATERIALIZED (
+  SELECT doc_id, pos,
+         CASE WHEN merged THEN {lhs} || '_' || {rhs} ELSE tok END AS tok,
+         COALESCE(lag(merged) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS absorbed
+  FROM m{i}
+), s{i} AS MATERIALIZED (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, tok
+  FROM k{i} WHERE NOT absorbed
+)"""
+
+
+def _bpe_train_sql() -> str:
+    steps = ",".join(
+        _train_step_sql(i, f"s{i - 1}" if i > 1 else "s0_base")
+        for i in range(1, _N_TRAIN_MERGES + 1)
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, lhs, rhs, freq, lhs || '_' || rhs AS token FROM p{i}"
+        for i in range(1, _N_TRAIN_MERGES + 1)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), s0_base AS MATERIALIZED (
+  SELECT doc_id, i AS pos, ts[i] AS tok
+  FROM tok, UNNEST(generate_series(1, LEN(ts))) AS g(i)
+),{steps}
+{selects}
+ORDER BY step
+"""
+
+
+BPE_TRAIN_SQL = _bpe_train_sql()
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,6 +378,11 @@ SPECS = [
         headline=True,
         doc="BPE-style greedy merge-rule application over the corpus "
             "(one doc shuffle, M window passes)",
+    ),
+    QuerySpec(
+        "bpe_train_merges", bpe_train_merges, BPE_TRAIN_SQL,
+        doc="iterative BPE training loop: k x (pair count -> argmax -> "
+            "greedy merge), certified against k unrolled CTE steps",
     ),
     QuerySpec(
         "embedding_label_centroids", embedding_label_centroids, CENTROIDS_SQL,

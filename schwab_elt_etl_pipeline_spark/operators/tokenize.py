@@ -1,4 +1,7 @@
-"""Tokenizer merge application: BPE-style greedy pair merging at scale.
+"""Tokenizer training + merge application: BPE-style greedy pair merging
+at scale — :func:`train_merges` learns the ordered rule list (count ->
+argmax -> rewrite, one corpus pass per rule), :func:`apply_pair_merges`
+applies a fixed one.
 
 A trained BPE/WordPiece tokenizer is an ordered list of merge rules
 ``(a, b) -> ab``; applying it to a corpus is the single hottest op in a
@@ -96,6 +99,55 @@ def apply_pair_merges(
     for a, b in merges:
         toks = merge_pass(toks, a, b)
     return toks
+
+
+def pair_counts(toks: DataFrame) -> DataFrame:
+    """Corpus-wide adjacent-pair frequencies over (doc_id, pos, tok) rows:
+    (lhs, rhs, freq), overlapping occurrences counted (``a a a`` yields
+    (a, a) twice — the classic BPE counting convention). Map-side
+    combinable: one (lhs, rhs) shuffle of partial counts."""
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("_nxt", F.lead("tok").over(wd))
+        .filter(F.col("_nxt").isNotNull())
+        .groupBy(F.col("tok").alias("lhs"), F.col("_nxt").alias("rhs"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def train_merges(
+    toks: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The full iterative BPE learn loop, distributed: repeat ``n_merges``
+    times { count adjacent pairs corpus-wide -> take the argmax pair
+    (ties broken by (lhs, rhs) ascending — deterministic) -> greedily merge
+    it everywhere via :func:`merge_pass` }. Returns the learned merge table
+    ``[(step, lhs, rhs, freq_at_selection)]`` and the final token frame.
+
+    Scale shape: per iteration the ONLY driver-side state is the single
+    winning (pair, count) row — the counting aggregation is map-side
+    combinable and the rewrite is a window pass on the existing doc_id
+    partitioning, so each iteration is one pass over the token set
+    regardless of corpus size (the reason BPE training parallelizes; cf.
+    Sennrich et al. 2016 and the counting step ``bpe_pair_stats``). Each
+    iteration local-checkpoints the rewritten tokens so iteration *k* never
+    re-executes passes 1..k-1. Stops early when no adjacent pair remains.
+    """
+    learned: list[tuple[int, str, str, int]] = []
+    toks = toks.localCheckpoint(eager=False)
+    for step in range(1, n_merges + 1):
+        top = (
+            pair_counts(toks)
+            .orderBy(F.desc("freq"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()  # 1-row scalar: the winning pair of this iteration
+        )
+        if not top:
+            break
+        lhs, rhs, freq = top[0]["lhs"], top[0]["rhs"], int(top[0]["freq"])
+        learned.append((step, lhs, rhs, freq))
+        toks = merge_pass(toks, lhs, rhs).localCheckpoint(eager=False)
+    return learned, toks
 
 
 def rebuild_docs(toks: DataFrame) -> DataFrame:

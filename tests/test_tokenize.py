@@ -113,3 +113,77 @@ def test_merge_cascade_matches_sequential_reference(spark, docs, merges):
             cur = _reference_merge(cur, a, b)
         want.append(" ".join(cur))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# train_merges: the full iterative learn loop (count -> argmax -> merge)^k
+# ---------------------------------------------------------------------------
+
+
+def _reference_train(docs: list[list[str]], k: int):
+    """Sequential BPE trainer — the semantics contract: overlapping adjacent
+    pair counts, argmax with (lhs, rhs) ascending tie-break, greedy merge."""
+    from collections import Counter
+
+    cur = [list(d) for d in docs]
+    learned = []
+    for step in range(1, k + 1):
+        counts = Counter()
+        for d in cur:
+            for i in range(len(d) - 1):
+                counts[(d[i], d[i + 1])] += 1
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        learned.append((step, a, b, c))
+        cur = [_reference_merge(d, a, b) for d in cur]
+    return learned, cur
+
+
+def test_train_merges_matches_sequential_reference(spark):
+    from schwab_elt_etl_pipeline_spark.operators.tokenize import train_merges
+
+    docs = [
+        ["a", "b", "a", "b", "c"],
+        ["a", "a", "a", "a", "b"],
+        ["b", "c", "a", "b", "a", "b"],
+    ]
+    toks = _tokenize(spark, [" ".join(d) for d in docs])
+    learned, final = train_merges(toks, 4)
+    want_learned, want_docs = _reference_train(docs, 4)
+    assert learned == want_learned
+    got = rebuild_docs(final).orderBy("doc_id").collect()
+    assert [r.text_bpe.split(" ") for r in got] == want_docs
+
+
+def test_train_merges_stops_when_no_pairs_remain(spark):
+    from schwab_elt_etl_pipeline_spark.operators.tokenize import train_merges
+
+    # single-token docs: zero adjacent pairs from the start
+    toks = _tokenize(spark, ["x", "y", "z"])
+    learned, final = train_merges(toks, 5)
+    assert learned == []
+    assert final.count() == 3
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_ALPHABET), min_size=1, max_size=10),
+        min_size=1,
+        max_size=5,
+    ),
+    k=st.integers(1, 3),
+)
+def test_train_merges_property_vs_reference(spark, docs, k):
+    """Property: the distributed learn loop equals the sequential trainer on
+    arbitrary repeat-heavy corpora — pair selection (incl. ties), learned
+    rule order, AND the resulting token streams."""
+    from schwab_elt_etl_pipeline_spark.operators.tokenize import train_merges
+
+    toks = _tokenize(spark, [" ".join(d) for d in docs])
+    learned, final = train_merges(toks, k)
+    want_learned, want_docs = _reference_train(docs, k)
+    assert learned == want_learned
+    got = rebuild_docs(final).orderBy("doc_id").collect()
+    assert [r.text_bpe.split(" ") for r in got] == want_docs
