@@ -338,15 +338,109 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _jpeg_decode_block(
+    reader, blk, Ss, Se, Ah, Al, dct, act, pred, ci, eobrun
+):
+    """Decode ONE block's contribution from the current scan into ``blk``
+    (a 64-int coefficient list), covering every Huffman scan kind T.81
+    defines: sequential (Ss=0, Se=63, Ah=Al=0 — DC + AC in one pass),
+    progressive DC first (Ss=Se=0, Ah=0: diff-coded, stored << Al),
+    progressive DC refinement (Ah>0: one bit, OR-ed at Al), progressive AC
+    first (Ss>0, Ah=0: run/size with EOBn band-skip runs), and progressive
+    AC refinement (Ss>0, Ah>0: the libjpeg jdphuff correction-bit walk —
+    newly visible coefficients arrive as ±1<<Al, history coefficients read
+    one correction bit each in positional order). Returns the remaining
+    EOB-run count (blocks after this one still inside the band skip)."""
+    zz = _JPEG_ZIGZAG
+    if Ss == 0:  # scan carries DC
+        if Ah == 0:
+            t = reader.huff(dct)
+            pred[ci] += _jpeg_extend(reader.receive(t), t)
+            blk[0] = pred[ci] << Al
+        elif reader.read_bit():
+            blk[0] |= 1 << Al
+        if Se == 0:
+            return eobrun  # progressive DC-only scan
+        k = 1
+    else:
+        k = Ss
+    if Ah == 0:  # sequential AC / progressive AC-first band
+        if Ss > 0 and eobrun > 0:
+            return eobrun - 1  # whole band skipped by an EOB run
+        while k <= Se:
+            rs = reader.huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1  # this block consumes one
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += 16
+                continue
+            k += r
+            if k > Se:
+                raise ValueError("AC run past band end")
+            blk[zz[k]] = _jpeg_extend(reader.receive(s), s) << Al
+            k += 1
+        return eobrun
+    # progressive AC refinement (Ss > 0, Ah > 0)
+    p1, m1 = 1 << Al, -1 << Al
+
+    def correct(z):
+        if reader.read_bit() and (blk[z] & p1) == 0:
+            blk[z] += p1 if blk[z] >= 0 else m1
+
+    if eobrun == 0:
+        while k <= Se:
+            rs = reader.huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: a run of 16 zero-history positions, no placement
+            else:  # s must be 1 in a refinement scan
+                val = p1 if reader.read_bit() else m1
+            while k <= Se:  # advance: history coefs read bits, zeros eat r
+                z = zz[k]
+                if blk[z] != 0:
+                    correct(z)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= Se:
+                blk[zz[k]] = val
+            k += 1
+    if eobrun > 0:  # EOB: refine every remaining history coef in the band
+        while k <= Se:
+            z = zz[k]
+            if blk[z] != 0:
+                correct(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_jpeg(payload: bytes) -> list[float] | None:
-    """REAL image decode for baseline (and extended-sequential) Huffman
-    JPEG — SOF0/SOF1, 8-bit, interleaved single scan, restart markers
-    supported — pure stdlib + numpy (IDCT as two 8×8 matmuls). Only the
-    LUMA component is inverse-transformed (features are grayscale); chroma
-    blocks are entropy-decoded to keep the bitstream in sync, then
-    discarded — the same Y-only shortcut a thumbnailing service uses.
-    Progressive (SOF2), arithmetic coding, 12-bit precision, and
-    non-interleaved multi-scan files → None (stub fallback)."""
+    """REAL image decode for Huffman JPEG — baseline/extended-sequential
+    (SOF0/SOF1, interleaved or per-component scans, restart markers) AND
+    progressive (SOF2: interleaved DC first/refinement scans, per-component
+    AC first/refinement scans with EOB-run band skips, successive
+    approximation) — pure stdlib + numpy (IDCT as two 8×8 matmuls). Scans
+    accumulate into one luma coefficient grid and dequant+IDCT runs once at
+    the end. Only the LUMA component is inverse-transformed (features are
+    grayscale); chroma blocks inside interleaved scans are entropy-decoded
+    to keep the bitstream in sync then discarded, and pure-chroma scans are
+    skipped wholesale (their entropy data carries no luma bits — the
+    per-scan structure progressive decoding requires anyway). Arithmetic
+    coding, lossless/hierarchical modes, 12-bit precision, and 16-bit quant
+    tables → None (stub fallback)."""
     try:
         if not payload.startswith(b"\xff\xd8"):
             return None
@@ -366,8 +460,8 @@ def _decode_jpeg(payload: bytes) -> list[float] | None:
         w = h = None
         restart = 0
         pos = 2
-        data_start = None
-        scan: list[tuple[int, int, int]] = []  # (comp_index, dc_id, ac_id)
+        # (scan comps, Ss, Se, Ah, Al, data_start, restart, table snapshot)
+        scans: list[tuple] = []
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
@@ -375,6 +469,8 @@ def _decode_jpeg(payload: bytes) -> list[float] | None:
             pos += 2
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 continue  # no segment body
+            if marker == 0xD9:
+                break
             ln = int.from_bytes(payload[pos : pos + 2], "big")
             seg = payload[pos + 2 : pos + ln]
             if marker == 0xDB:  # DQT (possibly several tables)
@@ -388,7 +484,7 @@ def _decode_jpeg(payload: bytes) -> list[float] | None:
                         tbl[_JPEG_ZIGZAG[i]] = seg[at + 1 + i]
                     qt[tid] = tbl
                     at += 65
-            elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
                 if seg[0] != 8:
                     return None
                 h = int.from_bytes(seg[1:3], "big")
@@ -416,69 +512,99 @@ def _decode_jpeg(payload: bytes) -> list[float] | None:
                     at += 17 + sum(counts)
             elif marker == 0xDD:  # DRI
                 restart = int.from_bytes(seg[0:2], "big")
-            elif marker == 0xDA:  # SOS — entropy data follows the header
+            elif marker == 0xDA:  # SOS: record the scan, skip entropy data
+                if not comps:
+                    return None
                 ns = seg[0]
                 cid_index = {c[0]: i for i, c in enumerate(comps)}
-                for i in range(ns):
-                    cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                    scan.append((cid_index[cid], tt >> 4, tt & 0x0F))
+                sc = [
+                    (cid_index[seg[1 + 2 * i]], seg[2 + 2 * i] >> 4,
+                     seg[2 + 2 * i] & 0x0F)
+                    for i in range(ns)
+                ]
+                Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
                 data_start = pos + ln
-                break
-            elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF:
-                return None  # progressive / arithmetic / hierarchical
+                p = data_start  # entropy data ends at the next real marker
+                while p + 1 < len(payload):
+                    if payload[p] != 0xFF:
+                        p += 1
+                    elif payload[p + 1] == 0x00 or 0xD0 <= payload[p + 1] <= 0xD7:
+                        p += 2
+                    else:
+                        break
+                scans.append(
+                    (sc, Ss, Se, ahal >> 4, ahal & 0x0F, data_start,
+                     restart, dict(hufftabs))
+                )
+                pos = p
+                continue
+            elif marker == 0xC3 or 0xC5 <= marker <= 0xCF:
+                return None  # lossless / arithmetic / hierarchical
             pos += ln
-        if data_start is None or not comps or len(scan) != len(comps):
+        if not scans or not comps or w is None:
             return None
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
         mcux = (w + 8 * hmax - 1) // (8 * hmax)
         mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        dims = []  # per-comp non-interleaved block grid (bw, bh)
+        for _cid, ch, cv, _tq in comps:
+            cw = (w * ch + hmax - 1) // hmax
+            chh = (h * cv + vmax - 1) // vmax
+            dims.append(((cw + 7) // 8, (chh + 7) // 8))
         ly = comps[0]  # luma is the first SOF component by convention
-        plane = np.zeros((mcuy * ly[2] * 8, mcux * ly[1] * 8))
+        gw, gh = mcux * ly[1], mcuy * ly[2]  # padded (interleaved) luma grid
+        coef_y = [[0] * 64 for _ in range(gw * gh)]
+        for sc, Ss, Se, Ah, Al, dstart, rst, tabs in scans:
+            if all(ci != 0 for ci, _d, _a in sc):
+                continue  # pure-chroma scan: no luma bits in its data
+            reader = _JpegBits(payload, dstart)
+            pred = [0] * len(comps)
+            eobrun = 0
+            if len(sc) == 1:  # non-interleaved: MCU = one block, comp grid
+                ci, dc_id, ac_id = sc[0]
+                bw, bh = dims[ci]
+                for bi in range(bw * bh):
+                    if rst and bi and bi % rst == 0:
+                        reader.restart()
+                        pred = [0] * len(comps)
+                        eobrun = 0
+                    by, bx = divmod(bi, bw)
+                    eobrun = _jpeg_decode_block(
+                        reader, coef_y[by * gw + bx], Ss, Se, Ah, Al,
+                        tabs.get((0, dc_id)), tabs.get((1, ac_id)),
+                        pred, ci, eobrun,
+                    )
+            else:  # interleaved MCU scan (all of sequential; progressive DC)
+                for mcu in range(mcux * mcuy):
+                    if rst and mcu and mcu % rst == 0:
+                        reader.restart()
+                        pred = [0] * len(comps)
+                        eobrun = 0
+                    my, mx = divmod(mcu, mcux)
+                    for ci, dc_id, ac_id in sc:
+                        _, ch, cv, _tq = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blk = (
+                                    coef_y[(my * cv + by) * gw + mx * ch + bx]
+                                    if ci == 0
+                                    else [0] * 64  # sync-only chroma decode
+                                )
+                                eobrun = _jpeg_decode_block(
+                                    reader, blk, Ss, Se, Ah, Al,
+                                    tabs.get((0, dc_id)),
+                                    tabs.get((1, ac_id)),
+                                    pred, ci, eobrun,
+                                )
+        plane = np.zeros((gh * 8, gw * 8))
         lq = np.array(qt[ly[3]], dtype=float).reshape(8, 8)
-        reader = _JpegBits(payload, data_start)
-        pred = [0] * len(comps)
         M = _JPEG_IDCT_M
-        for mcu in range(mcux * mcuy):
-            if restart and mcu and mcu % restart == 0:
-                reader.restart()
-                pred = [0] * len(comps)
-            my, mx = divmod(mcu, mcux)
-            for ci, dc_id, ac_id in scan:
-                _, ch, cv, _tq = comps[ci]
-                dct = hufftabs[(0, dc_id)]
-                act = hufftabs[(1, ac_id)]
-                for by in range(cv):
-                    for bx in range(ch):
-                        coef = [0] * 64
-                        t = reader.huff(dct)
-                        pred[ci] += _jpeg_extend(reader.receive(t), t)
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huff(act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r != 15:
-                                    break  # EOB
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                return None
-                            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
-                                reader.receive(s), s
-                            )
-                            k += 1
-                        if ci == 0:  # Y-only IDCT
-                            block = (
-                                M.T
-                                @ (np.array(coef, dtype=float).reshape(8, 8) * lq)
-                                @ M
-                            )
-                            y0 = (my * cv + by) * 8
-                            x0 = (mx * ch + bx) * 8
-                            plane[y0 : y0 + 8, x0 : x0 + 8] = block
+        for i, blk in enumerate(coef_y):
+            row, col = divmod(i, gw)
+            block = M.T @ (np.array(blk, dtype=float).reshape(8, 8) * lq) @ M
+            plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = block
         lh = (h * ly[2] + vmax - 1) // vmax
         lw = (w * ly[1] + hmax - 1) // hmax
         gray = np.clip(plane[:lh, :lw] + 128.0, 0.0, 255.0) / 255.0

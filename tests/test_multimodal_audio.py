@@ -444,11 +444,11 @@ def test_jpeg_three_component_chroma_sync():
     assert _decode_jpeg(color) == _decode_jpeg(mono)
 
 
-def test_jpeg_progressive_and_garbage_reject():
+def test_jpeg_arithmetic_and_garbage_reject():
     gray = _gradient(8, 8)
     payload, _ = _encode_jpeg(gray)
-    progressive = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    assert _decode_jpeg(progressive) is None
+    arithmetic = payload.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    assert _decode_jpeg(arithmetic) is None
     assert _decode_jpeg(b"\xff\xd8\x00\x01") is None
     assert _decode_jpeg(b"not a jpeg") is None
 
@@ -459,3 +459,263 @@ def test_jpeg_dispatch_beats_stub():
     feats = _decode_one(payload)
     assert feats == _decode_jpeg(payload)
     assert feats != _decode_one_stub(payload)
+
+
+# --- progressive JPEG (SOF2): in-test encoder + decode parity ---------------
+
+
+def _encode_jpeg_progressive(gray, n_comp=1, quant=8, dc_al=1, ac_al=1):
+    """Minimal spec-correct progressive encoder: an interleaved DC-first
+    scan (point transform ``dc_al``), per-component AC-first scans with
+    real EOB-run accumulation, an interleaved DC-refinement scan, and
+    per-component AC-refinement scans emitting the jdphuff correction-bit
+    walk (newly-visible coefficients as ±1<<Al with positionally-ordered
+    buffered bits, ZRL splitting, cross-block refinement EOB runs).
+    Chroma planes are constant so their scans are trivial, but they are
+    REAL scans — the decoder must skip them by structure, not luck."""
+    h, w = gray.shape
+    bh, bw = h // 8, w // 8
+    assert h % 8 == 0 and w % 8 == 0
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            blk = gray[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            blocks.append(np.rint((_M @ blk @ _M.T) / quant).astype(int).ravel())
+    zero = np.zeros(64, dtype=int)
+
+    def comp_blocks(ci):
+        return blocks if ci == 0 else [zero] * len(blocks)
+
+    class _Scan:
+        """One scan's symbol+bit stream with its own Huffman table built
+        from the symbols actually emitted (single-length canonical)."""
+
+        def __init__(self):
+            self.items = []  # ("sym", s) | ("bits", val, n)
+
+        def sym(self, s):
+            self.items.append(("sym", s))
+
+        def bits(self, v, n):
+            if n:
+                self.items.append(("bits", v, n))
+
+        def bit(self, b):
+            self.bits(b, 1)
+
+        def serialize(self):
+            syms = sorted({it[1] for it in self.items if it[0] == "sym"} | {0})
+            code = {s: i for i, s in enumerate(syms)}
+            wb = _BitW()
+            for it in self.items:
+                if it[0] == "sym":
+                    wb.put(code[it[1]], 8)
+                else:
+                    wb.put(it[1], it[2])
+            wb.align()
+            return syms, bytes(wb.out)
+
+    def dc_first_scan():
+        sc = _Scan()
+        preds = [0] * n_comp
+        for i in range(len(blocks)):
+            for ci in range(n_comp):
+                v = int(comp_blocks(ci)[i][0]) >> dc_al  # arithmetic shift
+                diff = v - preds[ci]
+                preds[ci] = v
+                t = _category(diff)
+                sc.sym(t)
+                sc.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        return sc
+
+    def dc_refine_scan():
+        sc = _Scan()
+        for i in range(len(blocks)):
+            for ci in range(n_comp):
+                sc.bit(int(comp_blocks(ci)[i][0]) & 1)  # two's-complement bit
+        return sc
+
+    def ac_first_scan(ci):
+        sc = _Scan()
+        eob_run = 0
+
+        def flush():
+            nonlocal eob_run
+            if eob_run:
+                r = eob_run.bit_length() - 1
+                sc.sym(r << 4)
+                sc.bits(eob_run - (1 << r), r)
+                eob_run = 0
+
+        for b in comp_blocks(ci):
+            a = [0] * 64
+            for k in range(1, 64):
+                c = int(b[_ZZ[k]])
+                t = abs(c) >> ac_al  # AC point transform truncates to zero
+                a[k] = t if c >= 0 else -t
+            nz = [k for k in range(1, 64) if a[k]]
+            if not nz:
+                eob_run += 1
+                if eob_run == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            run = 0
+            for k in range(1, nz[-1] + 1):
+                if a[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    sc.sym(0xF0)
+                    run -= 16
+                s = _category(a[k])
+                sc.sym((run << 4) | s)
+                sc.bits(a[k] if a[k] > 0 else a[k] + (1 << s) - 1, s)
+                run = 0
+            if nz[-1] < 63:
+                eob_run += 1
+        flush()
+        return sc
+
+    def ac_refine_scan(ci):
+        # Ah = ac_al, Al = ac_al - 1: one successive-approximation step
+        ah, al = ac_al, ac_al - 1
+        sc = _Scan()
+        eob_run, eob_bits = 0, []
+
+        def flush():
+            nonlocal eob_run, eob_bits
+            if eob_run:
+                r = eob_run.bit_length() - 1
+                sc.sym(r << 4)
+                sc.bits(eob_run - (1 << r), r)
+                for b in eob_bits:
+                    sc.bit(b)
+                eob_run, eob_bits = 0, []
+
+        for b in comp_blocks(ci):
+            # positional event stream, exactly what the decoder walks
+            events = []  # "zero" | ("bit", b) | ("new", sign)
+            for k in range(1, 64):
+                c = int(b[_ZZ[k]])
+                t_prev, t_now = abs(c) >> ah, abs(c) >> al
+                if t_prev != 0:
+                    events.append(("bit", t_now & 1))
+                elif t_now == 0:
+                    events.append("zero")
+                else:  # newly visible, magnitude is exactly 1 at this Al
+                    events.append(("new", 1 if c > 0 else -1))
+            if not any(ev[0] == "new" for ev in events if ev != "zero"):
+                eob_run += 1
+                eob_bits.extend(ev[1] for ev in events if ev != "zero")
+                if eob_run == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            i = 0
+            while i < len(events):
+                j, zeros, nxt = i, 0, None
+                while j < len(events):
+                    if events[j] != "zero" and events[j][0] == "new":
+                        nxt = j
+                        break
+                    if events[j] == "zero":
+                        zeros += 1
+                    j += 1
+                if nxt is None:
+                    break  # tail joins a refinement EOB run
+                while zeros > 15:
+                    sc.sym(0xF0)  # ZRL consumes 16 zero-history positions
+                    cnt = 0
+                    while cnt < 16:
+                        if events[i] == "zero":
+                            cnt += 1
+                        else:
+                            sc.bit(events[i][1])
+                        i += 1
+                    zeros -= 16
+                sc.sym((zeros << 4) | 1)
+                sc.bit(1 if events[nxt][1] > 0 else 0)  # sign of the new coef
+                while i < nxt:  # buffered correction bits, positional order
+                    if events[i] != "zero":
+                        sc.bit(events[i][1])
+                    i += 1
+                i = nxt + 1
+            if i < len(events):
+                eob_run = 1
+                eob_bits = [ev[1] for ev in events[i:] if ev != "zero"]
+        flush()
+        return sc
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def dht(tc, th, syms):
+        counts = bytes(len(syms) if i == 7 else 0 for i in range(16))
+        return bytes([(tc << 4) | th]) + counts + bytes(syms)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(quant for _ in range(64)))
+    out += seg(
+        0xC2,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([n_comp])
+        + b"".join(bytes([cid, 0x11, 0]) for cid in range(1, n_comp + 1)),
+    )
+
+    def sos(scan, comps_ids, tc, ss, se, ah, al):
+        syms, data = scan.serialize()
+        # table ids are always 0 in this encoder; Td<<4|Ta byte:
+        body = bytes([len(comps_ids)]) + b"".join(
+            bytes([cid, 0x00]) for cid in comps_ids
+        ) + bytes([ss, se, (ah << 4) | al])
+        return seg(0xC4, dht(tc, 0, syms)) + seg(0xDA, body) + data
+
+    cids = list(range(1, n_comp + 1))
+    out += sos(dc_first_scan(), cids, 0, 0, 0, 0, dc_al)
+    for ci in range(n_comp):
+        out += sos(ac_first_scan(ci), [cids[ci]], 1, 1, 63, 0, ac_al)
+    out += sos(dc_refine_scan(), cids, 0, 0, 0, dc_al, dc_al - 1)
+    for ci in range(n_comp):
+        out += sos(ac_refine_scan(ci), [cids[ci]], 1, 1, 63, ac_al, ac_al - 1)
+    out += b"\xff\xd9"
+    return bytes(out), blocks
+
+
+def _flat_patch_gradient(h, w):
+    g = _gradient(h, w).copy()
+    g[:, w // 2 :] = 100.0  # flat blocks → real EOB runs in the AC scans
+    return g
+
+
+def test_jpeg_progressive_roundtrip_grayscale():
+    gray = _flat_patch_gradient(16, 32)
+    payload, blocks = _encode_jpeg_progressive(gray, n_comp=1)
+    got = _decode_jpeg(payload)
+    assert got is not None
+    assert got == _expected_features(blocks, 16, 32, 8)
+    # cross-check against the independently-tested baseline path: the
+    # refinement scans restore full precision, so both encodings of the
+    # same quantized blocks must decode to identical features
+    base_payload, _ = _encode_jpeg(gray, n_comp=1)
+    assert got == _decode_jpeg(base_payload)
+
+
+def test_jpeg_progressive_three_component():
+    gray = _flat_patch_gradient(16, 24)
+    payload, blocks = _encode_jpeg_progressive(gray, n_comp=3)
+    got = _decode_jpeg(payload)
+    assert got is not None
+    assert got == _expected_features(blocks, 16, 24, 8)
+
+
+def test_jpeg_progressive_deeper_successive_approximation():
+    gray = _gradient(24, 16)
+    payload, blocks = _encode_jpeg_progressive(gray, n_comp=1, dc_al=1, ac_al=1)
+    payload2, blocks2 = _encode_jpeg_progressive(gray, n_comp=1, dc_al=2, ac_al=1)
+    # dc_al=2 leaves the DC one refinement short (bit 1 never sent) → the
+    # decode is a legal partial reconstruction and must differ from full
+    full = _decode_jpeg(payload)
+    partial = _decode_jpeg(payload2)
+    assert full == _expected_features(blocks, 24, 16, 8)
+    assert partial is not None and partial != full
