@@ -112,6 +112,26 @@ def gen_docs(spark: SparkSession, sf_dir: str, copies: int, shards: int, root: s
     return out, n
 
 
+def gen_events(spark: SparkSession, sf_dir: str, copies: int, shards: int, root: str) -> tuple[str, int]:
+    """Key-shifted event replicas for the seasonal-baseline leg: event_ids
+    stay unique (exactly-once output is id-keyed) while (event_type, hour,
+    value) cells repeat — growing the counts statistic the way real traffic
+    would."""
+    out = f"{root}/events_parquet"
+    base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    frames = [
+        base.withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+        for i in range(copies)
+    ]
+    ev = frames[0]
+    for f in frames[1:]:
+        ev = ev.unionByName(f)
+    ev = ev.repartition(shards)
+    ev.write.mode("overwrite").parquet(out)
+    n = spark.read.parquet(out).count()
+    return out, n
+
+
 def _drain(q) -> float:
     t0 = time.perf_counter()
     q.awaitTermination()
@@ -232,10 +252,31 @@ def main() -> None:
     wall = _drain(q)
     record("stateful_smoothing", n_ticks, wall, spark.read.parquet(f"{root}/smoothed").count())
 
+    # 6. incremental seasonal baseline (bounded counts statistic per batch:
+    # epoch-keyed merge, weighted-median baseline+MAD recompute, id-keyed
+    # exactly-once flag output)
+    from schwab_elt_etl_pipeline_spark.streaming.seasonal_stream import seasonal_stream
+
+    ev_dir, n_events = gen_events(spark, sf_dir, copies, shards, root)
+    ev_schema = spark.read.parquet(ev_dir).schema
+    counts_t = ParquetTable(spark, f"{root}/seasonal_counts")
+    flagged_t = ParquetTable(spark, f"{root}/seasonal_flagged")
+    q = seasonal_stream(
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(ev_dir),
+        counts_t,
+        flagged_t,
+        f"{root}/seasonal_ckpt",
+    )
+    wall = _drain(q)
+    record("seasonal_baseline", n_events, wall, flagged_t.read().count())
+
     payload = {
         "metric": "streaming throughput (rows/sec, end-to-end incl. checkpoints)",
         "ticks": n_ticks,
         "docs": n_docs,
+        "events": n_events,
         "shards": shards,
         "files_per_trigger": per_trigger,
         "results": results,
@@ -282,6 +323,10 @@ def write_streambench_md(payload: dict) -> None:
         "Arrow/pandas boundary every batch (applyInPandasWithState is the",
         "sanctioned Python edge) — its rate is the honest cost of per-key",
         "Python state, and it still emits every input row downstream.",
+        "`seasonal_baseline` re-derives the exact per-cell median/MAD",
+        "baseline from its bounded counts statistic EVERY batch and",
+        "insert_new-guards both sinks, so its rate prices the full",
+        "maintain-and-flag loop, not just ingestion.",
         "",
         "```json",
         json.dumps(payload),
