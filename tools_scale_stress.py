@@ -53,6 +53,12 @@ QUERIES = [
     # same series length — the ratio certifies the chunked matrix-power
     # fold is per-entity work with no global stage
     "w_holt_trend",
+    # round-7 additions: the cluster-safe split runs pairwise Jaccard +
+    # pointer-jumping components end-to-end (copy-tagged replicas grow the
+    # cluster count linearly); the BPE learn loop is k full corpus passes,
+    # so its ratio certifies per-iteration linearity
+    "leakage_safe_split",
+    "bpe_train_merges",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
