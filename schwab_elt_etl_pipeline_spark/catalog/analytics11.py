@@ -199,6 +199,48 @@ GROUP BY dg.doc_id
 """
 
 
+def first_seen_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document FIRST-OCCURRENCE novelty (the prefix-ordered sibling of
+    ``ngram_novelty``): the fraction of a doc's distinct 3-grams whose
+    corpus-wide minimum doc_id is this doc — content the document
+    *introduced* in arrival order. This is the batch contract for the
+    incremental streaming gram index (``streaming/corpus.py
+    update_gram_index``): draining the corpus in ascending doc_id order
+    through the index reproduces these rows exactly, so the driver hash
+    match certifies the streaming twin's target semantics too. The engine
+    side runs on 8-byte ``xxhash64`` gram fingerprints (gram text shuffles
+    once at tokenize time, never again); the oracle recomputes on gram text
+    — the hash match doubles as a fingerprint-collision canary."""
+    from schwab_elt_etl_pipeline_spark.operators.text import first_seen_novelty
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return first_seen_novelty(docs, n=3)
+
+
+FIRST_SEEN_NOVELTY_SQL = rf"""
+WITH tl AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), dg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, UNNEST(list_transform(
+             generate_series(1, GREATEST(LEN(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gram
+    FROM tl)
+), firsts AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY gram
+)
+SELECT dg.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(*) FILTER (WHERE f.first_doc = dg.doc_id) AS n_new,
+       ROUND(CAST(COUNT(*) FILTER (WHERE f.first_doc = dg.doc_id) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM dg JOIN firsts f ON dg.gram = f.gram
+GROUP BY dg.doc_id
+"""
+
+
 _SPLIT_TAU = 0.05  # same threshold as neardup_canonicalize: real clusters
 
 
@@ -261,6 +303,12 @@ SPECS = [
     QuerySpec(
         "ngram_novelty", ngram_novelty, NGRAM_NOVELTY_SQL,
         doc="per-doc novelty: fraction of distinct 3-grams unique to the doc",
+    ),
+    QuerySpec(
+        "first_seen_novelty", first_seen_novelty_q, FIRST_SEEN_NOVELTY_SQL,
+        doc="prefix-ordered novelty: fraction of distinct 3-grams this doc "
+            "introduced (min-doc_id claim) — batch contract of the "
+            "streaming gram index",
     ),
     QuerySpec(
         "leakage_safe_split", leakage_safe_split, LEAKAGE_SPLIT_SQL,

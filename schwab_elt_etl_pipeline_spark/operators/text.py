@@ -74,3 +74,67 @@ def fingerprint(text: Column | str) -> Column:
     whitespace-collapsed text (the exact-dup canonical key)."""
     col = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def doc_gram_hashes(
+    docs, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-document DISTINCT word-n-gram fingerprints: (doc_id, gh) rows,
+    ``gh`` = ``xxhash64`` of the space-joined n-gram (same whitespace
+    tokenization as the novelty/dedup family). 8-byte keys so downstream
+    joins and indexes never shuffle gram text. Docs with fewer than ``n``
+    tokens emit no rows."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(F.col("_toks")) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+        )
+    )
+    mat = (
+        docs.withColumn("_toks", toks)
+        .select(F.col(id_col).alias("doc_id"), F.array_distinct(grams).alias("_g"))
+        .localCheckpoint(eager=False)  # Generate over a lambda-built array
+    )
+    return mat.select(
+        "doc_id", F.explode("_g").alias("_gram")
+    ).select("doc_id", F.xxhash64("_gram").alias("gh"))
+
+
+def first_seen_novelty(
+    docs, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-document FIRST-OCCURRENCE novelty: the fraction of the doc's
+    distinct n-grams whose corpus-wide minimum doc_id is this doc — i.e.
+    content this document introduced, in doc_id order. The prefix-ordered
+    sibling of the symmetric ``ngram_novelty`` (df == 1), and the batch
+    contract for the incremental streaming index
+    (``streaming/corpus.py update_gram_index``): a stream drained in
+    ascending doc_id order reproduces these rows exactly. One gram-keyed
+    min-aggregate + one join back, 8-byte keys only."""
+    from pyspark.sql import functions as F
+
+    dg = doc_gram_hashes(docs, n, id_col, text_col)
+    first = dg.groupBy("gh").agg(F.min("doc_id").alias("_first"))
+    return (
+        dg.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("_first") == F.col("doc_id"), 1)).alias(
+                "n_new"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_new",
+            F.round(F.col("n_new").cast("double") / F.col("n_grams"), 6).alias(
+                "novelty"
+            ),
+        )
+    )

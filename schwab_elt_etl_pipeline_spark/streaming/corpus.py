@@ -35,6 +35,11 @@ up incrementally. This module runs the batch curation operators
 - ``update_ivfadc_index``: the cell-structured sibling — coarse inverted
   file + residual PQ; queries probe only their nearest cells' code rows,
   appends assign-and-encode against fixed centroids/codebooks.
+- ``update_gram_index``: incremental first-occurrence NOVELTY scoring —
+  a persistent 8-byte n-gram fingerprint table; each batch's documents are
+  scored by how much content they introduce vs the corpus so far, with
+  O(batch) probe work (the streaming twin of
+  ``operators/text.py first_seen_novelty``).
 """
 
 from __future__ import annotations
@@ -644,3 +649,82 @@ def update_ivfadc_index(
         epoch=epoch,
     )
     return shortlist
+
+
+def update_gram_index(
+    batch: DataFrame,
+    index: ParquetTable,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    epoch: int | None = None,
+) -> DataFrame:
+    """Incremental corpus NOVELTY scoring — the streaming twin of
+    ``operators/text.py first_seen_novelty``, maintained exactly like the
+    other incremental dedup indexes in this module: a persistent
+    (gh, first_doc_id, _epoch) table of 8-byte n-gram fingerprints.
+
+    Per batch: the batch's distinct (doc, gram) fingerprints probe the
+    index; a gram is NOVEL for a document iff no prior batch claimed it
+    (null-safe epoch contract, so replays reproduce their original output)
+    and no lower-doc_id document in THIS batch carries it (min-doc claim,
+    the same rank discipline as ``update_window_index``). Each document
+    emits (doc_id, n_grams, n_new, novelty); first-ever fingerprints append
+    via ``insert_new`` on ``gh`` — replays add nothing. When batches arrive
+    in ascending ``doc_id`` order the cumulative output equals the batch
+    operator over the concatenated corpus (pinned by test_streaming_corpus).
+    O(batch) probe work per trigger; the index carries fingerprints only,
+    never gram text — at 100 TB it is ``cluster_by=("gh",)`` for footer-stat
+    probe pruning, like the window-fingerprint index."""
+    from pyspark.sql.window import Window
+
+    from schwab_elt_etl_pipeline_spark.operators.text import doc_gram_hashes
+
+    dg = doc_gram_hashes(batch, n, id_col, text_col).localCheckpoint(
+        eager=True  # probe + rank + index append share it
+    )
+    if index.exists():
+        idx = index.read().select(
+            "gh", F.lit(1).alias("_hit"), F.col("_epoch").alias("_idx_epoch")
+        )
+        probed = dg.join(idx, "gh", "left")
+        seen_before = F.col("_hit").isNotNull()
+        if epoch is not None:
+            seen_before = seen_before & F.coalesce(
+                F.col("_idx_epoch") != F.lit(epoch), F.lit(True)
+            )
+        probed = probed.withColumn("_seen", seen_before).drop(
+            "_hit", "_idx_epoch"
+        )
+    else:
+        probed = dg.withColumn("_seen", F.lit(False))
+    rank = Window.partitionBy("gh").orderBy("doc_id")
+    occ = probed.withColumn("rk", F.row_number().over(rank))
+    out = (
+        occ.withColumn(
+            "_new", (~F.col("_seen")) & (F.col("rk") == 1)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("_new"), 1)).alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_new",
+            F.round(F.col("n_new").cast("double") / F.col("n_grams"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+    new_fps = (
+        occ.filter((~F.col("_seen")) & (F.col("rk") == 1))
+        .select(
+            "gh",
+            F.col("doc_id").alias("first_doc_id"),
+            F.lit(epoch).cast("long").alias("_epoch"),
+        )
+    )
+    index.insert_new(new_fps, keys=["gh"])
+    return out

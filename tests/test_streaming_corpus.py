@@ -588,3 +588,51 @@ def test_incremental_simhash_index_matches_batch_operator(spark, dirs):
     n = index.read().count()
     update_simhash_index(spark.createDataFrame(rows2, schema), index)
     assert index.read().count() == n
+
+
+def test_gram_novelty_index_matches_batch_and_replays(spark, dirs):
+    """Incremental novelty (update_gram_index) == first_seen_novelty over
+    the concatenated corpus when batches arrive in ascending doc_id order;
+    replayed epochs are output-stable and add nothing."""
+    from schwab_elt_etl_pipeline_spark.operators.text import first_seen_novelty
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_gram_index
+
+    _, idx_dir, _ = dirs
+    rows1 = [
+        (0, "a b c d e"),            # introduces everything
+        (1, "a b c x y z"),          # "a b c" already claimed by doc 0
+    ]
+    rows2 = [
+        (2, "c d e q r s"),          # "c d e" seen via index from batch 1
+        (3, "a b c d e"),            # fully boilerplate by now
+        (4, "fresh tokens only here"),
+    ]
+    b1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    b2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    union = spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+    index = ParquetTable(spark, f"{idx_dir}_grams", cluster_by=("gh",))
+    get = lambda df: {
+        r["doc_id"]: (r["n_grams"], r["n_new"], r["novelty"]) for r in df.collect()
+    }
+    out1 = get(update_gram_index(b1, index, n=3, epoch=1))
+    out2 = get(update_gram_index(b2, index, n=3, epoch=2))
+    ref = get(first_seen_novelty(union, n=3))
+    assert {**out1, **out2} == ref
+    assert out2[3] == (3, 0, 0.0)  # fully-boilerplate doc introduces nothing
+    assert out1[0][1] == out1[0][0]  # first doc introduces all its grams
+
+    n_before = index.read().count()
+    replay = get(update_gram_index(b2, index, n=3, epoch=2))
+    assert replay == out2
+    assert index.read().count() == n_before
+
+
+def test_gram_novelty_symmetric_and_prefix_forms_agree_on_uniques(spark):
+    """ngram_novelty (df == 1) and first_seen_novelty count the same grams
+    as novel when every gram occurs in exactly one document."""
+    from schwab_elt_etl_pipeline_spark.operators.text import first_seen_novelty
+
+    rows = [(0, "aa bb cc dd"), (1, "ee ff gg hh"), (2, "ii jj kk ll mm")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["novelty"] for r in first_seen_novelty(docs, n=3).collect()}
+    assert out == {0: 1.0, 1: 1.0, 2: 1.0}
