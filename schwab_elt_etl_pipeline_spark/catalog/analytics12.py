@@ -1,0 +1,267 @@
+"""Round-7 behavioral-statistics wave: market-basket association rules and
+per-entity autocorrelation.
+
+``assoc_rules_lift`` is the a-priori co-occurrence statistic (support /
+confidence / lift) over per-user event-type baskets — the classic
+"users who do A also do B" miner. ``t_acf_lags`` is the per-user
+autocorrelation function at small lags, the standard seriality diagnostic
+that decides whether the recurrence family (EWMA / Holt) has signal to
+smooth. Both are native-expression plans whose floating-point outputs are
+derived from EXACT decimal/integer moments (the ``a_corr_matrix`` /
+``a_ols_trend_exact`` discipline), so they hash-match DuckDB at any
+parallelism.
+
+Reference scope: the reference's analytics stack stops at the windowed
+aggregates surveyed in SURVEY §2.6 (docs/sql_server.md); these two are part
+of the LLM-pipeline extension (behavioral mixing signals / series
+diagnostics), not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
+from schwab_elt_etl_pipeline_spark.sources import load_table
+
+_MIN_PAIR_SUPPORT = 5
+_ACF_LAGS = 3
+
+
+def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules over per-user event-type baskets:
+    for every ordered pair (antecedent → consequent) co-occurring in at
+    least ``_MIN_PAIR_SUPPORT`` baskets, emit support, confidence and lift.
+
+    Shape (a-priori, vocabulary-bounded): ONE distinct shuffle builds the
+    (user, item) incidence; baskets collapse to sorted item sets and the
+    i<j pair expansion runs as a native array transform — no self-join, so
+    the quadratic blow-up is bounded by per-basket item cardinality (the
+    item vocabulary), never by basket count. Item counts are a
+    vocabulary-sized broadcast; the basket total rides a broadcast 1-row
+    crossJoin (sanctioned scalar pattern). All three metrics are single
+    IEEE divisions of exact integer counts — deterministic at any
+    parallelism. At 100 TB the only data-sized moves are the incidence
+    distinct and the basket groupBy: two map-side-combinable shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # ONE pass builds the basket table and every other branch (item counts,
+    # basket total, pair expansion) derives from it — localCheckpoint pins
+    # the diamond so the scan+distinct+groupBy chain runs once, not once
+    # per branch (the pipeline_verts_e2e diamond discipline).
+    baskets = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("items"))
+        .localCheckpoint(eager=True)
+    )
+    item = baskets.select(F.explode("items").alias("event_type")).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    total = baskets.groupBy().agg(F.count(F.lit(1)).alias("nb"))
+    pair_expr = F.when(
+        F.size("items") < 2,
+        F.array().cast("array<struct<a:string,b:string>>"),
+    ).otherwise(
+        F.expr(
+            "flatten(transform(sequence(1, size(items) - 1),"
+            " i -> transform(sequence(i + 1, size(items)),"
+            "      j -> struct(items[i-1] AS a, items[j-1] AS b))))"
+        )
+    )
+    pc = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= _MIN_PAIR_SUPPORT)
+    )
+    rules = pc.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("antecedent"),
+                    F.col("b").alias("consequent"),
+                    F.col("pair_cnt"),
+                ),
+                F.struct(
+                    F.col("b").alias("antecedent"),
+                    F.col("a").alias("consequent"),
+                    F.col("pair_cnt"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.pair_cnt")
+    ia = item.select(
+        F.col("event_type").alias("antecedent"), F.col("cnt").alias("ante_cnt")
+    )
+    ic = item.select(
+        F.col("event_type").alias("consequent"), F.col("cnt").alias("cons_cnt")
+    )
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_cnt",
+            "ante_cnt",
+            "cons_cnt",
+            F.round(F.col("pair_cnt").cast("double") / F.col("nb"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("pair_cnt").cast("double") / F.col("ante_cnt"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("pair_cnt") * F.col("nb")).cast("double")
+                / (F.col("ante_cnt") * F.col("cons_cnt")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+ASSOC_RULES_SQL = f"""
+WITH b AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), n AS (
+  SELECT COUNT(DISTINCT user_id) AS nb FROM b
+), ic AS (
+  SELECT event_type, COUNT(*) AS cnt FROM b GROUP BY event_type
+), pc AS (
+  SELECT x.event_type AS a, y.event_type AS b2, COUNT(*) AS pair_cnt
+  FROM b x JOIN b y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY x.event_type, y.event_type
+  HAVING COUNT(*) >= {_MIN_PAIR_SUPPORT}
+), rules AS (
+  SELECT a AS antecedent, b2 AS consequent, pair_cnt FROM pc
+  UNION ALL
+  SELECT b2 AS antecedent, a AS consequent, pair_cnt FROM pc
+)
+SELECT r.antecedent, r.consequent, r.pair_cnt,
+       ia.cnt AS ante_cnt, ic2.cnt AS cons_cnt,
+       ROUND(CAST(r.pair_cnt AS DOUBLE) / n.nb, 6) AS support,
+       ROUND(CAST(r.pair_cnt AS DOUBLE) / ia.cnt, 6) AS confidence,
+       ROUND(CAST(r.pair_cnt * n.nb AS DOUBLE) / (ia.cnt * ic2.cnt), 6)
+         AS lift
+FROM rules r
+JOIN ic ia  ON ia.event_type = r.antecedent
+JOIN ic ic2 ON ic2.event_type = r.consequent
+CROSS JOIN n
+"""
+
+
+def t_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user autocorrelation of the event value series at lags 1..3.
+
+    One entity-keyed window pass computes all three lagged columns
+    (ordering ties broken by event_id); an array explode unpivots the lags;
+    one grouped aggregation accumulates EXACT decimal moments per
+    (user, lag) — value is exact 2-dp data, so every power/cross sum is an
+    exactly-held decimal and the Pearson formula runs as one fixed IEEE
+    expression over their double casts (the ``a_corr_matrix`` discipline).
+    ``+ 0.0`` canonicalizes IEEE −0.0 before hashing. Degenerate series
+    (fewer than 2 pairs, or zero variance on either side) yield NULL.
+    At 100 TB: one window exchange + one map-side-combinable groupBy, both
+    keyed on the same entity column.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    y = F.col("value").cast("decimal(12,2)")
+    lagged = ev.select(
+        "user_id",
+        y.alias("y"),
+        *[F.lag(y, k).over(w).alias(f"y_{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    pairs = lagged.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col("y").alias("yt"),
+                        F.col(f"y_{k}").alias("yl"),
+                    )
+                    for k in range(1, _ACF_LAGS + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "p.lag", "p.yt", "p.yl").filter(F.col("yl").isNotNull())
+    m = pairs.groupBy("user_id", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("yt").cast("double").alias("s1"),
+        F.sum("yl").cast("double").alias("s2"),
+        F.sum(F.col("yt") * F.col("yt")).cast("double").alias("s11"),
+        F.sum(F.col("yl") * F.col("yl")).cast("double").alias("s22"),
+        F.sum(F.col("yt") * F.col("yl")).cast("double").alias("s12"),
+    )
+    n = F.col("n_pairs").cast("double")
+    varx = n * F.col("s11") - F.col("s1") * F.col("s1")
+    vary = n * F.col("s22") - F.col("s2") * F.col("s2")
+    cov = n * F.col("s12") - F.col("s1") * F.col("s2")
+    ok = (F.col("n_pairs") >= 2) & (varx > 0.0) & (vary > 0.0)
+    return m.select(
+        "user_id",
+        "lag",
+        "n_pairs",
+        F.when(ok, F.round(cov / (F.sqrt(varx) * F.sqrt(vary)), 6) + 0.0).alias(
+            "acf"
+        ),
+    )
+
+
+T_ACF_SQL = f"""
+WITH lagged AS (
+  SELECT user_id, CAST(value AS DECIMAL(12,2)) AS y,
+         {", ".join(
+             f"LAG(CAST(value AS DECIMAL(12,2)), {k}) OVER "
+             f"(PARTITION BY user_id ORDER BY ts, event_id) AS y_{k}"
+             for k in range(1, _ACF_LAGS + 1)
+         )}
+  FROM events
+), pairs AS (
+  {" UNION ALL ".join(
+      f"SELECT user_id, {k} AS lag, y AS yt, y_{k} AS yl FROM lagged "
+      f"WHERE y_{k} IS NOT NULL"
+      for k in range(1, _ACF_LAGS + 1)
+  )}
+), m AS (
+  SELECT user_id, lag, COUNT(*) AS n_pairs,
+         CAST(SUM(yt) AS DOUBLE) AS s1,
+         CAST(SUM(yl) AS DOUBLE) AS s2,
+         CAST(SUM(yt * yt) AS DOUBLE) AS s11,
+         CAST(SUM(yl * yl) AS DOUBLE) AS s22,
+         CAST(SUM(yt * yl) AS DOUBLE) AS s12
+  FROM pairs GROUP BY user_id, lag
+)
+SELECT user_id, lag, n_pairs,
+       CASE WHEN n_pairs >= 2
+             AND n_pairs * s11 - s1 * s1 > 0.0
+             AND n_pairs * s22 - s2 * s2 > 0.0
+            THEN ROUND((n_pairs * s12 - s1 * s2)
+                       / (sqrt(n_pairs * s11 - s1 * s1)
+                          * sqrt(n_pairs * s22 - s2 * s2)), 6) + 0.0
+       END AS acf
+FROM m
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "assoc_rules_lift", assoc_rules_lift, ASSOC_RULES_SQL,
+        doc="market-basket association rules (support/confidence/lift) over "
+            "per-user event-type baskets — a-priori, vocabulary-bounded "
+            "pair expansion, no self-join",
+    ),
+    QuerySpec(
+        "t_acf_lags", t_acf_lags, T_ACF_SQL,
+        doc="per-user autocorrelation at lags 1..3 from exact decimal "
+            "moments — the seriality diagnostic for the recurrence family",
+    ),
+]

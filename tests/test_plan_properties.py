@@ -83,6 +83,7 @@ _SANCTIONED_BNLJ = {
     "q11_important_suppliers",  # 1-row global-total broadcast
     "q22_global_avg_anti",   # 1-row scalar-average broadcast
     "phrase_detection_pmi",  # 1-row token-total scalar
+    "assoc_rules_lift",      # 1-row basket-total scalar
     "unigram_rarity",        # 1-row corpus-total broadcast
     "tfidf_topk_keywords",   # 1-row doc-count broadcast
     "event_funnel",          # 1-row base-population broadcast

@@ -112,6 +112,7 @@ def test_corpus_aggregations_have_partial_agg(spark, sf_dir, name):
 #: else acquiring a BNLJ is a join that lost its equi-key — a 100 TB bug.
 _BNLJ_OK = {
     "phrase_detection_pmi",  # 1-row token-total scalar
+    "assoc_rules_lift",      # 1-row basket-total scalar
     "unigram_rarity",        # 1-row corpus-total scalar
     "tfidf_topk_keywords",   # 1-row doc-count scalar
     "event_funnel",          # 1-row base-population scalar
