@@ -1,5 +1,5 @@
-"""Round-7 behavioral-statistics wave: market-basket association rules and
-per-entity autocorrelation.
+"""Round-7 behavioral-statistics wave: market-basket association rules,
+per-entity autocorrelation, and label-propagation communities.
 
 ``assoc_rules_lift`` is the a-priori co-occurrence statistic (support /
 confidence / lift) over per-user event-type baskets — the classic
@@ -252,7 +252,104 @@ FROM m
 """
 
 
+_LPA_ROUNDS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) over the co-click item graph — ``_LPA_ROUNDS`` deterministic
+    rounds: every node adopts the label that the MOST neighbors carried at
+    the previous round, ties broken toward the smallest label, seeded with
+    each node's own id. The total tie-break makes synchronous LPA exactly
+    reproducible, so the result hash-matches an unrolled-CTE DuckDB oracle
+    — the same certification discipline as ``pagerank_fixed_point``
+    (integer votes, no floats to reorder).
+
+    Per round: ONE node-keyed equi-join of the edge list against the
+    node-sized label table (broadcast at catalog-bounded vocabulary; at
+    larger graphs it becomes a shuffled hash join on the same key) + one
+    map-side-combinable vote count + one ``max_by`` argmax — the Pregel
+    message/combine/apply shape expressed relationally. Community ids
+    converge to per-component minima; unlike connected components, dense
+    subgraphs keep distinct labels across bridges.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.from_json("props", "k INT")["k"].alias("item"))
+        .distinct()
+    )
+    other = clicks.select(F.col("user_id"), F.col("item").alias("dst"))
+    edges = (
+        clicks.join(other, "user_id")
+        .filter(F.col("item") != F.col("dst"))
+        .select(F.col("item").alias("src"), "dst")
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(
+                F.broadcast(
+                    labels.select(F.col("node").alias("p_node"), "label")
+                ),
+                edges.src == F.col("p_node"),
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = votes.groupBy("node").agg(
+            F.max_by(
+                "label",
+                F.struct(F.col("cnt"), (-F.col("label")).alias("_nl")),
+            ).alias("label")
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def _lpa_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""v{i} AS (
+  SELECT e.dst AS node, p.label, COUNT(*) AS cnt
+  FROM edges e JOIN {prev} p ON p.node = e.src
+  GROUP BY e.dst, p.label
+), l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM v{i})
+  WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH clicks AS (
+  SELECT DISTINCT user_id, CAST(props->>'$.k' AS INT) AS item
+  FROM events WHERE event_type = 'click'
+), edges AS (
+  SELECT DISTINCT a.item AS src, b.item AS dst
+  FROM clicks a JOIN clicks b USING (user_id) WHERE a.item <> b.item
+), l0 AS (
+  SELECT src AS node, src AS label FROM (SELECT DISTINCT src FROM edges)
+), {", ".join(rounds)}
+SELECT node, label AS community FROM {prev}
+"""
+
+
+LPA_SQL = _lpa_sql()
+
+
 SPECS = [
+    QuerySpec(
+        "graph_label_propagation", graph_label_propagation, LPA_SQL,
+        doc="synchronous label-propagation communities over the co-click "
+            "graph — deterministic ties, unrolled-CTE-certified like the "
+            "fixed-point PageRank",
+    ),
     QuerySpec(
         "assoc_rules_lift", assoc_rules_lift, ASSOC_RULES_SQL,
         doc="market-basket association rules (support/confidence/lift) over "
