@@ -343,7 +343,111 @@ SELECT node, label AS community FROM {prev}
 LPA_SQL = _lpa_sql()
 
 
+_RRF_K = 60          # Cormack et al. 2009 constant
+_RRF_ARM_DEPTH = 100  # per-arm candidate depth
+_RRF_TOPN = 20
+
+
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of a
+    lexical BM25 arm over ``documents`` and a dense cosine arm over
+    ``embeddings`` (vec_id as the shared document key, query = vector 0) —
+    the RAG-stack ranker ensemble. ``rrf = Σ_arms 1/(K + rank)``, K=60;
+    documents surfaced by either arm fuse via a full outer join.
+
+    Scale shape: each arm reduces to its top-``_RRF_ARM_DEPTH`` via
+    sort-limit (TakeOrdered — per-partition top-k then a bounded merge,
+    never a global sort materialization); ranking then runs on ≤100-row
+    frames. The dense arm reuses ``brute_force_topk`` (broadcast 1-query
+    certification arm — the IVF/PQ index queries are the production path
+    at corpus scale). All rank arithmetic is single IEEE divisions of
+    exact integers in fixed order — hash-stable at any parallelism.
+    """
+    from schwab_elt_etl_pipeline_spark.catalog.analytics6 import bm25_retrieval
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    w1 = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        bm25_retrieval(spark, sf_dir)
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RRF_ARM_DEPTH)
+        .select("doc_id", F.row_number().over(w1).cast("long").alias("lex_rank"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    w2 = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    dense = (
+        brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=_RRF_ARM_DEPTH)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(w2).cast("long").alias("dense_rank"),
+        )
+    )
+    arm = lambda r: F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(arm("lex_rank") + arm("dense_rank"), 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_RRF_TOPN)
+    )
+
+
+RRF_SQL = f"""
+WITH lex_scored AS ({{bm25}}),
+lex_top AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM lex_scored
+  QUALIFY lex_rank <= {_RRF_ARM_DEPTH}
+), q AS (
+  SELECT embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id = 0
+), dense_scored AS (
+  SELECT vec_id,
+         ROUND({{cos}}, 6) AS cos
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS c_vec FROM embeddings), q
+  WHERE vec_id <> 0
+), dense_top AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS dense_rank
+  FROM dense_scored
+  QUALIFY dense_rank <= {_RRF_ARM_DEPTH}
+)
+SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+       ROUND(COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + l.lex_rank), 0.0)
+             + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + d.dense_rank), 0.0), 6)
+         AS rrf
+FROM lex_top l FULL JOIN dense_top d ON l.doc_id = d.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {_RRF_TOPN}
+"""
+
+
+def _rrf_sql() -> str:
+    from schwab_elt_etl_pipeline_spark.catalog.analytics6 import BM25_SQL
+
+    cos = (
+        "list_dot_product(q_vec, c_vec) / "
+        "(sqrt(list_dot_product(q_vec, q_vec))"
+        " * sqrt(list_dot_product(c_vec, c_vec)))"
+    )
+    return RRF_SQL.format(bm25=BM25_SQL, cos=cos)
+
+
 SPECS = [
+    QuerySpec(
+        "retrieval_rrf_hybrid", retrieval_rrf_hybrid, _rrf_sql(),
+        doc="reciprocal-rank fusion of BM25 and dense-cosine arms — the "
+            "hybrid-retrieval ranker ensemble, bounded per-arm depth",
+    ),
     QuerySpec(
         "graph_label_propagation", graph_label_propagation, LPA_SQL,
         doc="synchronous label-propagation communities over the co-click "
