@@ -20,6 +20,11 @@ absolute measured throughput of this engine's equivalents:
 5. ``stateful_smoothing`` — tick stream -> per-contract EWMA of the option
    mark (``applyInPandasWithState``, 1,200 keys of persistent state) ->
    append parquet sink.
+6. ``seasonal_baseline`` — event stream -> incremental (event_type, hour)
+   median/MAD cells (epoch-keyed merge) -> exactly-once anomaly flags.
+7. ``gram_novelty_index`` — document stream -> incremental first-occurrence
+   novelty vs a persistent 8-byte n-gram fingerprint index (O(batch)
+   probes) -> exactly-once per-doc novelty scores.
 
 Inputs are pre-generated so the measured interval is pure stream processing:
 ``maxFilesPerTrigger`` slices the input into several micro-batches, so the
@@ -271,6 +276,27 @@ def main() -> None:
     )
     wall = _drain(q)
     record("seasonal_baseline", n_events, wall, flagged_t.read().count())
+
+    # 7. incremental gram-novelty index (persistent fingerprint table probe
+    # + min-doc claim + insert_new append; doc_id-keyed exactly-once scores)
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_gram_index
+
+    gram_idx = ParquetTable(spark, f"{root}/gram_index", cluster_by=("gh",))
+    gram_scores = ParquetTable(spark, f"{root}/gram_scores")
+
+    def _gram_sink(batch: DataFrame, epoch: int) -> None:
+        out = update_gram_index(batch, gram_idx, n=3, epoch=epoch)
+        gram_scores.insert_new(out, keys=["doc_id"])
+
+    q = (
+        read_document_stream(spark, docs_dir, max_files_per_trigger=per_trigger)
+        .writeStream.foreachBatch(_gram_sink)
+        .option("checkpointLocation", f"{root}/gram_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wall = _drain(q)
+    record("gram_novelty_index", n_docs, wall, gram_scores.read().count())
 
     payload = {
         "metric": "streaming throughput (rows/sec, end-to-end incl. checkpoints)",
