@@ -59,6 +59,16 @@ QUERIES = [
     # so its ratio certifies per-iteration linearity
     "leakage_safe_split",
     "bpe_train_merges",
+    # round-7 behavioral wave: baskets/series grow as 10× MORE users (the
+    # key shift), item/event-type vocabulary stays fixed — the ratios
+    # certify the vocabulary-bounded pair expansion (assoc), the
+    # per-entity window scan (acf), and the vocab²-bounded vote loop
+    # (LPA) none of which have a corpus-quadratic stage; the novelty
+    # query's gram table grows linearly under the copy-tag perturbation
+    "assoc_rules_lift",
+    "t_acf_lags",
+    "graph_label_propagation",
+    "first_seen_novelty",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
