@@ -28,6 +28,11 @@ _NAMES = [
     "substring_dup_excise",
     "t9_gapfill_locf",
     "w_holt_trend",
+    "assoc_rules_lift",
+    "t_acf_lags",
+    "graph_label_propagation",
+    "retrieval_rrf_hybrid",
+    "first_seen_novelty",
 ]
 
 _HEADER = """# PLANS — executed physical plans of the heaviest headline queries
