@@ -269,10 +269,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-sized label table (broadcast at catalog-bounded vocabulary; at
     larger graphs it becomes a shuffled hash join on the same key) + one
     map-side-combinable vote count + one ``max_by`` argmax — the Pregel
-    message/combine/apply shape expressed relationally. Community ids
-    converge to per-component minima; unlike connected components, dense
-    subgraphs keep distinct labels across bridges.
+    message/combine/apply shape expressed relationally (delegates to
+    ``operators/graph.py label_propagation``, property-tested against a
+    sequential reference). Community ids converge to per-component minima;
+    unlike connected components, dense subgraphs keep distinct labels
+    across bridges.
     """
+    from schwab_elt_etl_pipeline_spark.operators.graph import label_propagation
+
     ev = load_table(spark, sf_dir, "events")
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -286,26 +290,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("item").alias("src"), "dst")
         .distinct()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(_LPA_ROUNDS):
-        votes = (
-            edges.join(
-                F.broadcast(
-                    labels.select(F.col("node").alias("p_node"), "label")
-                ),
-                edges.src == F.col("p_node"),
-            )
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        labels = votes.groupBy("node").agg(
-            F.max_by(
-                "label",
-                F.struct(F.col("cnt"), (-F.col("label")).alias("_nl")),
-            ).alias("label")
-        )
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS)
     return labels.select("node", F.col("label").alias("community"))
 
 

@@ -14,6 +14,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_labels: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over a directed
+    edge list → ``(node, label)`` after ``rounds`` deterministic updates.
+
+    Every node adopts the label the most in-neighbors carried at the
+    previous round; ties break toward the smallest label; seed = own id.
+    The total tie-break makes the synchronous schedule exactly reproducible
+    (asynchronous LPA is not), which is what lets the catalog query certify
+    it against an unrolled-CTE oracle. Per round: one node-keyed equi-join
+    of edges against the node-sized label table (broadcast while labels fit
+    — pass ``broadcast_labels=False`` at graph scales where they don't, and
+    the same plan degrades to a shuffled hash join on the node key), one
+    map-side-combinable vote count, one ``max_by`` argmax. Nodes with no
+    in-edges keep no row after round 1 — feed a symmetric edge set (as the
+    co-click builder does) when every node must survive.
+    """
+    labels = edges.select(F.col(src).alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        prev = labels.select(F.col("node").alias("_p_node"), "label")
+        if broadcast_labels:
+            prev = F.broadcast(prev)
+        votes = (
+            edges.join(prev, edges[src] == F.col("_p_node"))
+            .groupBy(F.col(dst).alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = votes.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))
+            ).alias("label")
+        )
+    return labels
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle counts: (item, n_tri), vertices in ≥1 triangle.
 

@@ -1,0 +1,109 @@
+"""Property tests for the round-7 behavioral wave: label propagation and
+first-occurrence novelty vs sequential references (the linear_recurrence
+discipline — random inputs, exact semantic mirror)."""
+
+from __future__ import annotations
+
+import pytest
+
+from schwab_elt_etl_pipeline_spark.operators.graph import label_propagation
+from schwab_elt_etl_pipeline_spark.operators.text import first_seen_novelty
+
+from hypothesis import given, settings, strategies as st
+
+
+def _seq_lpa(edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Sequential synchronous LPA, mirroring the operator exactly: seeds are
+    the DISTINCT sources; only currently-labeled nodes vote; duplicate edges
+    vote twice (the operator counts rows); ties take the smallest label;
+    nodes receiving no votes drop out of the next round."""
+    cur = {s: s for s, _ in edges}
+    for _ in range(rounds):
+        votes: dict[int, dict[int, int]] = {}
+        for s, d in edges:
+            if s in cur:
+                lab = cur[s]
+                votes.setdefault(d, {})
+                votes[d][lab] = votes[d].get(lab, 0) + 1
+        cur = {
+            d: max(vs.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            for d, vs in votes.items()
+        }
+    return cur
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=18,
+    ),
+    rounds=st.integers(min_value=1, max_value=3),
+)
+def test_lpa_matches_sequential_reference(spark, edges, rounds):
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, rounds=rounds).collect()
+    }
+    assert got == _seq_lpa(edges, rounds)
+
+
+def test_lpa_two_cliques_bridge(spark):
+    """Two 4-cliques joined by one bridge keep distinct communities — the
+    behavior that separates LPA from connected components. (4-cliques: each
+    member's 3 internal votes outvote the 1 bridge vote; in a 3-clique the
+    round-1 all-ties-of-one let the smaller bridge label flood across.)"""
+    cliques = [(a, b) for grp in ([0, 1, 2, 3], [10, 11, 12, 13]) for a in grp
+               for b in grp if a != b]
+    bridge = [(3, 10), (10, 3)]
+    df = spark.createDataFrame(cliques + bridge, "src int, dst int")
+    got = {r["node"]: r["label"] for r in label_propagation(df, rounds=3).collect()}
+    assert got[0] == got[1] == got[2] == got[3] == 0
+    assert got[10] == got[11] == got[12] == got[13] == 10
+
+
+_WORDS = ["aa", "bb", "cc", "dd"]
+
+
+def _seq_novelty(docs: list[tuple[int, str]], n: int) -> dict[int, tuple]:
+    first: dict[str, int] = {}
+    out: dict[int, tuple] = {}
+    for doc_id, text in sorted(docs):
+        toks = text.strip().lower().split()
+        grams = (
+            {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            if len(toks) >= n
+            else set()
+        )
+        if not grams:
+            continue
+        new = sum(1 for g in grams if first.setdefault(g, doc_id) == doc_id)
+        out[doc_id] = (len(grams), new, new / len(grams))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=3),
+)
+def test_first_seen_novelty_matches_sequential(spark, texts, n):
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_new"], r["novelty"])
+        for r in first_seen_novelty(df, n=n).collect()
+    }
+    want = _seq_novelty(docs, n)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0] and got[d][1] == want[d][1]
+        assert got[d][2] == pytest.approx(want[d][2], abs=1e-6)
