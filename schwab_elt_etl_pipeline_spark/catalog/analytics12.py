@@ -252,6 +252,55 @@ FROM m
 """
 
 
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    ordered pair of consecutive event types within a user's timeline,
+    the transition count and conditional probability P(next | prev) — the
+    order-aware complement of ``assoc_rules_lift`` (which ignores order).
+
+    One entity-keyed window pass pairs each event with its successor
+    (ties broken by event_id); one map-side-combinable groupBy collapses
+    to the vocabulary² cell table; the row-normalization runs as a window
+    sum OVER that bounded table — no second data-sized shuffle anywhere.
+    The probability is a single IEEE division of exact integer counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("next"),
+    ).filter(F.col("next").isNotNull())
+    cells = pairs.groupBy("prev", "next").agg(F.count(F.lit(1)).alias("cnt"))
+    row_tot = Window.partitionBy("prev")
+    return cells.select(
+        "prev",
+        "next",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(row_tot).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
+EVENT_TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT event_type AS prev,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next
+  FROM events
+), cells AS (
+  SELECT prev, next, COUNT(*) AS cnt
+  FROM pairs WHERE next IS NOT NULL GROUP BY prev, next
+)
+SELECT prev, next, cnt,
+       ROUND(CAST(cnt AS DOUBLE)
+             / CAST(SUM(cnt) OVER (PARTITION BY prev) AS DOUBLE), 6) AS prob
+FROM cells
+"""
+
+
 _LPA_ROUNDS = 3
 
 
@@ -444,6 +493,11 @@ SPECS = [
         doc="market-basket association rules (support/confidence/lift) over "
             "per-user event-type baskets — a-priori, vocabulary-bounded "
             "pair expansion, no self-join",
+    ),
+    QuerySpec(
+        "event_transition_probs", event_transition_probs, EVENT_TRANSITION_SQL,
+        doc="first-order Markov transition matrix P(next|prev) over user "
+            "timelines — order-aware complement of assoc_rules_lift",
     ),
     QuerySpec(
         "t_acf_lags", t_acf_lags, T_ACF_SQL,
