@@ -377,6 +377,126 @@ SELECT node, label AS community FROM {prev}
 LPA_SQL = _lpa_sql()
 
 
+_KM_K = 8
+_KM_ITERS = 2
+_KM_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def kmeans_lloyd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's k-means TRAINING loop (k=8 seeds = vectors 0..7, 2
+    iterations, cosine assignment), certified end-to-end: the output is the
+    final per-(cluster, dim) centroid cell table, and the DuckDB oracle
+    re-runs both iterations as chained MATERIALIZED CTEs — so the hash
+    match certifies assignment AND re-estimation, iterated. This closes the
+    iterative-trainer story next to ``bpe_train_merges``: per iteration the
+    driver sees only the k×d rounded centroid cells (the M-step result),
+    exactly like BPE's one argmax row per round.
+
+    Determinism stack (all established-idiom): cosine rounded to 6 with
+    cent_id tie-break (``kmeans_assign_fixed``); means from exact
+    DECIMAL(28,12) sums over a posexplode, rounded 6
+    (``label_centroid_cells`` — shared function, shared discipline);
+    re-broadcast centroids are those rounded doubles on BOTH sides, so
+    iteration 2 sees bit-identical inputs. Clusters that capture no
+    vectors drop from the next round in both engines. Scale shape per
+    iteration: one broadcast crossJoin E-step (corpus never shuffles) +
+    one (cluster, dim)-keyed partial-sum M-step — vectors move zero times.
+    """
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        as_double,
+        cosine,
+        label_centroid_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", as_double("embedding").alias("v")
+    ).localCheckpoint(eager=False)
+    cent_rows = [
+        (int(r.cent_id), list(r.c_vec))
+        for r in emb.filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.col("vec_id").cast("int").alias("cent_id"),
+            as_double("embedding").alias("c_vec"),
+        )
+        .collect()
+    ]
+    cells = None
+    for _ in range(_KM_ITERS):
+        cent_df = spark.createDataFrame(
+            cent_rows, "cent_id int, c_vec array<double>"
+        )
+        scored = vecs.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id",
+            "v",
+            "cent_id",
+            F.round(cosine(F.col("v"), F.col("c_vec")), 6).alias("cos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+        assigned = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "v", F.col("cent_id").alias("cluster"))
+        )
+        cells = label_centroid_cells(assigned, label_col="cluster", vec_col="v")
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in cells.collect():
+            by_cluster.setdefault(int(r.label), {})[int(r.dim)] = float(
+                r.centroid
+            )
+        cent_rows = [
+            (cl, [dims[d] for d in sorted(dims)])
+            for cl, dims in sorted(by_cluster.items())
+        ]
+    return cells.select(
+        F.col("label").cast("int").alias("cluster"),
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        "centroid",
+    )
+
+
+def _kmeans_sql() -> str:
+    cos = _KM_COS.format(a="v", b="c_vec")
+    steps = []
+    prev_c = "c0"
+    for i in range(1, _KM_ITERS + 1):
+        steps.append(f"""s{i} AS MATERIALIZED (
+  SELECT q.vec_id, c.cent_id, ROUND({cos}, 6) AS cos
+  FROM q, {prev_c} c
+), a{i} AS MATERIALIZED (
+  SELECT vec_id, cent_id AS cluster FROM s{i}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY cos DESC, cent_id ASC) = 1
+), m{i} AS MATERIALIZED (
+  SELECT t.cluster, i AS dim, COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(t.v[i] AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*), 6) AS centroid
+  FROM (SELECT a.cluster, q.v FROM a{i} a JOIN q ON a.vec_id = q.vec_id) t,
+       UNNEST(generate_series(1, LEN(t.v))) AS g(i)
+  GROUP BY t.cluster, i
+), c{i} AS MATERIALIZED (
+  SELECT cluster AS cent_id, LIST(centroid ORDER BY dim) AS c_vec
+  FROM m{i} GROUP BY cluster
+)""")
+        prev_c = f"c{i}"
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT CAST(vec_id AS INT) AS cent_id, embedding::DOUBLE[] AS c_vec
+  FROM embeddings WHERE vec_id < {_KM_K}
+), {", ".join(steps)}
+SELECT cluster, CAST(dim AS INT) AS dim, n, centroid FROM m{_KM_ITERS}
+"""
+
+
+KMEANS_LLOYD_SQL = _kmeans_sql()
+
+
 _RRF_K = 60          # Cormack et al. 2009 constant
 _RRF_ARM_DEPTH = 100  # per-arm candidate depth
 _RRF_TOPN = 20
@@ -477,6 +597,13 @@ def _rrf_sql() -> str:
 
 
 SPECS = [
+    QuerySpec(
+        "kmeans_lloyd_train", kmeans_lloyd_train, KMEANS_LLOYD_SQL,
+        doc="full Lloyd's k-means training loop (2 iterations, k=8) — "
+            "assignment AND re-estimation certified by chained "
+            "materialized-CTE oracle; driver sees only k×d centroid cells "
+            "per round",
+    ),
     QuerySpec(
         "retrieval_rrf_hybrid", retrieval_rrf_hybrid, _rrf_sql(),
         doc="reciprocal-rank fusion of BM25 and dense-cosine arms — the "

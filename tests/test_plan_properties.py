@@ -74,6 +74,7 @@ def test_no_python_udfs_in_relational_catalog(spark, sf_dir):
 _SANCTIONED_BNLJ = {
     "ann_cosine_topk",       # brute-force baseline: corpus × broadcast queries
     "retrieval_rrf_hybrid",  # 1-row query-vector set (dense arm)
+    "kmeans_lloyd_train",    # ≤8-row centroid table (E-step)
     "ann_ivf_kmeans",        # centroid assignment: corpus × broadcast centroids
     "ann_pq_adc",            # ≤3-row query-vector set (exact-anchor pass)
     "ann_ivfadc",            # ≤3-row query-vector set (exact-anchor pass)

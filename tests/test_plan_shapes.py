@@ -118,6 +118,7 @@ _BNLJ_OK = {
     "event_funnel",          # 1-row base-population scalar
     "ann_cosine_topk",       # ≤8-row query-vector set
     "retrieval_rrf_hybrid",  # 1-row query-vector set (dense arm)
+    "kmeans_lloyd_train",    # ≤8-row centroid table (E-step)
     "ann_projected_rerank",  # ≤8-row query-vector set (coarse sketch pass)
     "embedding_near_dup",    # ≤8-row probe set
     "ann_ivf_kmeans",        # ≤16-row centroid table
