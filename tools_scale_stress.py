@@ -69,6 +69,12 @@ QUERIES = [
     "t_acf_lags",
     "graph_label_propagation",
     "first_seen_novelty",
+    # Markov transition matrix: one window pass over 10× more users
+    "event_transition_probs",
+    # Lloyd trainer: the E-step crossJoin scans 10× vectors per iteration,
+    # the M-step moves only (cluster, dim) partial sums — per-iteration
+    # linearity is the claim
+    "kmeans_lloyd_train",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
