@@ -599,6 +599,7 @@ def _rrf_sql() -> str:
 SPECS = [
     QuerySpec(
         "kmeans_lloyd_train", kmeans_lloyd_train, KMEANS_LLOYD_SQL,
+        headline=True,
         doc="full Lloyd's k-means training loop (2 iterations, k=8) — "
             "assignment AND re-estimation certified by chained "
             "materialized-CTE oracle; driver sees only k×d centroid cells "

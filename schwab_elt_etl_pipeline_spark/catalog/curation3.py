@@ -380,7 +380,7 @@ SPECS = [
             "(one doc shuffle, M window passes)",
     ),
     QuerySpec(
-        "bpe_train_merges", bpe_train_merges, BPE_TRAIN_SQL,
+        "bpe_train_merges", bpe_train_merges, BPE_TRAIN_SQL, headline=True,
         doc="iterative BPE training loop: k x (pair count -> argmax -> "
             "greedy merge), certified against k unrolled CTE steps",
     ),

@@ -33,6 +33,7 @@ _NAMES = [
     "graph_label_propagation",
     "retrieval_rrf_hybrid",
     "first_seen_novelty",
+    "kmeans_lloyd_train",
 ]
 
 _HEADER = """# PLANS — executed physical plans of the heaviest headline queries
