@@ -30,6 +30,81 @@ _MIN_PAIR_SUPPORT = 5
 _ACF_LAGS = 3
 
 
+def rules_from_baskets(baskets: DataFrame, min_support: int) -> DataFrame:
+    """Directional association rules from a (user_id, items sorted-array)
+    basket table: (antecedent, consequent, pair_cnt, ante_cnt, cons_cnt,
+    support, confidence, lift). The a-priori core of ``assoc_rules_lift``,
+    factored out so random-basket property tests (test_behavioral) can
+    drive it directly. ``baskets`` should be materialized by the caller
+    when it feeds multiple branches (this function reads it three times)."""
+    item = baskets.select(F.explode("items").alias("item")).groupBy(
+        "item"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    total = baskets.groupBy().agg(F.count(F.lit(1)).alias("nb"))
+    pair_expr = F.when(
+        F.size("items") < 2,
+        F.array().cast("array<struct<a:string,b:string>>"),
+    ).otherwise(
+        F.expr(
+            "flatten(transform(sequence(1, size(items) - 1),"
+            " i -> transform(sequence(i + 1, size(items)),"
+            "      j -> struct(items[i-1] AS a, items[j-1] AS b))))"
+        )
+    )
+    pc = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_support)
+    )
+    rules = pc.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("antecedent"),
+                    F.col("b").alias("consequent"),
+                    F.col("pair_cnt"),
+                ),
+                F.struct(
+                    F.col("b").alias("antecedent"),
+                    F.col("a").alias("consequent"),
+                    F.col("pair_cnt"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.pair_cnt")
+    ia = item.select(
+        F.col("item").alias("antecedent"), F.col("cnt").alias("ante_cnt")
+    )
+    ic = item.select(
+        F.col("item").alias("consequent"), F.col("cnt").alias("cons_cnt")
+    )
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_cnt",
+            "ante_cnt",
+            "cons_cnt",
+            F.round(F.col("pair_cnt").cast("double") / F.col("nb"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("pair_cnt").cast("double") / F.col("ante_cnt"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("pair_cnt") * F.col("nb")).cast("double")
+                / (F.col("ante_cnt") * F.col("cons_cnt")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional association rules over per-user event-type baskets:
     for every ordered pair (antecedent → consequent) co-occurring in at
@@ -58,72 +133,7 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("event_type")).alias("items"))
         .localCheckpoint(eager=True)
     )
-    item = baskets.select(F.explode("items").alias("event_type")).groupBy(
-        "event_type"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    total = baskets.groupBy().agg(F.count(F.lit(1)).alias("nb"))
-    pair_expr = F.when(
-        F.size("items") < 2,
-        F.array().cast("array<struct<a:string,b:string>>"),
-    ).otherwise(
-        F.expr(
-            "flatten(transform(sequence(1, size(items) - 1),"
-            " i -> transform(sequence(i + 1, size(items)),"
-            "      j -> struct(items[i-1] AS a, items[j-1] AS b))))"
-        )
-    )
-    pc = (
-        baskets.select(F.explode(pair_expr).alias("p"))
-        .select("p.a", "p.b")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("pair_cnt"))
-        .filter(F.col("pair_cnt") >= _MIN_PAIR_SUPPORT)
-    )
-    rules = pc.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("a").alias("antecedent"),
-                    F.col("b").alias("consequent"),
-                    F.col("pair_cnt"),
-                ),
-                F.struct(
-                    F.col("b").alias("antecedent"),
-                    F.col("a").alias("consequent"),
-                    F.col("pair_cnt"),
-                ),
-            )
-        ).alias("r")
-    ).select("r.antecedent", "r.consequent", "r.pair_cnt")
-    ia = item.select(
-        F.col("event_type").alias("antecedent"), F.col("cnt").alias("ante_cnt")
-    )
-    ic = item.select(
-        F.col("event_type").alias("consequent"), F.col("cnt").alias("cons_cnt")
-    )
-    return (
-        rules.join(F.broadcast(ia), "antecedent")
-        .join(F.broadcast(ic), "consequent")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "antecedent",
-            "consequent",
-            "pair_cnt",
-            "ante_cnt",
-            "cons_cnt",
-            F.round(F.col("pair_cnt").cast("double") / F.col("nb"), 6).alias(
-                "support"
-            ),
-            F.round(
-                F.col("pair_cnt").cast("double") / F.col("ante_cnt"), 6
-            ).alias("confidence"),
-            F.round(
-                (F.col("pair_cnt") * F.col("nb")).cast("double")
-                / (F.col("ante_cnt") * F.col("cons_cnt")),
-                6,
-            ).alias("lift"),
-        )
-    )
+    return rules_from_baskets(baskets, _MIN_PAIR_SUPPORT)
 
 
 ASSOC_RULES_SQL = f"""

@@ -66,6 +66,66 @@ def test_lpa_two_cliques_bridge(spark):
     assert got[10] == got[11] == got[12] == got[13] == 10
 
 
+def _seq_assoc(baskets: dict[int, list[str]], min_support: int) -> dict:
+    from itertools import combinations
+
+    item: dict[str, int] = {}
+    pair: dict[tuple[str, str], int] = {}
+    for items in baskets.values():
+        s = sorted(set(items))
+        for it in s:
+            item[it] = item.get(it, 0) + 1
+        for a, b in combinations(s, 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    nb = len(baskets)
+    out = {}
+    for (a, b), c in pair.items():
+        if c < min_support:
+            continue
+        for ante, cons in ((a, b), (b, a)):
+            out[(ante, cons)] = (
+                c,
+                item[ante],
+                item[cons],
+                c / nb,
+                c / item[ante],
+                c * nb / (item[ante] * item[cons]),
+            )
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    raw=st.lists(
+        st.lists(st.sampled_from(["p", "q", "r", "s"]), min_size=0, max_size=4),
+        min_size=1,
+        max_size=10,
+    ),
+    min_support=st.integers(min_value=1, max_value=3),
+)
+def test_assoc_rules_match_sequential(spark, raw, min_support):
+    from schwab_elt_etl_pipeline_spark.catalog.analytics12 import (
+        rules_from_baskets,
+    )
+
+    baskets = {i: items for i, items in enumerate(raw)}
+    rows = [(i, sorted(set(items))) for i, items in baskets.items()]
+    df = spark.createDataFrame(rows, "user_id long, items array<string>")
+    got = {
+        (r.antecedent, r.consequent): (
+            r.pair_cnt, r.ante_cnt, r.cons_cnt, r.support, r.confidence, r.lift
+        )
+        for r in rules_from_baskets(df, min_support).collect()
+    }
+    want = _seq_assoc(baskets, min_support)
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g[:3] == w[:3]
+        for gi, wi in zip(g[3:], w[3:]):
+            assert gi == pytest.approx(wi, abs=1e-6)
+
+
 _WORDS = ["aa", "bb", "cc", "dd"]
 
 
