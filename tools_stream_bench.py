@@ -25,6 +25,9 @@ absolute measured throughput of this engine's equivalents:
 7. ``gram_novelty_index`` — document stream -> incremental first-occurrence
    novelty vs a persistent 8-byte n-gram fingerprint index (O(batch)
    probes) -> exactly-once per-doc novelty scores.
+8. ``markov_transitions`` — event stream -> incremental Markov transition
+   matrix with cross-batch boundary pairs stitched through epoch-stamped
+   per-user last-seen state.
 
 Inputs are pre-generated so the measured interval is pure stream processing:
 ``maxFilesPerTrigger`` slices the input into several micro-batches, so the
@@ -297,6 +300,25 @@ def main() -> None:
     )
     wall = _drain(q)
     record("gram_novelty_index", n_docs, wall, gram_scores.read().count())
+
+    # 8. incremental Markov transition matrix (delta cells + per-user
+    # last-seen state; boundary pairs stitched exactly across triggers)
+    from schwab_elt_etl_pipeline_spark.streaming.markov_stream import (
+        transition_stream,
+    )
+
+    cells_t = ParquetTable(spark, f"{root}/markov_cells")
+    last_t = ParquetTable(spark, f"{root}/markov_last")
+    q = transition_stream(
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(ev_dir),
+        cells_t,
+        last_t,
+        f"{root}/markov_ckpt",
+    )
+    wall = _drain(q)
+    record("markov_transitions", n_events, wall, cells_t.read().count())
 
     payload = {
         "metric": "streaming throughput (rows/sec, end-to-end incl. checkpoints)",
