@@ -387,6 +387,47 @@ SELECT node, label AS community FROM {prev}
 LPA_SQL = _lpa_sql()
 
 
+def behavior_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral concentration: the Herfindahl–Hirschman index of
+    the user's event-type distribution, ``hhi = Σ_i (cnt_i / total)²`` —
+    1.0 for single-behavior users, → 1/|types| for uniform ones. The
+    diversity signal curation mixes use next to novelty and quality (and
+    deliberately LOG-FREE, unlike entropy: the repo's determinism
+    discipline keeps transcendentals out of hash-gated outputs — the HHI
+    is one division of exact integer sums). Two nested map-side-combinable
+    aggregations on the same user key — one shuffle at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_type.groupBy("user_id").agg(
+        F.sum("cnt").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / (F.sum("cnt") * F.sum("cnt")).cast("double"),
+            6,
+        ).alias("hhi"),
+    )
+
+
+BEHAVIOR_HHI_SQL = """
+WITH per_type AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT (→ float64 in pandas);
+       -- Spark sum(long) stays long — pin BIGINT for a type-stable hash
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       COUNT(*) AS n_types,
+       ROUND(CAST(SUM(cnt * cnt) AS DOUBLE)
+             / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE), 6) AS hhi
+FROM per_type GROUP BY user_id
+"""
+
+
 _KM_K = 8
 _KM_ITERS = 2
 _KM_COS = (
@@ -631,6 +672,12 @@ SPECS = [
         doc="market-basket association rules (support/confidence/lift) over "
             "per-user event-type baskets — a-priori, vocabulary-bounded "
             "pair expansion, no self-join",
+    ),
+    QuerySpec(
+        "behavior_concentration_hhi", behavior_concentration_hhi,
+        BEHAVIOR_HHI_SQL,
+        doc="per-user Herfindahl concentration of event types — log-free "
+            "diversity signal, one user-keyed shuffle",
     ),
     QuerySpec(
         "event_transition_probs", event_transition_probs, EVENT_TRANSITION_SQL,
