@@ -48,9 +48,13 @@ def label_propagation(
             .groupBy(F.col(dst).alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        # min_by over (-cnt, label): most votes first, then SMALLEST label —
+        # only the count (always numeric) is negated, so the tie-break works
+        # for any orderable label type (string vertex ids included), unlike
+        # a max_by over (cnt, -label) which silently requires numeric ids.
         labels = votes.groupBy("node").agg(
-            F.max_by(
-                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("_nc"), F.col("label"))
             ).alias("label")
         )
     return labels

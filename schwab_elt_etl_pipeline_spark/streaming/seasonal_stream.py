@@ -156,10 +156,16 @@ def seasonal_baseline(counts_df: DataFrame) -> DataFrame:
 def flag_seasonal(ev: DataFrame, baseline: DataFrame) -> DataFrame:
     """Flag events against a (cell, baseline, mad) table — the same output
     contract as ``t_seasonal_residuals`` (event_id, event_type, hod, value,
-    baseline, resid, is_anom). Both joins broadcast the bounded table."""
+    baseline, resid, is_anom). LEFT join: a cell whose readings are all
+    NULL has no counts row and therefore no baseline row, but the batch
+    query still emits its events (with NULL baseline/resid/is_anom, since
+    ``percentile`` over an all-NULL cell is NULL) — an inner join here
+    would silently drop such rows from the exactly-once flagged sink
+    forever and break the row-for-row stream ≡ batch parity. The bounded
+    baseline table broadcasts."""
     return (
         ev.withColumn("hod", F.hour("ts"))
-        .join(F.broadcast(baseline), _CELL)
+        .join(F.broadcast(baseline), _CELL, "left")
         .withColumn("resid", F.col("value") - F.col("baseline"))
         .select(
             "event_id",

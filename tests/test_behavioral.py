@@ -66,6 +66,25 @@ def test_lpa_two_cliques_bridge(spark):
     assert got[10] == got[11] == got[12] == got[13] == 10
 
 
+def test_lpa_string_vertex_ids(spark):
+    """The generic src/dst parameters invite string vertex ids; the
+    smallest-label tie-break must work for any orderable type (pinned after
+    the numeric-only ``-label`` negation was replaced by a min_by over
+    (-cnt, label)). Mirror of the two-clique test on string nodes."""
+    cliques = [
+        (a, b)
+        for grp in (["a0", "a1", "a2", "a3"], ["b0", "b1", "b2", "b3"])
+        for a in grp
+        for b in grp
+        if a != b
+    ]
+    bridge = [("a3", "b0"), ("b0", "a3")]
+    df = spark.createDataFrame(cliques + bridge, "src string, dst string")
+    got = {r["node"]: r["label"] for r in label_propagation(df, rounds=3).collect()}
+    assert got["a0"] == got["a1"] == got["a2"] == got["a3"] == "a0"
+    assert got["b0"] == got["b1"] == got["b2"] == got["b3"] == "b0"
+
+
 def _seq_assoc(baskets: dict[int, list[str]], min_support: int) -> dict:
     from itertools import combinations
 

@@ -122,6 +122,51 @@ def test_stream_drain_matches_batch(spark, tmpdirs):
     } == want_counts
 
 
+def test_all_null_cell_rows_survive_flagging(spark):
+    """A cell whose readings are all NULL has no counts row and no baseline
+    row, but its events must still be emitted (with NULL baseline/resid/
+    is_anom) — the batch query's percentile over an all-NULL cell is NULL,
+    not absent. Pins the LEFT join in flag_seasonal: an inner join would
+    drop such rows from the exactly-once sink forever."""
+    ev = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 09:10:00", 1.0),
+            (2, "a", "2024-01-01 09:20:00", 3.0),
+            (3, "a", "2024-01-01 09:30:00", None),  # null in a live cell
+            (4, "b", "2024-01-01 09:40:00", None),  # all-null cell
+        ],
+        "event_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    got = _rows(flag_seasonal(ev, seasonal_baseline(seasonal_counts(ev))))
+    # batch semantics, inline (t_seasonal_residuals reads from sf_dir):
+    # percentile ignores NULL values but still emits a row per cell.
+    e = ev.withColumn("hod", F.hour("ts"))
+    base = e.groupBy("event_type", "hod").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("baseline")
+    )
+    dev = e.join(base, ["event_type", "hod"]).withColumn(
+        "resid", F.col("value") - F.col("baseline")
+    )
+    mad = dev.groupBy("event_type", "hod").agg(
+        F.round(F.expr("percentile(abs(resid), 0.5)"), 4).alias("mad")
+    )
+    want = _rows(
+        dev.join(mad, ["event_type", "hod"]).select(
+            "event_id",
+            "event_type",
+            "hod",
+            "value",
+            "baseline",
+            F.round("resid", 4).alias("resid"),
+            (F.abs(F.col("resid")) > 4 * F.col("mad")).cast("int").alias("is_anom"),
+        )
+    )
+    assert set(got) == {1, 2, 3, 4}
+    assert got == want
+    assert got[4] == ("b", 9, None, None, None, None)
+
+
 def test_epoch_replay_is_idempotent(spark, tmpdirs):
     _, _, wh = tmpdirs
     ev = load_table(spark, SF_DIR, "events").limit(200)

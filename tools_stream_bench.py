@@ -106,8 +106,12 @@ def gen_docs(spark: SparkSession, sf_dir: str, copies: int, shards: int, root: s
     load for the dedup state store."""
     out = f"{root}/docs_parquet"
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Shift by the actual id span, not a fixed constant: a constant shift
+    # collides once base ids reach it, and id collisions silently drop rows
+    # through the id-keyed exactly-once sinks — misreporting throughput.
+    span = base.agg(F.max("doc_id") - F.min("doc_id") + 1).first()[0] or 1
     frames = [
-        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000)) for i in range(copies)
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * span)) for i in range(copies)
     ]
     docs = frames[0]
     for f in frames[1:]:
@@ -127,8 +131,10 @@ def gen_events(spark: SparkSession, sf_dir: str, copies: int, shards: int, root:
     would."""
     out = f"{root}/events_parquet"
     base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Same unique-by-construction shift as gen_docs (see comment there).
+    span = base.agg(F.max("event_id") - F.min("event_id") + 1).first()[0] or 1
     frames = [
-        base.withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+        base.withColumn("event_id", F.col("event_id") + F.lit(i * span))
         for i in range(copies)
     ]
     ev = frames[0]
