@@ -848,6 +848,163 @@ FROM scored, thr WHERE logit >= thr
 """
 
 
+# ---------------------------------------------------------------------------
+# interpolated bigram-LM perplexity gate — the CCNet/Gopher-style LM filter
+# ---------------------------------------------------------------------------
+
+def bigram_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality gate: train on a held-in 80% slice,
+    score every document, drop the bottom 20% by score.
+
+    The bigram generalization of ``unigram_rarity`` (the unigram case of
+    this filter) and the LM sibling of ``quality_quantile_gate``. The
+    real-world twin scores a KenLM n-gram model and gates on perplexity
+    (CCNet's head/middle/tail split); a log-free, cross-engine-bit-exact
+    stand-in is the mean interpolated n-gram corpus frequency — perplexity
+    is a log of exactly this family of statistics, and the gate (a
+    quantile threshold) is rank-equivalent under any monotone transform of
+    a per-token mean. Per scored position i (token with a predecessor):
+
+        P_i = 0.75 * c2(prev_i, w_i) / B  +  0.25 * (c1(w_i) + 1) / (T + V)
+
+    i.e. an interpolation of the trained bigram relative frequency with an
+    add-1-smoothed unigram term (unseen bigrams fall back to the unigram
+    component — interpolated Jelinek-Mercer shape with add-k smoothing in
+    the backoff). ``score_ppm`` is the per-position mean of P_i in parts
+    per million. Everything before the final expression is an INTEGER sum
+    (c2/c1 are integer counts summed per document; B/T/V are integer
+    corpus totals), so the float value is a fixed-order chain of two
+    3-op terms over exact integers — order-independent and bit-identical
+    in Spark and DuckDB (the module-docstring hash-match discipline; an
+    exact rational sum of per-prev conditional ratios is NOT
+    order-independent, which is why the joint-frequency form is the one
+    this suite can certify).
+
+    Scale shape: bigram extraction is a per-row array zip (no window, no
+    shuffle); the model tables are Zipf-bounded vocabulary aggregations
+    (map-side combinable) joined back via broadcast — at sizes past
+    broadcast the same equi-joins degrade to shuffled hash joins on the
+    token key. The threshold is ONE exact percentile reduced to a 1-row
+    scalar and broadcast — never a global sort/percent_rank.
+
+    Reference behavior mirrored: the staged score-then-gate curation shape
+    of sql/opt.sql's quality procedures, re-expressed as a trained-model
+    corpus filter.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("t")
+    )
+    held_in = F.col("doc_id") % 5 > 0  # deterministic 80% training slice
+
+    # (doc_id, prev, cur) bigram stream via array zip — no explode-then-window
+    sz = F.size("t")
+    big = (
+        docs.filter(sz >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, sz - 1).alias("prev"),
+                    F.slice("t", 2, sz - 1).alias("cur"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+    uni = docs.select("doc_id", F.explode("t").alias("token"))
+
+    bigram = (
+        big.filter(held_in).groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))
+    )
+    unigram = (
+        uni.filter(held_in).groupBy("token").agg(F.count(F.lit(1)).alias("uc"))
+    )
+    stats = bigram.agg(F.sum("bc").alias("bt")).crossJoin(
+        unigram.agg(
+            F.sum("uc").alias("ut"), F.count(F.lit(1)).alias("v")
+        )
+    )
+
+    per_doc = (
+        big.join(F.broadcast(bigram), ["prev", "cur"], "left")
+        .join(
+            F.broadcast(unigram.withColumnRenamed("token", "cur")), ["cur"], "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_big"),
+            F.sum(F.coalesce(F.col("bc"), F.lit(0))).alias("sum_bc"),
+            F.sum(F.coalesce(F.col("uc"), F.lit(0))).alias("sum_uc"),
+        )
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats)).select(  # 1-row corpus totals
+        "doc_id",
+        "n_big",
+        (
+            F.col("sum_bc").cast("double")
+            / F.col("n_big").cast("double")
+            / F.col("bt").cast("double")
+            * F.lit(750000.0)
+            + (F.col("sum_uc") + F.col("n_big")).cast("double")
+            / F.col("n_big").cast("double")
+            / (F.col("ut") + F.col("v")).cast("double")
+            * F.lit(250000.0)
+        ).alias("score_ppm"),
+    )
+    thr = scored.agg(F.expr("percentile(score_ppm, 0.2)").alias("thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))  # 1-row threshold scalar
+        .filter(F.col("score_ppm") >= F.col("thr"))
+        .select(
+            "doc_id",
+            "n_big",
+            F.round("score_ppm", 6).alias("score_ppm"),
+            F.round("thr", 6).alias("threshold"),
+        )
+    )
+
+
+BIGRAM_LM_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS t FROM documents
+), big AS (
+  SELECT doc_id,
+         UNNEST(t[1:len(t)-1]) AS prev,
+         UNNEST(t[2:len(t)]) AS cur
+  FROM d WHERE len(t) >= 2
+), uni AS (
+  SELECT doc_id, UNNEST(t) AS token FROM d
+), bigram AS (
+  SELECT prev, cur, COUNT(*) AS bc FROM big WHERE doc_id % 5 > 0 GROUP BY prev, cur
+), unigram AS (
+  SELECT token, COUNT(*) AS uc FROM uni WHERE doc_id % 5 > 0 GROUP BY token
+), stats AS (
+  SELECT (SELECT CAST(SUM(bc) AS BIGINT) FROM bigram) AS bt,
+         (SELECT CAST(SUM(uc) AS BIGINT) FROM unigram) AS ut,
+         (SELECT COUNT(*) FROM unigram) AS v
+), per_doc AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_big,
+         CAST(SUM(COALESCE(g.bc, 0)) AS BIGINT) AS sum_bc,
+         CAST(SUM(COALESCE(u.uc, 0)) AS BIGINT) AS sum_uc
+  FROM big b
+  LEFT JOIN bigram g ON b.prev = g.prev AND b.cur = g.cur
+  LEFT JOIN unigram u ON b.cur = u.token
+  GROUP BY b.doc_id
+), scored AS (
+  SELECT doc_id, n_big,
+         CAST(sum_bc AS DOUBLE) / CAST(n_big AS DOUBLE) / CAST(bt AS DOUBLE)
+             * 750000.0
+         + CAST(sum_uc + n_big AS DOUBLE) / CAST(n_big AS DOUBLE)
+             / CAST(ut + v AS DOUBLE) * 250000.0 AS score_ppm
+  FROM per_doc CROSS JOIN stats
+), thr AS (SELECT quantile_cont(score_ppm, 0.2) AS thr FROM scored)
+SELECT doc_id, n_big, ROUND(score_ppm, 6) AS score_ppm,
+       ROUND(thr, 6) AS threshold
+FROM scored, thr WHERE score_ppm >= thr
+"""
+
+
 SPECS = [
     QuerySpec("quality_quantile_gate", quality_quantile_gate, QUALITY_QUANTILE_SQL,
               doc="drop bottom-20%-by-quality via broadcast exact-percentile threshold"),
@@ -855,6 +1012,10 @@ SPECS = [
               doc="BM25 document scoring, rational idf (log-free, fixed order)"),
     QuerySpec("unigram_rarity", unigram_rarity, UNIGRAM_RARITY_SQL,
               doc="log-free unigram pseudo-perplexity quality filter"),
+    QuerySpec("bigram_lm_perplexity_gate", bigram_lm_perplexity_gate,
+              BIGRAM_LM_SQL,
+              doc="interpolated bigram-LM quality gate, trained on held-in "
+                  "slice, bottom-quantile drop"),
     QuerySpec("tfidf_topk_keywords", tfidf_topk_keywords, TFIDF_SQL,
               doc="per-doc top-3 TF-IDF keywords, rational IDF"),
     QuerySpec("quality_logit_score", quality_logit_score, QUALITY_LOGIT_SQL,

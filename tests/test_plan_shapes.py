@@ -134,6 +134,7 @@ _BNLJ_OK = {
     "bm25_retrieval",        # 1-row corpus-stats scalar
     "a_theta_set_ops",       # |event_types|^2 pair join (5x5) on broadcast sketches
     "quality_quantile_gate",  # 1-row percentile-threshold scalar
+    "bigram_lm_perplexity_gate",  # 1-row corpus-totals + threshold scalars
     "a_equidepth_hist",      # 1-row decile-boundary scalar
     "j_bloom_semi_join",     # 1-row 2KiB bloom-bitmap scalar
     "training_prep_e2e",     # 1-row percentile-threshold scalar
