@@ -168,6 +168,55 @@ def acf_from_moments(m: DataFrame) -> DataFrame:
     )
 
 
+def consolidate_tails(tails: ParquetTable, lags: int = 3) -> None:
+    """Collapse the tail history to the K latest rows per user, NULL-epoch.
+
+    Without compaction the tails table holds up to K rows per (user, epoch)
+    forever and ``_prior_tail``'s row_number window ranks the ENTIRE history
+    each micro-batch — per-trigger probe cost growing with stream age. After
+    consolidation the table is exactly (users × K) rows and the probe result
+    is unchanged (``_prior_tail`` already keeps only the K latest).
+
+    Same caveat as ``consolidate_counts`` / ``consolidate_last_seen``: run
+    only once the checkpoint has committed past all epochs — a replayed
+    epoch's null-safe exclusion cannot hide NULL-epoch rows, so an
+    UNCOMMITTED epoch replayed after consolidation would see its own events
+    in the prior tail and double-count boundary pairs.
+    """
+    latest = _prior_tail(tails, lags, epoch=None).withColumn(
+        "_epoch", F.lit(None).cast("long")
+    )
+    tails.overwrite_versioned(latest)
+
+
+def consolidate_moments(moments: ParquetTable) -> None:
+    """Collapse per-epoch moment deltas into one NULL-epoch row per
+    (user, lag). Decimal addition is exact and associative, so the
+    consolidated sums — and therefore ``acf_from_moments`` — are
+    bit-identical to the unconsolidated epoch-sum. Sums are cast back to
+    the table's on-disk types (Spark widens re-aggregated decimals; a
+    drifting schema would poison later ``insert_new`` appends into the
+    same version dir). Replay caveat as :func:`consolidate_tails`: a
+    consolidated epoch's (user, lag, _epoch) key no longer exists, so an
+    UNCOMMITTED epoch replayed afterwards would re-insert its delta and
+    double-count.
+    """
+    cur = moments.read()
+    types = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+    sums = ["n", "s1", "s2", "s11", "s22", "s12"]
+    folded = (
+        cur.groupBy("user_id", "lag")
+        .agg(*[F.sum(c).alias(c) for c in sums])
+        .select(
+            "user_id",
+            "lag",
+            *[F.col(c).cast(types[c]).alias(c) for c in sums],
+            F.lit(None).cast("long").alias("_epoch"),
+        )
+    )
+    moments.overwrite_versioned(folded)
+
+
 def acf_stream(
     stream: DataFrame,
     tails: ParquetTable,

@@ -1,0 +1,206 @@
+"""Incremental connected components — the dedup-cluster member of the
+persisted-index family (``streaming/corpus.py``).
+
+``operators/dedup.py connected_components`` turns near-dup PAIRS into
+CLUSTERS, but recomputes from scratch: at corpus scale that re-runs
+pointer-jumping over every edge ever seen on every arrival. This module
+maintains the (node → component) mapping incrementally — the missing piece
+for incremental canonicalization and leakage-safe splits
+(``dedup_clusters`` / ``leakage_safe_split`` are the batch forms).
+
+The state is a **union-find expressed as two append-only tables** (no row
+is ever rewritten outside compaction, so the write path composes with the
+same ``insert_new`` exactly-once protocol as every other index):
+
+- ``members``: ``(node, root, _epoch)`` keyed on node — one row per node
+  ever seen, stamped with the component root that was CURRENT when the
+  node arrived. Roots are minimum node ids (the batch operator's labeling).
+- ``remap``: ``(old_root, new_root, _epoch)`` keyed on old_root — one row
+  per component-merge event. A root is retired at most once ever (after a
+  merge it can never be a root again), so the key is naturally unique and
+  replays insert nothing.
+
+Resolution (``current_components``): stale member roots are chased through
+the remap forest. Because every ``new_root`` is the minimum id of the
+merged set, running the SAME min-label ``connected_components`` over the
+remap rows yields each retired root's final label in O(log chain) rounds —
+and remap is merge-event-sized (tiny next to members), so the closure
+BROADCASTS and members never shuffles.
+
+Per batch (``update_components_index``): (1) resolve the batch edges'
+endpoints through members + the remap closure — an O(batch) probe; (2) run
+pointer-jumping ONLY on the contracted graph (one supernode per touched
+component — the frontier, never the corpus); (3) append the merge events
+to remap and the new nodes to members. A replayed epoch resolves its
+endpoints to the post-merge roots, contracts every edge to a self-loop,
+and appends nothing — idempotence falls out of the fixpoint, no epoch
+arithmetic needed (the stamps are audit metadata).
+
+``compact_components`` folds the remap chains into members on the usual
+post-checkpoint cadence (reads are bit-identical before and after).
+
+Reference behavior mirrored: the incremental twin of
+``operators/dedup.py:355`` (see tests/test_streaming_components.py for the
+stream ≡ batch pin across merge events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from schwab_elt_etl_pipeline_spark.operators.dedup import connected_components
+from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
+
+
+def _remap_closure(remap: ParquetTable) -> DataFrame | None:
+    """(root, comp): every retired root's FINAL label, fully resolved.
+
+    min-label CC over the remap forest IS transitive resolution here:
+    new_root is always the minimum of the merged set, so the minimum label
+    of a remap chain's connected set is exactly the chain's final root."""
+    if not remap.exists():
+        return None
+    edges = remap.read()
+    if edges.isEmpty():
+        return None
+    return connected_components(edges, "old_root", "new_root").withColumnRenamed(
+        "node", "root"
+    )
+
+
+def _resolve(nodes: DataFrame, members: ParquetTable, closure: DataFrame | None) -> DataFrame:
+    """(node, res): each node's current component — its stored member root
+    chased through the remap closure; unseen nodes resolve to themselves."""
+    out = nodes
+    if members.exists():
+        base = members.read().select("node", "root")
+        out = out.join(base, "node", "left")
+    else:
+        out = out.withColumn("root", F.lit(None).cast(dict(nodes.dtypes)["node"]))
+    if closure is not None:
+        out = out.join(
+            F.broadcast(closure.withColumnRenamed("comp", "_final")), "root", "left"
+        ).select("node", F.coalesce("_final", "root").alias("root"))
+    return out.select("node", F.coalesce("root", "node").alias("res"))
+
+
+def update_components_index(
+    edge_batch: DataFrame,
+    members: ParquetTable,
+    remap: ParquetTable,
+    src: str = "a_id",
+    dst: str = "b_id",
+    epoch: int | None = None,
+) -> None:
+    """Merge one batch of undirected near-dup edges into the component index.
+
+    Pointer-jumping runs only on the CONTRACTED graph (touched components'
+    roots + the batch's new nodes), so per-trigger cost is O(batch edges ×
+    log touched-diameter) regardless of corpus size. Appends are key-guarded
+    (node / old_root), so replayed epochs insert nothing and the resolved
+    mapping equals the batch operator over every edge ever delivered
+    (pinned by tests/test_streaming_components.py)."""
+    e = edge_batch.select(F.col(src).alias("s"), F.col(dst).alias("t")).filter(
+        F.col("s") != F.col("t")
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds resolve + member append
+    )
+    closure = _remap_closure(remap)
+    res = _resolve(nodes, members, closure).localCheckpoint(eager=True)
+
+    contracted = (
+        e.join(res.withColumnRenamed("node", "s"), "s")
+        .withColumnRenamed("res", "rs")
+        .join(res.withColumnRenamed("node", "t"), "t")
+        .withColumnRenamed("res", "rt")
+        .filter(F.col("rs") != F.col("rt"))
+        .select("rs", "rt")
+    )
+    # frontier-only pointer jumping: one supernode per touched component
+    mapping = connected_components(contracted, "rs", "rt").localCheckpoint(
+        eager=True  # feeds the remap append AND the member-root lookup
+    )
+
+    merge_events = mapping.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("old_root"),
+        F.col("comp").alias("new_root"),
+        F.lit(epoch).cast("long").alias("_epoch"),
+    )
+    remap.insert_new(merge_events, keys=["old_root"])
+
+    new_members = (
+        res.join(mapping.withColumnRenamed("node", "res"), "res", "left")
+        .select(
+            "node",
+            F.coalesce("comp", "res").alias("root"),
+            F.lit(epoch).cast("long").alias("_epoch"),
+        )
+    )
+    members.insert_new(new_members, keys=["node"])
+
+
+def current_components(members: ParquetTable, remap: ParquetTable) -> DataFrame:
+    """The live (node, comp) mapping — member roots resolved through the
+    remap closure. Equals ``connected_components`` over every edge ever
+    merged (min-node-id labels)."""
+    base = members.read().select("node", "root")
+    closure = _remap_closure(remap)
+    if closure is None:
+        return base.select("node", F.col("root").alias("comp"))
+    return base.join(
+        F.broadcast(closure.withColumnRenamed("comp", "_final")), "root", "left"
+    ).select("node", F.coalesce("_final", "root").alias("comp"))
+
+
+def neardup_components_stream(
+    docs: DataFrame,
+    index: ParquetTable,
+    members: ParquetTable,
+    remap: ParquetTable,
+    checkpoint_dir: str,
+    min_jaccard: float = 0.7,
+    trigger_seconds: int | None = None,
+):
+    """Incremental canonicalization pipeline: per micro-batch, probe the
+    MinHash band index for the batch's near-dup candidate edges
+    (``update_minhash_index`` — O(batch) probes) and fold the confident
+    ones into the component index. After any prefix of the stream,
+    ``current_components`` equals the batch ``dedup_clusters`` chain over
+    the same documents — components never straddle a batch boundary
+    unseen, which is what makes the downstream leakage-safe split
+    incrementally maintainable."""
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_minhash_index
+    from schwab_elt_etl_pipeline_spark.streaming.runner import start_foreach_batch
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        cands = update_minhash_index(batch, index).filter(
+            F.col("est_jaccard") >= min_jaccard
+        )
+        update_components_index(
+            cands, members, remap, src="batch_id", dst="index_id", epoch=epoch
+        )
+
+    return start_foreach_batch(
+        docs, _sink, checkpoint_dir, trigger_seconds, output_mode="append"
+    )
+
+
+def compact_components(members: ParquetTable, remap: ParquetTable) -> None:
+    """Fold the remap chains into members: rewrite members with fully
+    resolved roots (NULL-epoch base) and truncate remap. Reads are
+    bit-identical before and after; run on the post-checkpoint cadence
+    (an UNCOMMITTED epoch replayed afterwards still appends nothing — the
+    fixpoint idempotence holds — but its audit stamps are gone)."""
+    resolved = current_components(members, remap).select(
+        "node",
+        F.col("comp").alias("root"),
+        F.lit(None).cast("long").alias("_epoch"),
+    )
+    members.overwrite_versioned(resolved)
+    if remap.exists():
+        remap.overwrite_versioned(remap.read().limit(0))

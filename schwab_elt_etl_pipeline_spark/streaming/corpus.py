@@ -40,6 +40,12 @@ up incrementally. This module runs the batch curation operators
   scored by how much content they introduce vs the corpus so far, with
   O(batch) probe work (the streaming twin of
   ``operators/text.py first_seen_novelty``).
+- ``compact_index``: fold an index's epoch stamps into a NULL-epoch base
+  version and rewrite it as one clustered layout — the housekeeping that
+  bounds per-trigger append-file counts over the stream's lifetime.
+  Cadence: run it whenever the version/file count grows past the probe
+  budget (e.g. every N thousand epochs), and ONLY for epochs the streaming
+  checkpoint has committed past (see the function docstring).
 """
 
 from __future__ import annotations
@@ -136,6 +142,40 @@ def write_curated_stream(
     return start_foreach_batch(
         deduped, _sink, checkpoint_dir, trigger_seconds, output_mode="append"
     )
+
+
+def compact_index(index: ParquetTable, keep_versions: int = 2) -> int:
+    """Fold a streaming index into a single compacted base version.
+
+    Every ``update_*_index`` call appends a delta file set to the current
+    version dir (``insert_new``), so over a stream's lifetime the index
+    accumulates one small file group per epoch and the per-trigger probe
+    pays a growing file-listing/footer tax. Compaction rewrites the table
+    as ONE clustered layout (restoring the disjoint-file footer-stat
+    invariant ``ParquetTable.append`` documents as degraded between
+    compactions) and, when the table carries an ``_epoch`` column, folds
+    all stamps to NULL — the "committed base" marker every probe treats as
+    seen/visible under any later epoch (the null-safe comparisons in the
+    ``update_*`` functions).
+
+    Returns the new version number. Old versions beyond ``keep_versions``
+    are vacuumed (2, not 1: a lazy plan from the prior trigger may still
+    pin the previous ``_v`` dir — the ann_pq_index lesson).
+
+    Replay caveat (same as ``consolidate_last_seen`` /
+    ``consolidate_counts``): compact ONLY epochs the streaming checkpoint
+    has committed past. The key-guarded ``insert_new`` stays exactly-once
+    regardless — a replayed batch re-inserts nothing — but an UNCOMMITTED
+    epoch replayed after its stamps were folded no longer recognizes its
+    own claims as fresh, so its per-batch OUTPUT (dedup/novelty/shortlist
+    rows) would not reproduce bit-for-bit.
+    """
+    cur = index.read()
+    if "_epoch" in cur.columns:
+        cur = cur.withColumn("_epoch", F.lit(None).cast("long"))
+    version = index.overwrite_versioned(cur)
+    index.vacuum(keep_last=keep_versions)
+    return version
 
 
 def update_minhash_index(

@@ -167,6 +167,27 @@ def consolidate_last_seen(last_seen: ParquetTable) -> None:
     last_seen.overwrite_versioned(latest)
 
 
+def consolidate_cells(cells: ParquetTable) -> None:
+    """Collapse per-epoch count deltas into one NULL-epoch row per
+    (prev, next) — integer addition is exact, so ``current_cells`` and
+    ``transition_probs`` are bit-identical before and after. Counts are
+    cast back to the on-disk type (re-aggregation would otherwise widen
+    the sum column and drift the schema under later epoch appends). Same
+    replay caveat as ``consolidate_last_seen``: a consolidated epoch's
+    (prev, next, _epoch) key no longer exists, so an UNCOMMITTED epoch
+    replayed afterwards would re-insert its delta and double-count."""
+    cur = cells.read()
+    cnt_type = dict((f.name, f.dataType.simpleString()) for f in cur.schema.fields)[
+        "cnt"
+    ]
+    folded = (
+        cur.groupBy("prev", "next")
+        .agg(F.sum("cnt").cast(cnt_type).alias("cnt"))
+        .withColumn("_epoch", F.lit(None).cast("long"))
+    )
+    cells.overwrite_versioned(folded)
+
+
 def transition_stream(
     stream: DataFrame,
     cells: ParquetTable,
