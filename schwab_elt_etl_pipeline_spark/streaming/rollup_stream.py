@@ -166,6 +166,99 @@ def read_distinct_estimates(table: ParquetTable, keys: list[str]) -> DataFrame:
     )
 
 
+def update_quantile_sketch_table(
+    batch: DataFrame,
+    table: ParquetTable,
+    keys: list[str],
+    ts: str = "ts",
+    value: str = "value",
+    k: int = 200,
+    epoch: int | None = None,
+) -> None:
+    """Incrementally maintain a per-(keys…, day) KLL quantile-sketch table —
+    the quantile companion of :func:`update_distinct_sketch_table`, so a
+    quantile threshold (the ``quality_quantile_gate`` shape) is served from
+    kilobyte sketches instead of a raw rescan.
+
+    Unlike HLL, KLL merge is a MULTISET union — re-merging a replayed
+    batch's sketch would double-weight its values — so the replay contract
+    is the epoch-delta ledger (``insert_new`` on (keys…, day, _epoch), the
+    same protocol as the rollup stage and the ACF moments): a replayed
+    epoch's delta keys all exist, nothing re-inserts. Each row also carries
+    the exact row count ``n``, giving readers a free integrity cross-check
+    (``kll_sketch_get_n_double`` must equal Σn).
+
+    DataSketches KLL with parameter ``k`` bounds the one-sided rank error
+    at ~1.7%/k^0.93 (k=200 → ~0.6% rank error, far inside the 1-percentile
+    verdict window ``a_approx_quantiles`` established); sketches are
+    mergeable without error growth across any grouping, so day cells union
+    into weekly/global thresholds the way the HLL cells do."""
+    new = (
+        batch.filter(F.col(value).isNotNull())
+        .groupBy(*keys, F.to_date(ts).alias("day"))
+        .agg(
+            F.expr(f"kll_sketch_agg_double({value}, {k})").alias("qsk"),
+            F.count(value).alias("n"),
+        )
+        .withColumn("_epoch", F.lit(epoch).cast("long"))
+    )
+    table.insert_new(new, keys=[*keys, "day", "_epoch"])
+
+
+def read_quantile_estimates(
+    table: ParquetTable,
+    keys: list[str],
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Serve quantile estimates from the sketch table at any grouping
+    coarser than (or equal to) the maintained keys: merge the per-cell
+    sketches per key group, read each requested quantile. Raw data is never
+    touched; ``n`` is the exact row count behind each estimate.
+
+    Determinism note: ``kll_merge`` retains samples, so the groupBy's
+    partition-dependent merge ORDER can move an estimate within the rank
+    guarantee across otherwise-identical reads (HLL's register-max union
+    is commutative; KLL compaction is not). Consumers pin exact ``n`` and
+    the rank window, never sketch-value bytes."""
+    merged = table.read().groupBy(*keys).agg(
+        F.expr("kll_merge_agg_double(qsk)").alias("qsk"),
+        F.sum("n").alias("n"),
+    )
+    return merged.select(
+        *keys,
+        "n",
+        *[
+            F.expr(f"kll_sketch_get_quantile_double(qsk, {p})").alias(
+                f"p{int(round(p * 100)):02d}"
+            )
+            for p in probs
+        ],
+    )
+
+
+def consolidate_quantile_sketches(table: ParquetTable, keys: list[str]) -> None:
+    """Collapse the epoch ledger to one NULL-epoch row per (keys…, day).
+    Merging is lossless in the KLL guarantee (rank error never grows under
+    union), and the exact ``n`` fold is bit-identical; the merged sketch
+    BYTES may differ from the unconsolidated merge order, so the pin is the
+    rank-error window plus exact n, not byte identity. Usual caveat: only
+    after the checkpoint committed past the folded epochs — a consolidated
+    epoch's delta key no longer exists, so an UNCOMMITTED replay would
+    re-insert and double-weight."""
+    cur = table.read()
+    order = [f.name for f in cur.schema.fields]
+    folded = (
+        cur.groupBy(*keys, "day")
+        .agg(
+            F.expr("kll_merge_agg_double(qsk)").alias("qsk"),
+            F.sum("n").cast("long").alias("n"),
+        )
+        .withColumn("_epoch", F.lit(None).cast("long"))
+        .select(*order)
+    )
+    table.overwrite_versioned(folded)
+
+
 def read_volume_drift(
     stage_table: ParquetTable, keys: list[str], k: float = 3.0
 ) -> DataFrame:

@@ -153,6 +153,102 @@ def test_incremental_distinct_sketch_table(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_incremental_quantile_sketch_table(spark, sf_dir):
+    """Maintained per-(event_type, day) KLL sketches must serve quantiles
+    inside the exact rank window [p-0.01, p+0.01] (the a_approx_quantiles
+    verdict discipline), a replayed epoch must change nothing (epoch-delta
+    ledger), and consolidation must keep exact n and stay in-window. Also
+    serves the quality_quantile_gate shape: a GLOBAL p20 threshold merged
+    from the day cells."""
+    import shutil
+    import tempfile
+
+    from schwab_elt_etl_pipeline_spark.streaming.rollup_stream import (
+        consolidate_quantile_sketches,
+        read_quantile_estimates,
+        update_quantile_sketch_table,
+    )
+
+    d = tempfile.mkdtemp(prefix="qsk_tbl_")
+    try:
+        table = ParquetTable(spark, d)
+        ev = load_table(spark, sf_dir, "events")
+        b1 = ev.filter(F.col("event_id") % 2 == 0)
+        b2 = ev.filter(F.col("event_id") % 2 == 1)
+        update_quantile_sketch_table(b1, table, keys=KEYS, epoch=1)
+        update_quantile_sketch_table(b2, table, keys=KEYS, epoch=2)
+
+        def est():
+            return {
+                r["event_type"]: (r["n"], r["p50"], r["p90"])
+                for r in read_quantile_estimates(
+                    table, KEYS, probs=(0.5, 0.9)
+                ).collect()
+            }
+
+        # exact rank windows from raw events (the oracle-side discipline)
+        windows = {
+            r["event_type"]: (r["n"], r["w"])
+            for r in ev.filter(F.col("value").isNotNull())
+            .groupBy("event_type")
+            .agg(
+                F.count("value").alias("n"),
+                F.expr(
+                    "percentile(value, array(0.49, 0.51, 0.89, 0.91))"
+                ).alias("w"),
+            )
+            .collect()
+        }
+
+        def in_windows(got):
+            assert set(got) == set(windows)
+            for et, (n, p50, p90) in got.items():
+                wn, w = windows[et]
+                assert n == wn, et  # exact count rides the ledger
+                assert w[0] - 1e-9 <= p50 <= w[1] + 1e-9, (et, p50, w)
+                assert w[2] - 1e-9 <= p90 <= w[3] + 1e-9, (et, p90, w)
+
+        snap = est()
+        in_windows(snap)
+
+        # replayed epoch: delta keys exist, zero rows insert. Estimates are
+        # NOT pinned bit-identical: kll_merge retains samples, so the
+        # groupBy's partition-dependent merge ORDER can shift an estimate
+        # within the rank guarantee even over identical rows (HLL's
+        # register-max union is commutative; KLL's compaction is not) —
+        # the stable contract is exact n + the rank window.
+        n_rows = table.read().count()
+        update_quantile_sketch_table(b2, table, keys=KEYS, epoch=2)
+        assert table.read().count() == n_rows
+        replayed = est()
+        assert {k: v[0] for k, v in replayed.items()} == {
+            k: v[0] for k, v in snap.items()
+        }
+        in_windows(replayed)
+
+        # global threshold (quality_quantile_gate shape): merge ALL cells
+        thr = read_quantile_estimates(table, [], probs=(0.2,)).collect()[0]
+        gw = ev.agg(
+            F.expr("percentile(value, array(0.19, 0.21))").alias("w")
+        ).collect()[0]["w"]
+        assert gw[0] - 1e-9 <= thr["p20"] <= gw[1] + 1e-9
+
+        # consolidation: one NULL-epoch row per cell, exact n, still in-window
+        consolidate_quantile_sketches(table, KEYS)
+        assert table.read().filter(F.col("_epoch").isNotNull()).count() == 0
+        got = est()
+        assert {k: v[0] for k, v in got.items()} == {
+            k: v[0] for k, v in snap.items()
+        }
+        in_windows(got)
+
+        # maintenance continues on the consolidated base
+        update_quantile_sketch_table(b2.limit(0), table, keys=KEYS, epoch=3)
+        in_windows(est())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_volume_drift_equals_batch(spark, sf_dir, dirs):
     """The incrementally maintained DAY-grain stage must serve the SAME
     drift verdicts as the batch monitor computed from raw events
