@@ -372,7 +372,95 @@ WHERE ((d.doc_id % 1000003) * 2654435761) % 999983 % 1000 < r.rate_permill
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer trainer: one EM round
+# ---------------------------------------------------------------------------
+
+
+def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unigram-LM EM round over the corpus vocabulary — the
+    SentencePiece-style counterpart of the iterative BPE trainer.
+
+    E-step: every distinct word (weighted by corpus frequency — the
+    standard per-type trick) is Viterbi-segmented over the bounded-length
+    subword lattice seeded from substring counts; the objective is the
+    exact-integer lexicographic surrogate (fewest pieces, then
+    most-frequent pieces, then reversed-length-sequence order) documented
+    on ``operators/tokenize.py viterbi_segment``. M-step: piece counts
+    renormalize from the chosen segmentations. Output: the retrained
+    (piece, em_cnt, p_ppm) table.
+
+    The DuckDB oracle is the STRONG form: it enumerates EVERY legal
+    segmentation of every word with a recursive CTE and takes the same
+    lexicographic argmin — brute-force certification of the distributed
+    DP, the same discipline as the brute-force-Jaccard oracle certifying
+    LSH recall. Scale shape: per-row higher-order expressions (no UDF, no
+    shuffle inside the DP), broadcast vocabulary, vocabulary-sized
+    aggregations; corpus size enters only through integer weights.
+    """
+    from schwab_elt_etl_pipeline_spark.operators.tokenize import unigram_em_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        )
+        .filter((F.length("word") >= 1) & (F.length("word") <= 16))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return unigram_em_round(words, max_piece_len=4, min_count=2)
+
+
+UNIGRAM_EM_SQL = rf"""
+WITH RECURSIVE tok AS (
+  SELECT UNNEST({_TOKS}) AS word FROM documents
+), words AS (
+  SELECT word, COUNT(*) AS freq FROM tok
+  WHERE LEN(word) BETWEEN 1 AND 16 GROUP BY word
+), occ AS (
+  SELECT SUBSTRING(w.word, i - l + 1, l) AS piece, w.freq
+  FROM words w,
+       UNNEST(generate_series(1, LEN(w.word))) AS gi(i),
+       UNNEST(generate_series(1, LEAST(4, i))) AS gl(l)
+), vocab AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM occ GROUP BY piece
+  HAVING LEN(piece) = 1 OR SUM(freq) >= 2
+), r(word, freq, pos, k, s, lens, ps) AS (
+  SELECT word, freq, 0, 0, CAST(0 AS BIGINT),
+         CAST([] AS INT[]), CAST([] AS VARCHAR[])
+  FROM words
+  UNION ALL
+  SELECT r.word, r.freq, r.pos + l.l, r.k + 1, r.s + v.cnt,
+         list_append(r.lens, l.l), list_append(r.ps, v.piece)
+  FROM r
+  JOIN (VALUES (1), (2), (3), (4)) AS l(l) ON r.pos + l.l <= LEN(r.word)
+  JOIN vocab v ON v.piece = SUBSTRING(r.word, r.pos + 1, l.l)
+), best AS (
+  SELECT word, freq, ps,
+         ROW_NUMBER() OVER (
+           PARTITION BY word ORDER BY k ASC, s DESC, list_reverse(lens) ASC
+         ) AS rn
+  FROM r WHERE pos = LEN(word)
+), m AS (
+  SELECT UNNEST(ps) AS piece, freq FROM best WHERE rn = 1
+), counts AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS em_cnt FROM m GROUP BY piece
+), tot AS (SELECT CAST(SUM(em_cnt) AS BIGINT) AS total FROM counts)
+SELECT piece, em_cnt,
+       CAST(em_cnt AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0 AS p_ppm
+FROM counts CROSS JOIN tot
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "unigram_lm_em_round", unigram_lm_em_round, UNIGRAM_EM_SQL,
+        doc="unigram-LM (SentencePiece-style) EM round: lattice Viterbi "
+            "E-step + count-renormalization M-step, certified against "
+            "brute-force segmentation enumeration",
+    ),
     QuerySpec(
         "bpe_apply_merges", bpe_apply_merges, BPE_APPLY_SQL,
         headline=True,

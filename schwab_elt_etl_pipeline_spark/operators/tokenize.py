@@ -164,3 +164,176 @@ def rebuild_docs(toks: DataFrame) -> DataFrame:
             ),
         ).alias("text_bpe"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer: seed vocab -> EM round
+# ---------------------------------------------------------------------------
+
+
+def seed_subword_vocab(
+    words: DataFrame,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Seed subword vocabulary for unigram-LM training: every substring of
+    length 1..max_piece_len of the corpus words, counted with the word's
+    corpus frequency (the SentencePiece seeding recipe). Single-character
+    pieces are always kept — they guarantee every word stays segmentable —
+    and longer pieces must clear ``min_count``. Output: (piece, cnt)."""
+    occ = (
+        words.withColumn("i", F.explode(F.sequence(F.lit(1), F.length(word_col))))
+        .withColumn(
+            "l",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece_len), F.col("i")))
+            ),
+        )
+        .select(
+            F.expr(f"substring({word_col}, i - l + 1, l)").alias("piece"),
+            F.col(freq_col).alias("freq"),
+        )
+    )
+    return (
+        occ.groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .filter((F.length("piece") == 1) | (F.col("cnt") >= min_count))
+    )
+
+
+def viterbi_segment(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 4,
+    word_col: str = "word",
+) -> DataFrame:
+    """Exact-arithmetic Viterbi segmentation over the bounded subword
+    lattice: per word, the segmentation minimizing the lexicographic
+    objective (piece count ASC, summed piece count DESC, reversed length
+    sequence ASC) — the integer-exact unigram-LM E-step this suite can
+    certify bit-for-bit (the max-likelihood form maximizes Σ log p; fewest
+    pieces + most-frequent pieces is its deterministic no-transcendentals
+    surrogate, the same discipline as the rational BM25/TF-IDF scores).
+
+    Shape: the candidate edges are one explode + one broadcast vocab join
+    (O(|word| × max_piece_len) per word); the DP and the backtrace are
+    per-row higher-order ``aggregate`` expressions over the bounded word
+    length — no shuffle, no UDF, whole-stage codegen'd. The per-cell
+    tie-break (smallest edge length) composes to the global
+    reversed-length-sequence order, which is what the brute-force
+    enumeration oracle sorts by (see UNIGRAM_EM_SQL).
+
+    Output: (word, pieces array<string>, k, s).
+    """
+    m = max_piece_len
+    edges = (
+        words.select(word_col)
+        .withColumn("i", F.explode(F.sequence(F.lit(1), F.length(word_col))))
+        .withColumn(
+            "l", F.explode(F.sequence(F.lit(1), F.least(F.lit(m), F.col("i"))))
+        )
+        .withColumn("piece", F.expr(f"substring({word_col}, i - l + 1, l)"))
+        .join(F.broadcast(vocab.select("piece", "cnt")), "piece")
+    )
+    lattice = edges.groupBy(word_col).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("i") * (m + 1) + F.col("l")).alias("key"),
+                    F.col("cnt").alias("value"),
+                )
+            )
+        ).alias("em")
+    )
+    # dp[i+1] = best (k, s, backlen) for the length-i prefix; cell i folds
+    # the <= max_piece_len incoming edges with an inner aggregate. l runs
+    # ascending and only a STRICT improvement replaces, so (k, s) ties keep
+    # the smallest edge length.
+    dp_expr = f"""
+    aggregate(
+      sequence(1, length({word_col})),
+      array(named_struct('k', 0, 's', 0L, 'bl', 0)),
+      (acc, i) -> acc || array(
+        aggregate(
+          sequence(1, least({m}, i)),
+          named_struct('k', 2147483647, 's', 0L, 'bl', 0),
+          (best, l) -> CASE
+            WHEN NOT map_contains_key(em, i * {m + 1} + l)
+                 OR element_at(acc, i - l + 1).k = 2147483647 THEN best
+            WHEN element_at(acc, i - l + 1).k + 1 < best.k
+                 OR (element_at(acc, i - l + 1).k + 1 = best.k
+                     AND element_at(acc, i - l + 1).s
+                         + element_at(em, i * {m + 1} + l) > best.s)
+            THEN named_struct(
+                   'k', element_at(acc, i - l + 1).k + 1,
+                   's', element_at(acc, i - l + 1).s
+                        + element_at(em, i * {m + 1} + l),
+                   'bl', l)
+            ELSE best END
+        )
+      )
+    )"""
+    back_expr = f"""
+    aggregate(
+      sequence(1, length({word_col})),
+      named_struct('pos', length({word_col}),
+                   'ps', cast(array() as array<string>)),
+      (st, _x) -> CASE WHEN st.pos <= 0 THEN st ELSE named_struct(
+          'pos', st.pos - element_at(dp, st.pos + 1).bl,
+          'ps', array(substring({word_col},
+                                st.pos - element_at(dp, st.pos + 1).bl + 1,
+                                element_at(dp, st.pos + 1).bl)) || st.ps)
+      END
+    ).ps"""
+    return (
+        lattice.withColumn("dp", F.expr(dp_expr))
+        .select(
+            word_col,
+            F.expr(back_expr).alias("pieces"),
+            F.expr(f"element_at(dp, length({word_col}) + 1).k").alias("k"),
+            F.expr(f"element_at(dp, length({word_col}) + 1).s").alias("s"),
+        )
+    )
+
+
+def unigram_em_round(
+    words: DataFrame,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """One unigram-LM EM round: seed vocabulary -> Viterbi E-step over every
+    distinct word -> count-renormalization M-step. Returns the retrained
+    piece table (piece, em_cnt, p_ppm) — the counts a second round would
+    re-segment against, completing the tokenizer-trainer story next to the
+    iterative BPE trainer (``train_merges``).
+
+    Scale shape: training runs over DISTINCT words weighted by corpus
+    frequency (the standard trick — segmentation is per-type, corpus size
+    only enters through the integer weights), the vocabulary broadcasts,
+    and the only aggregations are vocabulary-sized groupBys. p_ppm is one
+    fixed-order double expression over exact integer counts.
+    """
+    segs = viterbi_segment(
+        words, seed_subword_vocab(words, max_piece_len, min_count, word_col, freq_col),
+        max_piece_len, word_col,
+    )
+    m = (
+        segs.join(words, word_col)
+        .select(F.explode("pieces").alias("piece"), F.col(freq_col).alias("freq"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("em_cnt"))
+    )
+    tot = m.agg(F.sum("em_cnt").cast("long").alias("total"))
+    return m.crossJoin(F.broadcast(tot)).select(  # 1-row total scalar
+        "piece",
+        "em_cnt",
+        (
+            F.col("em_cnt").cast("double")
+            / F.col("total").cast("double")
+            * F.lit(1000000.0)
+        ).alias("p_ppm"),
+    )

@@ -187,3 +187,87 @@ def test_train_merges_property_vs_reference(spark, docs, k):
     assert learned == want_learned
     got = rebuild_docs(final).orderBy("doc_id").collect()
     assert [r.text_bpe.split(" ") for r in got] == want_docs
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM EM round: lattice Viterbi vs brute-force enumeration
+# ---------------------------------------------------------------------------
+
+
+def _enumerate_best(word: str, vocab: dict[str, int], max_l: int = 4):
+    """All segmentations of `word` into vocab pieces; argmin of the operator's
+    lexicographic objective (k ASC, summed cnt DESC, reversed lens ASC)."""
+    paths: list[tuple[int, int, list[int], list[str]]] = []
+
+    def go(pos, k, s, lens, ps):
+        if pos == len(word):
+            paths.append((k, s, lens[:], ps[:]))
+            return
+        for l in range(1, min(max_l, len(word) - pos) + 1):
+            piece = word[pos : pos + l]
+            if piece in vocab:
+                go(pos + l, k + 1, s + vocab[piece], lens + [l], ps + [piece])
+
+    go(0, 0, 0, [], [])
+    assert paths, word
+    return min(paths, key=lambda p: (p[0], -p[1], list(reversed(p[2]))))
+
+
+def _seed_vocab(words: dict[str, int], max_l: int = 4, min_count: int = 2):
+    cnt: dict[str, int] = {}
+    for w, f in words.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_l, i + 1) + 1):
+                piece = w[i - l + 1 : i + 1]
+                cnt[piece] = cnt.get(piece, 0) + f
+    return {p: c for p, c in cnt.items() if len(p) == 1 or c >= min_count}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=9),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_viterbi_segment_matches_enumeration(spark, words):
+    """The DP's per-cell tie-break must equal the global lexicographic
+    argmin over ALL segmentations — the same claim the DuckDB recursive-CTE
+    oracle certifies on the catalog query, here against random inputs."""
+    from schwab_elt_etl_pipeline_spark.operators.tokenize import (
+        seed_subword_vocab,
+        viterbi_segment,
+    )
+
+    wdf = spark.createDataFrame(list(words.items()), "word string, freq long")
+    vocab = seed_subword_vocab(wdf)
+    assert {
+        (r["piece"], r["cnt"]) for r in vocab.collect()
+    } == set(_seed_vocab(words).items())
+    got = {
+        r["word"]: (r["k"], r["s"], list(r["pieces"]))
+        for r in viterbi_segment(wdf, vocab).collect()
+    }
+    pyvocab = _seed_vocab(words)
+    for w in words:
+        k, s, _lens, ps = _enumerate_best(w, pyvocab)
+        assert got[w] == (k, s, ps), w
+
+
+def test_unigram_em_round_renormalizes(spark):
+    """M-step counts are the freq-weighted piece usages of the chosen
+    segmentations, and p_ppm sums to ~1e6."""
+    from schwab_elt_etl_pipeline_spark.operators.tokenize import unigram_em_round
+
+    words = {"abab": 10, "ab": 5, "ba": 3, "c": 1}
+    wdf = spark.createDataFrame(list(words.items()), "word string, freq long")
+    out = {r["piece"]: (r["em_cnt"], r["p_ppm"]) for r in unigram_em_round(wdf).collect()}
+    pyvocab = _seed_vocab(words)
+    want: dict[str, int] = {}
+    for w, f in words.items():
+        for p in _enumerate_best(w, pyvocab)[3]:
+            want[p] = want.get(p, 0) + f
+    assert {p: c for p, (c, _) in out.items()} == want
+    assert abs(sum(p for _, p in out.values()) - 1_000_000.0) < 1e-6
