@@ -891,6 +891,25 @@ def bigram_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     of sql/opt.sql's quality procedures, re-expressed as a trained-model
     corpus filter.
     """
+    scored = _bigram_lm_scores(spark, sf_dir)
+    thr = scored.agg(F.expr("percentile(score_ppm, 0.2)").alias("thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))  # 1-row threshold scalar
+        .filter(F.col("score_ppm") >= F.col("thr"))
+        .select(
+            "doc_id",
+            "n_big",
+            F.round("score_ppm", 6).alias("score_ppm"),
+            F.round("thr", 6).alias("threshold"),
+        )
+    )
+
+
+def _bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_big, score_ppm): the trained interpolated bigram-LM score
+    for every document — shared by the absolute gate
+    (``bigram_lm_perplexity_gate``) and the CCNet-style bucket split
+    (``perplexity_bucket_split``)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _toks().alias("t")
     )
@@ -937,7 +956,7 @@ def bigram_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("uc"), F.lit(0))).alias("sum_uc"),
         )
     )
-    scored = per_doc.crossJoin(F.broadcast(stats)).select(  # 1-row corpus totals
+    return per_doc.crossJoin(F.broadcast(stats)).select(  # 1-row corpus totals
         "doc_id",
         "n_big",
         (
@@ -951,21 +970,34 @@ def bigram_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(250000.0)
         ).alias("score_ppm"),
     )
-    thr = scored.agg(F.expr("percentile(score_ppm, 0.2)").alias("thr"))
-    return (
-        scored.crossJoin(F.broadcast(thr))  # 1-row threshold scalar
-        .filter(F.col("score_ppm") >= F.col("thr"))
-        .select(
-            "doc_id",
-            "n_big",
-            F.round("score_ppm", 6).alias("score_ppm"),
-            F.round("thr", 6).alias("threshold"),
-        )
+
+
+def perplexity_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split on the trained bigram-LM score:
+    the top third of documents by score is ``head``, the middle third
+    ``middle``, the rest ``tail`` (CCNet trains on head+middle and drops or
+    down-weights tail). The two cut points are ONE exact two-quantile
+    aggregation reduced to a 1-row scalar and broadcast — the same
+    no-global-sort shape as the gate; the bucket label is two comparisons
+    against bit-identical thresholds, so the split is deterministic
+    end-to-end."""
+    scored = _bigram_lm_scores(spark, sf_dir)
+    # 1D/3D: double division (1.0/3.0 would be DECIMAL(8,6) — a truncated
+    # fraction that differs from the oracle's IEEE 1/3)
+    cuts = scored.agg(
+        F.expr("percentile(score_ppm, array(1D/3D, 2D/3D))").alias("c")
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(  # 1-row cut scalars
+        "doc_id",
+        F.round("score_ppm", 6).alias("score_ppm"),
+        F.when(F.col("score_ppm") >= F.col("c")[1], F.lit("head"))
+        .when(F.col("score_ppm") >= F.col("c")[0], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 
-BIGRAM_LM_SQL = r"""
-WITH d AS (
+_BIGRAM_SCORE_CTES = r"""d AS (
   SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS t FROM documents
 ), big AS (
   SELECT doc_id,
@@ -998,10 +1030,30 @@ WITH d AS (
          + CAST(sum_uc + n_big AS DOUBLE) / CAST(n_big AS DOUBLE)
              / CAST(ut + v AS DOUBLE) * 250000.0 AS score_ppm
   FROM per_doc CROSS JOIN stats
-), thr AS (SELECT quantile_cont(score_ppm, 0.2) AS thr FROM scored)
+)"""
+
+
+BIGRAM_LM_SQL = f"""
+WITH {_BIGRAM_SCORE_CTES},
+thr AS (SELECT quantile_cont(score_ppm, 0.2) AS thr FROM scored)
 SELECT doc_id, n_big, ROUND(score_ppm, 6) AS score_ppm,
        ROUND(thr, 6) AS threshold
 FROM scored, thr WHERE score_ppm >= thr
+"""
+
+
+PERPLEXITY_BUCKET_SQL = f"""
+WITH {_BIGRAM_SCORE_CTES},
+cuts AS (
+  SELECT quantile_cont(score_ppm, CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)) AS c1,
+         quantile_cont(score_ppm, CAST(2 AS DOUBLE) / CAST(3 AS DOUBLE)) AS c2
+  FROM scored
+)
+SELECT doc_id, ROUND(score_ppm, 6) AS score_ppm,
+       CASE WHEN score_ppm >= c2 THEN 'head'
+            WHEN score_ppm >= c1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored, cuts
 """
 
 
@@ -1013,9 +1065,13 @@ SPECS = [
     QuerySpec("unigram_rarity", unigram_rarity, UNIGRAM_RARITY_SQL,
               doc="log-free unigram pseudo-perplexity quality filter"),
     QuerySpec("bigram_lm_perplexity_gate", bigram_lm_perplexity_gate,
-              BIGRAM_LM_SQL,
+              BIGRAM_LM_SQL, headline=True,
               doc="interpolated bigram-LM quality gate, trained on held-in "
                   "slice, bottom-quantile drop"),
+    QuerySpec("perplexity_bucket_split", perplexity_bucket_split,
+              PERPLEXITY_BUCKET_SQL,
+              doc="CCNet head/middle/tail split on the bigram-LM score via "
+                  "one broadcast two-quantile cut"),
     QuerySpec("tfidf_topk_keywords", tfidf_topk_keywords, TFIDF_SQL,
               doc="per-doc top-3 TF-IDF keywords, rational IDF"),
     QuerySpec("quality_logit_score", quality_logit_score, QUALITY_LOGIT_SQL,

@@ -34,6 +34,7 @@ _NAMES = [
     "retrieval_rrf_hybrid",
     "first_seen_novelty",
     "kmeans_lloyd_train",
+    "bigram_lm_perplexity_gate",
 ]
 
 _HEADER = """# PLANS — executed physical plans of the heaviest headline queries

@@ -75,6 +75,13 @@ QUERIES = [
     # the M-step moves only (cluster, dim) partial sums — per-iteration
     # linearity is the claim
     "kmeans_lloyd_train",
+    # round-8 LM wave: the bigram gate is two corpus passes + Zipf-bounded
+    # model joins (copy-tag replicas grow the bigram vocabulary linearly);
+    # the unigram EM round trains over DISTINCT words, so 10× corpus with a
+    # linearly-grown type vocabulary certifies the per-type E-step never
+    # scales with token count
+    "bigram_lm_perplexity_gate",
+    "unigram_lm_em_round",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).

@@ -326,6 +326,50 @@ def main() -> None:
     wall = _drain(q)
     record("markov_transitions", n_events, wall, cells_t.read().count())
 
+    # 9. incremental near-dup components (MinHash band-index probe per batch
+    # feeding the append-only union-find; frontier-only pointer jumping)
+    from schwab_elt_etl_pipeline_spark.streaming.components import (
+        neardup_components_stream,
+    )
+
+    band_idx = ParquetTable(spark, f"{root}/cc_bands")
+    members_t = ParquetTable(spark, f"{root}/cc_members")
+    remap_t = ParquetTable(spark, f"{root}/cc_remap")
+    q = neardup_components_stream(
+        read_document_stream(spark, docs_dir, max_files_per_trigger=per_trigger),
+        band_idx,
+        members_t,
+        remap_t,
+        f"{root}/cc_ckpt",
+    )
+    wall = _drain(q)
+    record("neardup_components", n_docs, wall, members_t.read().count())
+
+    # 10. incremental KLL quantile sketches (epoch-delta ledger per
+    # (event_type, day) cell; replay-safe multiset merge)
+    from schwab_elt_etl_pipeline_spark.streaming.rollup_stream import (
+        update_quantile_sketch_table,
+    )
+
+    qsk_t = ParquetTable(spark, f"{root}/quantile_sketches")
+
+    def _qsk_sink(batch: DataFrame, epoch: int) -> None:
+        update_quantile_sketch_table(
+            batch, qsk_t, keys=["event_type"], epoch=epoch
+        )
+
+    q = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(ev_dir)
+        .writeStream.foreachBatch(_qsk_sink)
+        .option("checkpointLocation", f"{root}/qsk_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wall = _drain(q)
+    record("quantile_sketches", n_events, wall, qsk_t.read().count())
+
     payload = {
         "metric": "streaming throughput (rows/sec, end-to-end incl. checkpoints)",
         "ticks": n_ticks,
