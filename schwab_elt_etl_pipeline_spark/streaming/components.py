@@ -190,6 +190,42 @@ def neardup_components_stream(
     )
 
 
+def leakage_safe_assignments(
+    docs: DataFrame,
+    members: ParquetTable,
+    remap: ParquetTable,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incrementally-served train/valid/test split — the motivating use of
+    the component index: the batch ``leakage_safe_split`` recomputes
+    Jaccard pairs + components from scratch per run, while this probe reads
+    the MAINTAINED mapping and applies the identical integer-hash draw
+    (8/1/1 on the CLUSTER id, so near-duplicates can never straddle
+    splits). Documents never seen by the index are their own singleton
+    component, exactly like the batch query's left-join coalesce. Output
+    contract matches the catalog query: (doc_id, component, bucket, split);
+    incremental == batch is pinned by tests/test_streaming_components.py.
+    """
+    comp = current_components(members, remap)
+    labeled = docs.select(F.col(id_col).alias("doc_id")).join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("comp", F.col("doc_id")).alias("component")
+    )
+    bucket = (
+        ((F.col("component") % 1000003) * 2654435761) % 999983 % 10
+    ).cast("int")
+    return labeled.select(
+        "doc_id",
+        "component",
+        bucket.alias("bucket"),
+        F.when(bucket <= 7, "train")
+        .when(bucket == 8, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def compact_components(members: ParquetTable, remap: ParquetTable) -> None:
     """Fold the remap chains into members: rewrite members with fully
     resolved roots (NULL-epoch base) and truncate remap. Reads are

@@ -99,6 +99,48 @@ def test_components_compaction_bit_identical_and_stream_continues(spark, wh):
     assert want[6] == 0  # new node 0 is the new minimum root
 
 
+def test_leakage_safe_assignments_match_batch_query(spark, wh):
+    """The maintained component index serves the SAME train/valid/test
+    assignment as the from-scratch catalog leakage_safe_split — including
+    for singleton documents the index never saw — after the batch query's
+    edge set arrives incrementally in two halves."""
+    import os
+
+    from schwab_elt_etl_pipeline_spark.catalog.analytics11 import (
+        _SPLIT_TAU,
+        leakage_safe_split,
+        ngram_jaccard_pairs,
+    )
+    from schwab_elt_etl_pipeline_spark.sources import load_table
+    from schwab_elt_etl_pipeline_spark.streaming.components import (
+        leakage_safe_assignments,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    pairs = (
+        ngram_jaccard_pairs(spark, sf)
+        .filter(F.col("jac") >= _SPLIT_TAU)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
+    members = ParquetTable(spark, f"{wh}/members")
+    remap = ParquetTable(spark, f"{wh}/remap")
+    half = F.col("a_id") % 2 == 0
+    update_components_index(pairs.filter(half), members, remap, epoch=1)
+    update_components_index(pairs.filter(~half), members, remap, epoch=2)
+
+    docs = load_table(spark, sf, "documents")
+    got = {
+        r.doc_id: (r.component, r.bucket, r.split)
+        for r in leakage_safe_assignments(docs, members, remap).collect()
+    }
+    want = {
+        r.doc_id: (r.component, r.bucket, r.split)
+        for r in leakage_safe_split(spark, sf).collect()
+    }
+    assert got == want
+
+
 def test_neardup_components_stream_matches_batch_chain(spark, wh):
     """foreachBatch drive: documents arrive in two file triggers; the
     maintained components equal the batch MinHash->verify->components chain
