@@ -412,10 +412,32 @@ def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_em_round(words, max_piece_len=4, min_count=2)
 
 
-UNIGRAM_EM_SQL = rf"""
-WITH RECURSIVE tok AS (
+def unigram_lm_em_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained unigram-LM EM rounds with in-loop vocabulary pruning:
+    round 2 re-segments against round 1's M-step counts (unused pieces
+    drop out; single characters persist at count 0 so every word stays
+    segmentable — the SentencePiece pruning rule). The oracle chains two
+    brute-force enumeration rounds, the second against the first's
+    renormalized vocabulary — certifying that the loop actually iterates
+    (the ``bpe_train_merges`` discipline, here with a per-row DP instead
+    of driver round-trips)."""
+    from schwab_elt_etl_pipeline_spark.operators.tokenize import unigram_em_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        )
+        .filter((F.length("word") >= 1) & (F.length("word") <= 16))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return unigram_em_round(words, max_piece_len=4, min_count=2, rounds=2)
+
+
+_EM_SEED_CTES = rf"""tok AS (
   SELECT UNNEST({_TOKS}) AS word FROM documents
-), words AS (
+), words AS MATERIALIZED (
   SELECT word, COUNT(*) AS freq FROM tok
   WHERE LEN(word) BETWEEN 1 AND 16 GROUP BY word
 ), occ AS (
@@ -423,34 +445,67 @@ WITH RECURSIVE tok AS (
   FROM words w,
        UNNEST(generate_series(1, LEN(w.word))) AS gi(i),
        UNNEST(generate_series(1, LEAST(4, i))) AS gl(l)
-), vocab AS (
+), vocab AS MATERIALIZED (
   SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM occ GROUP BY piece
   HAVING LEN(piece) = 1 OR SUM(freq) >= 2
-), r(word, freq, pos, k, s, lens, ps) AS (
+)"""
+
+
+def _em_round_sql(i: int, vocab: str) -> str:
+    """One EM round as chained CTEs: brute-force enumeration of every legal
+    segmentation against ``vocab`` (recursive CTE), the operator's
+    lexicographic argmin, then the M-step counts."""
+    return f"""
+r{i}(word, freq, pos, k, s, lens, ps) AS (
   SELECT word, freq, 0, 0, CAST(0 AS BIGINT),
          CAST([] AS INT[]), CAST([] AS VARCHAR[])
   FROM words
   UNION ALL
-  SELECT r.word, r.freq, r.pos + l.l, r.k + 1, r.s + v.cnt,
-         list_append(r.lens, l.l), list_append(r.ps, v.piece)
-  FROM r
-  JOIN (VALUES (1), (2), (3), (4)) AS l(l) ON r.pos + l.l <= LEN(r.word)
-  JOIN vocab v ON v.piece = SUBSTRING(r.word, r.pos + 1, l.l)
-), best AS (
+  SELECT r{i}.word, r{i}.freq, r{i}.pos + l.l, r{i}.k + 1, r{i}.s + v.cnt,
+         list_append(r{i}.lens, l.l), list_append(r{i}.ps, v.piece)
+  FROM r{i}
+  JOIN (VALUES (1), (2), (3), (4)) AS l(l) ON r{i}.pos + l.l <= LEN(r{i}.word)
+  JOIN {vocab} v ON v.piece = SUBSTRING(r{i}.word, r{i}.pos + 1, l.l)
+), best{i} AS MATERIALIZED (
   SELECT word, freq, ps,
          ROW_NUMBER() OVER (
            PARTITION BY word ORDER BY k ASC, s DESC, list_reverse(lens) ASC
          ) AS rn
-  FROM r WHERE pos = LEN(word)
-), m AS (
-  SELECT UNNEST(ps) AS piece, freq FROM best WHERE rn = 1
-), counts AS (
-  SELECT piece, CAST(SUM(freq) AS BIGINT) AS em_cnt FROM m GROUP BY piece
-), tot AS (SELECT CAST(SUM(em_cnt) AS BIGINT) AS total FROM counts)
+  FROM r{i} WHERE pos = LEN(word)
+), counts{i} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS em_cnt
+  FROM (SELECT UNNEST(ps) AS piece, freq FROM best{i} WHERE rn = 1)
+  GROUP BY piece
+)"""
+
+
+def _em_final_sql(i: int) -> str:
+    return f"""
+tot AS (SELECT CAST(SUM(em_cnt) AS BIGINT) AS total FROM counts{i})
 SELECT piece, em_cnt,
        CAST(em_cnt AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0 AS p_ppm
-FROM counts CROSS JOIN tot
+FROM counts{i} CROSS JOIN tot
+"""
+
+
+UNIGRAM_EM_SQL = f"""
+WITH RECURSIVE {_EM_SEED_CTES},{_em_round_sql(1, "vocab")},{_em_final_sql(1)}
+"""
+
+# round-2 vocabulary: the previous M-step's counts, plus unused single
+# characters at count 0 (always segmentable — the SentencePiece pruning rule)
+_VOCAB2_CTE = """
+vocab2 AS MATERIALIZED (
+  SELECT piece, em_cnt AS cnt FROM counts1
+  UNION ALL
+  SELECT v.piece, CAST(0 AS BIGINT) AS cnt FROM vocab v
+  WHERE LEN(v.piece) = 1
+    AND v.piece NOT IN (SELECT piece FROM counts1)
+)"""
+
+UNIGRAM_EM2_SQL = f"""
+WITH RECURSIVE {_EM_SEED_CTES},{_em_round_sql(1, "vocab")},{_VOCAB2_CTE},{_em_round_sql(2, "vocab2")},{_em_final_sql(2)}
 """
 
 
@@ -460,6 +515,11 @@ SPECS = [
         doc="unigram-LM (SentencePiece-style) EM round: lattice Viterbi "
             "E-step + count-renormalization M-step, certified against "
             "brute-force segmentation enumeration",
+    ),
+    QuerySpec(
+        "unigram_lm_em_iterated", unigram_lm_em_iterated, UNIGRAM_EM2_SQL,
+        doc="two chained unigram-LM EM rounds with in-loop vocabulary "
+            "pruning, certified against two chained enumeration rounds",
     ),
     QuerySpec(
         "bpe_apply_merges", bpe_apply_merges, BPE_APPLY_SQL,

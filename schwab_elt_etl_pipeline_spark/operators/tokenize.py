@@ -304,12 +304,20 @@ def unigram_em_round(
     min_count: int = 2,
     word_col: str = "word",
     freq_col: str = "freq",
+    rounds: int = 1,
 ) -> DataFrame:
-    """One unigram-LM EM round: seed vocabulary -> Viterbi E-step over every
-    distinct word -> count-renormalization M-step. Returns the retrained
-    piece table (piece, em_cnt, p_ppm) — the counts a second round would
-    re-segment against, completing the tokenizer-trainer story next to the
-    iterative BPE trainer (``train_merges``).
+    """``rounds`` unigram-LM EM iterations: seed vocabulary -> (Viterbi
+    E-step over every distinct word -> count-renormalization M-step)^k.
+    Returns the retrained piece table (piece, em_cnt, p_ppm), completing
+    the tokenizer-trainer story next to the iterative BPE trainer
+    (``train_merges``).
+
+    From round 2 the vocabulary is the PREVIOUS round's M-step counts —
+    pieces the corpus never used drop out (SentencePiece's in-loop
+    vocabulary pruning) except single characters, which are always kept
+    (at count 0 if unused) so every word stays segmentable. Each round's
+    small vocabulary is eagerly checkpointed: without it round k's lineage
+    would re-run rounds 1..k-1 per consumer (the ``train_merges`` lesson).
 
     Scale shape: training runs over DISTINCT words weighted by corpus
     frequency (the standard trick — segmentation is per-type, corpus size
@@ -317,16 +325,32 @@ def unigram_em_round(
     and the only aggregations are vocabulary-sized groupBys. p_ppm is one
     fixed-order double expression over exact integer counts.
     """
-    segs = viterbi_segment(
-        words, seed_subword_vocab(words, max_piece_len, min_count, word_col, freq_col),
-        max_piece_len, word_col,
+    vocab = seed_subword_vocab(words, max_piece_len, min_count, word_col, freq_col)
+    ones = vocab.filter(F.length("piece") == 1).select("piece").localCheckpoint(
+        eager=True
     )
-    m = (
-        segs.join(words, word_col)
-        .select(F.explode("pieces").alias("piece"), F.col(freq_col).alias("freq"))
-        .groupBy("piece")
-        .agg(F.sum("freq").cast("long").alias("em_cnt"))
-    )
+    m = None
+    for _ in range(rounds):
+        if m is not None:
+            vocab = (
+                m.select("piece", F.col("em_cnt").alias("cnt"))
+                .unionByName(
+                    ones.join(m, "piece", "left_anti").withColumn(
+                        "cnt", F.lit(0).cast("long")
+                    )
+                )
+            )
+        vocab = vocab.localCheckpoint(eager=True)  # vocabulary-sized
+        segs = viterbi_segment(words, vocab, max_piece_len, word_col)
+        m = (
+            segs.join(words, word_col)
+            .select(
+                F.explode("pieces").alias("piece"), F.col(freq_col).alias("freq")
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("em_cnt"))
+            .localCheckpoint(eager=True)
+        )
     tot = m.agg(F.sum("em_cnt").cast("long").alias("total"))
     return m.crossJoin(F.broadcast(tot)).select(  # 1-row total scalar
         "piece",

@@ -96,6 +96,7 @@ _SANCTIONED_BNLJ = {
     "quality_quantile_gate",  # 1-row percentile-threshold scalar
     "bigram_lm_perplexity_gate",  # 1-row corpus-totals + threshold scalars
     "unigram_lm_em_round",   # 1-row M-step total scalar
+    "unigram_lm_em_iterated",  # 1-row M-step total scalar
     "perplexity_bucket_split",  # 1-row corpus-totals + cut scalars
     "training_prep_e2e",     # 1-row percentile-threshold scalar
     "ann_projected_rerank",  # coarse sketch pass over broadcast query set

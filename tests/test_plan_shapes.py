@@ -136,6 +136,7 @@ _BNLJ_OK = {
     "quality_quantile_gate",  # 1-row percentile-threshold scalar
     "bigram_lm_perplexity_gate",  # 1-row corpus-totals + threshold scalars
     "unigram_lm_em_round",   # 1-row M-step total scalar
+    "unigram_lm_em_iterated",  # 1-row M-step total scalar
     "perplexity_bucket_split",  # 1-row corpus-totals + cut scalars
     "a_equidepth_hist",      # 1-row decile-boundary scalar
     "j_bloom_semi_join",     # 1-row 2KiB bloom-bitmap scalar

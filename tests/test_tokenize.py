@@ -271,3 +271,61 @@ def test_unigram_em_round_renormalizes(spark):
             want[p] = want.get(p, 0) + f
     assert {p: c for p, (c, _) in out.items()} == want
     assert abs(sum(p for _, p in out.values()) - 1_000_000.0) < 1e-6
+
+
+def _em_rounds(words: dict[str, int], rounds: int, max_l: int = 4):
+    """Sequential EM reference: seed vocab, then (segment, recount)^rounds."""
+    vocab = _seed_vocab(words, max_l)
+    counts: dict[str, int] = {}
+    for _ in range(rounds):
+        counts = {}
+        for w, f in words.items():
+            for p in _enumerate_best(w, vocab, max_l)[3]:
+                counts[p] = counts.get(p, 0) + f
+        vocab = dict(counts)
+        for w in words:  # unused single chars persist at count 0
+            for ch in w:
+                vocab.setdefault(ch, 0)
+    return counts
+
+
+def test_unigram_em_iteration_actually_flips(spark):
+    """A case where round 2 CHANGES the solution: 'abc' segments [ab, c] on
+    seed counts (reversed-lens tie-break) but [a, bc] on round-1 EM counts
+    (c's mass collapses, bc's grows) — pinning that rounds=2 re-segments
+    against the RETRAINED vocabulary rather than re-running round 1."""
+    from schwab_elt_etl_pipeline_spark.operators.tokenize import unigram_em_round
+
+    words = {"abc": 1, "bc": 8, "ab": 2}
+    wdf = spark.createDataFrame(list(words.items()), "word string, freq long")
+    r1 = {
+        r["piece"]: r["em_cnt"]
+        for r in unigram_em_round(wdf, max_piece_len=2, rounds=1).collect()
+    }
+    r2 = {
+        r["piece"]: r["em_cnt"]
+        for r in unigram_em_round(wdf, max_piece_len=2, rounds=2).collect()
+    }
+    assert r1 == _em_rounds(words, 1, max_l=2) == {"ab": 3, "c": 1, "bc": 8}
+    assert r2 == _em_rounds(words, 2, max_l=2) == {"a": 1, "ab": 2, "bc": 9}
+    assert r1 != r2
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=7),
+        st.integers(min_value=1, max_value=20),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_unigram_em_two_rounds_match_sequential_reference(spark, words):
+    from schwab_elt_etl_pipeline_spark.operators.tokenize import unigram_em_round
+
+    wdf = spark.createDataFrame(list(words.items()), "word string, freq long")
+    got = {
+        r["piece"]: r["em_cnt"]
+        for r in unigram_em_round(wdf, max_piece_len=3, rounds=2).collect()
+    }
+    assert got == _em_rounds(words, 2, max_l=3)
