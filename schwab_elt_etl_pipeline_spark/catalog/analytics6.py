@@ -909,67 +909,29 @@ def _bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_big, score_ppm): the trained interpolated bigram-LM score
     for every document — shared by the absolute gate
     (``bigram_lm_perplexity_gate``) and the CCNet-style bucket split
-    (``perplexity_bucket_split``)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _toks().alias("t")
+    (``perplexity_bucket_split``). Extraction, model statistics, and the
+    fixed-order scoring expression live in ``operators/langmodel.py``
+    (ONE definition shared with the incremental maintainer in
+    ``streaming/lm_stream.py``)."""
+    from schwab_elt_etl_pipeline_spark.operators.langmodel import (
+        doc_bigrams,
+        doc_unigrams,
+        lm_score_docs,
     )
+
+    docs = load_table(spark, sf_dir, "documents")
     held_in = F.col("doc_id") % 5 > 0  # deterministic 80% training slice
-
-    # (doc_id, prev, cur) bigram stream via array zip — no explode-then-window
-    sz = F.size("t")
-    big = (
-        docs.filter(sz >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.arrays_zip(
-                    F.slice("t", 1, sz - 1).alias("prev"),
-                    F.slice("t", 2, sz - 1).alias("cur"),
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
-    )
-    uni = docs.select("doc_id", F.explode("t").alias("token"))
-
+    big = doc_bigrams(docs)
     bigram = (
         big.filter(held_in).groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))
     )
     unigram = (
-        uni.filter(held_in).groupBy("token").agg(F.count(F.lit(1)).alias("uc"))
+        doc_unigrams(docs)
+        .filter(held_in)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("uc"))
     )
-    stats = bigram.agg(F.sum("bc").alias("bt")).crossJoin(
-        unigram.agg(
-            F.sum("uc").alias("ut"), F.count(F.lit(1)).alias("v")
-        )
-    )
-
-    per_doc = (
-        big.join(F.broadcast(bigram), ["prev", "cur"], "left")
-        .join(
-            F.broadcast(unigram.withColumnRenamed("token", "cur")), ["cur"], "left"
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_big"),
-            F.sum(F.coalesce(F.col("bc"), F.lit(0))).alias("sum_bc"),
-            F.sum(F.coalesce(F.col("uc"), F.lit(0))).alias("sum_uc"),
-        )
-    )
-    return per_doc.crossJoin(F.broadcast(stats)).select(  # 1-row corpus totals
-        "doc_id",
-        "n_big",
-        (
-            F.col("sum_bc").cast("double")
-            / F.col("n_big").cast("double")
-            / F.col("bt").cast("double")
-            * F.lit(750000.0)
-            + (F.col("sum_uc") + F.col("n_big")).cast("double")
-            / F.col("n_big").cast("double")
-            / (F.col("ut") + F.col("v")).cast("double")
-            * F.lit(250000.0)
-        ).alias("score_ppm"),
-    )
+    return lm_score_docs(big, bigram, unigram)
 
 
 def perplexity_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:

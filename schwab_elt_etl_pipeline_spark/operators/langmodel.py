@@ -1,0 +1,115 @@
+"""Shared interpolated bigram-LM core — ONE definition of extraction,
+model statistics, and scoring, used by the batch catalog queries
+(``catalog/analytics6.py bigram_lm_perplexity_gate`` /
+``perplexity_bucket_split``) and the incremental maintainer
+(``streaming/lm_stream.py``), so the two paths cannot drift (the same
+shared-kernel discipline as ``split_passages`` / ``doc_tokens_and_windows``).
+
+The score for a document with ``n_big`` scored positions (tokens with a
+predecessor), bigram-hit mass ``sum_bc``, unigram mass ``sum_uc``, against
+a model with bigram total ``bt``, unigram total ``ut``, vocabulary ``v``:
+
+    score_ppm = sum_bc / n_big / bt * 750000
+              + (sum_uc + n_big) / n_big / (ut + v) * 250000
+
+i.e. a 0.75/0.25 interpolation of trained bigram relative frequency with
+an add-1-smoothed unigram term — the log-free rational stand-in for
+KenLM-style perplexity documented on ``unigram_rarity`` (every
+accumulation is an integer sum; the float expression is fixed-order, so
+Spark and DuckDB agree bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _toks(text_col: str) -> F.Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def doc_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, prev, cur) bigram stream via a per-row array zip — no window,
+    no shuffle (docs with <2 tokens contribute nothing)."""
+    d = docs.select(F.col(id_col).alias("_id"), _toks(text_col).alias("t"))
+    sz = F.size("t")
+    return (
+        d.filter(sz >= 2)
+        .select(
+            "_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, sz - 1).alias("prev"),
+                    F.slice("t", 2, sz - 1).alias("cur"),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("bg.prev").alias("prev"),
+            F.col("bg.cur").alias("cur"),
+        )
+    )
+
+
+def doc_unigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, token) whitespace unigram stream."""
+    return docs.select(
+        F.col(id_col).alias(id_col), F.explode(_toks(text_col)).alias("token")
+    )
+
+
+def lm_stats(bigram: DataFrame, unigram: DataFrame) -> DataFrame:
+    """The 1-row (bt, ut, v) scalar from trained (prev, cur, bc) and
+    (token, uc) count tables."""
+    return bigram.agg(F.sum("bc").cast("long").alias("bt")).crossJoin(
+        unigram.agg(
+            F.sum("uc").cast("long").alias("ut"),
+            F.count(F.lit(1)).alias("v"),
+        )
+    )
+
+
+def lm_score_docs(
+    big: DataFrame,
+    bigram: DataFrame,
+    unigram: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_big, score_ppm) for every document in ``big`` (a
+    ``doc_bigrams`` stream) against a trained model. The model tables are
+    Zipf-bounded vocabulary aggregations joined back via broadcast; at
+    sizes past broadcast the same equi-joins degrade to shuffled hash
+    joins on the token key."""
+    stats = lm_stats(bigram, unigram)
+    per_doc = (
+        big.join(F.broadcast(bigram), ["prev", "cur"], "left")
+        .join(
+            F.broadcast(unigram.withColumnRenamed("token", "cur")), ["cur"], "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_big"),
+            F.sum(F.coalesce(F.col("bc"), F.lit(0))).alias("sum_bc"),
+            F.sum(F.coalesce(F.col("uc"), F.lit(0))).alias("sum_uc"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(stats)).select(  # 1-row corpus totals
+        id_col,
+        "n_big",
+        (
+            F.col("sum_bc").cast("double")
+            / F.col("n_big").cast("double")
+            / F.col("bt").cast("double")
+            * F.lit(750000.0)
+            + (F.col("sum_uc") + F.col("n_big")).cast("double")
+            / F.col("n_big").cast("double")
+            / (F.col("ut") + F.col("v")).cast("double")
+            * F.lit(250000.0)
+        ).alias("score_ppm"),
+    )
