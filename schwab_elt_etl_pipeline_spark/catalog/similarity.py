@@ -517,7 +517,74 @@ def ann_ivfadc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_IVFADC_INDEX_SQL = ANN_PQ_SQL  # same certificate: exact top-1 anchor + verdict
 
 
+def retrieval_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-5 per query (lambda = 0.7,
+    pool = 20) — greedy relevance-vs-redundancy selection, the diversity
+    companion of ``retrieval_rrf_hybrid``. The whole greedy loop runs as
+    one per-query higher-order expression over the packed candidate pool
+    (``operators/similarity.py mmr_rerank_topk``); the oracle UNROLLS the
+    five selection steps as chained CTEs, each taking the argmax of the
+    rounded MMR score over the not-yet-selected pool — the
+    ``bpe_train_merges`` oracle discipline applied to retrieval."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from schwab_elt_etl_pipeline_spark.operators.similarity import mmr_rerank_topk
+
+    return mmr_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), pool=20, k=5, lam=0.7
+    )
+
+
+def _mmr_step_sql(i: int) -> str:
+    """Selection step i >= 2: MMR argmax over the not-yet-selected pool."""
+    return f""",
+sel{i} AS MATERIALIZED (
+  SELECT q_id, vec_id, rel, score, {i} AS rank FROM (
+    SELECT r.q_id, r.vec_id, r.rel,
+           ROUND(0.7 * r.rel - 0.3 * (
+             SELECT MAX(s.sim) FROM msims s
+             JOIN selu{i - 1} u ON u.q_id = s.q_id AND u.vec_id = s.v2
+             WHERE s.q_id = r.q_id AND s.v1 = r.vec_id), 7) AS score
+    FROM mpool r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM selu{i - 1} u
+      WHERE u.q_id = r.q_id AND u.vec_id = r.vec_id)
+  ) QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY score DESC, rel DESC, vec_id ASC) = 1
+), selu{i} AS (SELECT * FROM selu{i - 1} UNION ALL SELECT * FROM sel{i})"""
+
+
+MMR_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS c_vec FROM embeddings
+), mpool AS MATERIALIZED (
+  SELECT q_id, vec_id, c_vec,
+         ROUND({_COS_SQL.format(a="q_vec", b="c_vec")}, 6) AS rel
+  FROM c, q WHERE vec_id <> q_id
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY ROUND({_COS_SQL.format(a="q_vec", b="c_vec")}, 6)
+    DESC, vec_id ASC) <= 20
+), msims AS MATERIALIZED (
+  SELECT a.q_id, a.vec_id AS v1, b.vec_id AS v2,
+         ROUND({_COS_SQL.format(a="a.c_vec", b="b.c_vec")}, 6) AS sim
+  FROM mpool a JOIN mpool b
+    ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+), sel1 AS MATERIALIZED (
+  SELECT q_id, vec_id, rel, ROUND(0.7 * rel, 7) AS score, 1 AS rank
+  FROM mpool
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY ROUND(0.7 * rel, 7) DESC, rel DESC, vec_id ASC) = 1
+), selu1 AS (SELECT * FROM sel1){"".join(_mmr_step_sql(i) for i in range(2, 6))}
+SELECT q_id, rank, vec_id, score FROM selu5
+"""
+
+
 SPECS = [
+    QuerySpec("retrieval_mmr_diverse", retrieval_mmr_diverse, MMR_SQL,
+              doc="MMR diverse re-ranking: greedy relevance-vs-redundancy "
+                  "top-5, k unrolled argmax CTE oracle"),
     QuerySpec("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_SQL, headline=True,
               doc="brute-force cosine top-k (exact baseline)"),
     QuerySpec("ann_bucketed_topk", ann_bucketed_topk, ANN_BUCKETED_SQL,

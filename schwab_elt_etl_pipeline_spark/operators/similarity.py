@@ -954,3 +954,123 @@ def extend_ivfadc_index(
             "bootstrap the index via streaming/corpus.py update_ivfadc_index"
         )
     codes_table.insert_new(codes, keys=[id_col, "sub"])
+
+
+def mmr_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    pool: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diverse re-ranking (Carbonell & Goldstein
+    1998): per query, greedily select ``k`` results from the ``pool``
+    most-relevant candidates, each step maximizing
+
+        score = lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)
+
+    — relevance traded against redundancy with what is already picked. The
+    retrieval-diversity companion of ``retrieval_rrf_hybrid``.
+
+    Scale shape: the candidate pool comes from ``brute_force_topk`` (or any
+    ANN tier — the pool is the interchange format), so the corpus is
+    touched exactly once; everything after is per-query work on ``pool``
+    rows — the pairwise-similarity join is pool², and the greedy selection
+    runs as ONE per-row higher-order ``aggregate`` over the packed pool
+    (no driver loop, no shuffle, no UDF — the ``viterbi_segment``
+    discipline). Determinism: rel/sim/score all rounded to 6 digits; ties
+    break by (rel DESC, id ASC) via the pool ordering. Output:
+    (q_id, rank, vec_id, score).
+    """
+    cand = brute_force_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_vec")
+    )
+    ranked = (
+        cand.join(vecs, "vec_id")
+        .withColumn(
+            "idx",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+            ),
+        )
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    sims = (
+        a.join(b, (F.col("a.q_id") == F.col("b.q_id")) & (F.col("a.idx") < F.col("b.idx")))
+        .select(
+            F.col("a.q_id").alias("q_id"),
+            F.col("a.idx").alias("i"),
+            F.col("b.idx").alias("j"),
+            F.round(cosine(F.col("a._vec"), F.col("b._vec")), 6).alias("sim"),
+        )
+    )
+    # pack per query: rels/vids ordered by idx, pairwise sims keyed i*64+j
+    # (symmetric — both orientations inserted; pool <= 63 by construction)
+    packed = (
+        ranked.groupBy("q_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cos", "vec_id"))),
+                lambda s: s["cos"],
+            ).alias("rels"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cos", "vec_id"))),
+                lambda s: s["vec_id"],
+            ).alias("vids"),
+        )
+        .join(
+            sims.groupBy("q_id").agg(
+                F.map_from_entries(
+                    F.flatten(
+                        F.collect_list(
+                            F.array(
+                                F.struct(
+                                    (F.col("i") * 64 + F.col("j")).alias("key"),
+                                    F.col("sim").alias("value"),
+                                ),
+                                F.struct(
+                                    (F.col("j") * 64 + F.col("i")).alias("key"),
+                                    F.col("sim").alias("value"),
+                                ),
+                            )
+                        )
+                    )
+                ).alias("sims")
+            ),
+            "q_id",
+            "left",
+        )
+    )
+    score_of = (
+        "round({lam}D * element_at(rels, c) - {mu}D * (CASE WHEN size(acc) = 0 "
+        "THEN 0.0D ELSE array_max(transform(acc, x -> "
+        "element_at(sims, c * 64 + x.idx))) END), 7)"
+    ).format(lam=lam, mu=round(1.0 - lam, 12))
+    sel_expr = f"""
+    aggregate(
+      sequence(1, {k}),
+      cast(array() as array<struct<idx:int, sc:double>>),
+      (acc, step) -> acc || array(
+        aggregate(
+          sequence(1, size(vids)),
+          named_struct('idx', -1, 'sc', cast('-Infinity' as double)),
+          (best, c) -> CASE
+            WHEN exists(acc, x -> x.idx = c) THEN best
+            WHEN {score_of.format()} > best.sc
+            THEN named_struct('idx', c, 'sc', {score_of.format()})
+            ELSE best END
+        )
+      )
+    )"""
+    out = packed.select(
+        "q_id", "vids", F.posexplode(F.expr(sel_expr)).alias("pos", "pick")
+    ).filter(F.col("pick.idx") > 0)
+    return out.select(
+        "q_id",
+        (F.col("pos") + 1).alias("rank"),
+        F.element_at("vids", F.col("pick.idx")).alias("vec_id"),
+        F.col("pick.sc").alias("score"),
+    )

@@ -73,6 +73,7 @@ def test_no_python_udfs_in_relational_catalog(spark, sf_dir):
 #: sweeps inspect different plan stages: optimized here, executed there)
 _SANCTIONED_BNLJ = {
     "ann_cosine_topk",       # brute-force baseline: corpus × broadcast queries
+    "retrieval_mmr_diverse",  # pool stage: corpus × broadcast queries
     "retrieval_rrf_hybrid",  # 1-row query-vector set (dense arm)
     "kmeans_lloyd_train",    # ≤8-row centroid table (E-step)
     "ann_ivf_kmeans",        # centroid assignment: corpus × broadcast centroids

@@ -117,6 +117,7 @@ _BNLJ_OK = {
     "tfidf_topk_keywords",   # 1-row doc-count scalar
     "event_funnel",          # 1-row base-population scalar
     "ann_cosine_topk",       # ≤8-row query-vector set
+    "retrieval_mmr_diverse",  # pool stage: ≤8-row query-vector set
     "retrieval_rrf_hybrid",  # 1-row query-vector set (dense arm)
     "kmeans_lloyd_train",    # ≤8-row centroid table (E-step)
     "ann_projected_rerank",  # ≤8-row query-vector set (coarse sketch pass)

@@ -338,3 +338,39 @@ def test_pq_index_incremental_extend(spark, sf_dir, tmp_path):
     n = codes_t.read().count()
     extend_pq_index(rest, books_t, codes_t)  # replay: idempotent
     assert codes_t.read().count() == n
+
+
+def test_mmr_rerank_prefers_diversity_over_redundancy(spark):
+    """MMR must skip a near-duplicate of the first pick in favor of a less
+    relevant but diverse candidate (the behavior that distinguishes it from
+    plain top-k), and reduce to relevance order when lambda = 1."""
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank_topk,
+    )
+
+    rows = [
+        (100, [1.0, 0.0, 0.0]),    # the query
+        (1, [0.99, 0.14, 0.0]),    # most relevant
+        (2, [0.99, 0.141, 0.0]),   # near-duplicate of 1, almost as relevant
+        (3, [0.7, -0.7, 0.0]),     # diverse, less relevant
+        (4, [0.6, 0.0, 0.8]),      # diverse, less relevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 100")
+    got = {
+        r.rank: r.vec_id
+        for r in mmr_rerank_topk(emb, q, pool=4, k=3, lam=0.5).collect()
+    }
+    assert got[1] == 1          # pure relevance leads
+    assert got[2] in (3, 4)     # the near-duplicate 2 is NOT second
+    top = [
+        r.vec_id
+        for r in brute_force_topk(emb, q, k=3).orderBy(F.desc("cos"), "vec_id").collect()
+    ]
+    assert top[1] == 2          # ...even though plain top-k ranks it second
+    relevance_only = {
+        r.rank: r.vec_id
+        for r in mmr_rerank_topk(emb, q, pool=4, k=3, lam=1.0).collect()
+    }
+    assert [relevance_only[i] for i in (1, 2, 3)] == top
