@@ -370,6 +370,21 @@ def main() -> None:
     wall = _drain(q)
     record("quantile_sketches", n_events, wall, qsk_t.read().count())
 
+    # 11. incremental bigram-LM model maintenance (held-in n-gram count
+    # deltas on the epoch ledger; Zipf-bounded model tables)
+    from schwab_elt_etl_pipeline_spark.streaming.lm_stream import lm_stream
+
+    lm_bg = ParquetTable(spark, f"{root}/lm_bigram")
+    lm_ug = ParquetTable(spark, f"{root}/lm_unigram")
+    q = lm_stream(
+        read_document_stream(spark, docs_dir, max_files_per_trigger=per_trigger),
+        lm_bg,
+        lm_ug,
+        f"{root}/lm_ckpt",
+    )
+    wall = _drain(q)
+    record("lm_model_counts", n_docs, wall, lm_bg.read().count())
+
     payload = {
         "metric": "streaming throughput (rows/sec, end-to-end incl. checkpoints)",
         "ticks": n_ticks,
