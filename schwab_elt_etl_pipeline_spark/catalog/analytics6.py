@@ -934,6 +934,108 @@ def _bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_docs(big, bigram, unigram)
 
 
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): importance-weight every
+    document by how target-like its n-gram mass is under two trained
+    models, then draw an exact-~k PPS sample proportional to the weight.
+
+    Target model: bigram counts of the ``lang = 'en'`` slice; raw model:
+    the whole corpus. The published method weights by the log-likelihood
+    ratio of hashed-n-gram models; the exact-arithmetic surrogate here is
+    the CROSS-MULTIPLIED difference of bigram relative frequencies —
+    ``w = sum_tc * BT_raw - sum_rc * BT_target`` (positive exactly when
+    the document's trained-bigram mass is relatively more target-like),
+    an all-integer expression, shifted positive by the corpus minimum.
+    Selection reuses the deterministic cumulative-weight stride sampler
+    (``sample_weighted_systematic``): integer weights, one prefix-scan
+    pass (grand total rides the scan — no extra crossJoin), a row selected
+    iff its weight interval crosses a stride boundary. Documents with <2
+    tokens carry no bigram evidence and sit outside the sampling line.
+
+    Scale: two vocabulary-sized model aggregations (broadcast back), one
+    prefix scan — no global sort, no floats anywhere until nothing is left
+    to compute.
+    """
+    from schwab_elt_etl_pipeline_spark.operators.langmodel import doc_bigrams
+    from schwab_elt_etl_pipeline_spark.operators.prefix import prefix_agg
+
+    k = 50
+    docs = load_table(spark, sf_dir, "documents")
+    big = doc_bigrams(docs)
+    tmodel = (
+        doc_bigrams(docs.filter(F.col("lang") == "en"))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    rmodel = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("rc"))
+    stats = tmodel.agg(F.sum("tc").cast("long").alias("bt_t")).crossJoin(
+        rmodel.agg(F.sum("rc").cast("long").alias("bt_r"))
+    )
+    per_doc = (
+        big.join(F.broadcast(tmodel), ["prev", "cur"], "left")
+        .join(F.broadcast(rmodel), ["prev", "cur"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("tc"), F.lit(0))).alias("s_t"),
+            F.sum(F.coalesce(F.col("rc"), F.lit(0))).alias("s_r"),
+        )
+    )
+    w = per_doc.crossJoin(F.broadcast(stats)).select(  # 1-row model totals
+        "doc_id",
+        (F.col("s_t") * F.col("bt_r") - F.col("s_r") * F.col("bt_t")).alias("w_raw"),
+    )
+    mn = w.agg(F.min("w_raw").alias("_mn"))
+    wc = w.crossJoin(F.broadcast(mn)).select(  # 1-row shift scalar
+        "doc_id", (F.col("w_raw") - F.col("_mn") + 1).alias("_wc")
+    )
+    c = prefix_agg(wc, ["doc_id"], "_wc", "_cum", how="sum", total_out="_grand")
+    c = c.withColumn(
+        "_t", F.greatest(F.expr(f"_grand div {k}"), F.lit(1).cast("long"))
+    )
+    return c.filter(F.expr("_cum div _t > (_cum - _wc) div _t")).select(
+        "doc_id", F.expr("_cum div _t").alias("bucket")
+    )
+
+
+DSIR_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang, string_split_regex(TRIM(LOWER(text)), '\s+') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, lang,
+         UNNEST(t[1:len(t)-1]) AS prev,
+         UNNEST(t[2:len(t)]) AS cur
+  FROM d WHERE len(t) >= 2
+), tmodel AS (
+  SELECT prev, cur, COUNT(*) AS tc FROM big WHERE lang = 'en' GROUP BY prev, cur
+), rmodel AS (
+  SELECT prev, cur, COUNT(*) AS rc FROM big GROUP BY prev, cur
+), stats AS (
+  SELECT (SELECT CAST(SUM(tc) AS BIGINT) FROM tmodel) AS bt_t,
+         (SELECT CAST(SUM(rc) AS BIGINT) FROM rmodel) AS bt_r
+), per_doc AS (
+  SELECT b.doc_id,
+         CAST(SUM(COALESCE(t.tc, 0)) AS BIGINT) AS s_t,
+         CAST(SUM(COALESCE(r.rc, 0)) AS BIGINT) AS s_r
+  FROM big b
+  LEFT JOIN tmodel t ON b.prev = t.prev AND b.cur = t.cur
+  LEFT JOIN rmodel r ON b.prev = r.prev AND b.cur = r.cur
+  GROUP BY b.doc_id
+), w AS (
+  SELECT doc_id, s_t * bt_r - s_r * bt_t AS w_raw FROM per_doc CROSS JOIN stats
+), mn AS (SELECT MIN(w_raw) AS m FROM w),
+wc AS (SELECT doc_id, w_raw - m + 1 AS wc FROM w, mn),
+c AS (
+  SELECT doc_id, wc,
+         CAST(SUM(wc) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(wc) OVER () AS BIGINT) AS grand FROM wc),
+p AS (SELECT doc_id, wc, cum, GREATEST(grand // 50, 1) AS t FROM c)
+SELECT doc_id, cum // t AS bucket
+FROM p WHERE cum // t > (cum - wc) // t
+"""
+
+
 def perplexity_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail corpus split on the trained bigram-LM score:
     the top third of documents by score is ``head``, the middle third
@@ -1030,6 +1132,9 @@ SPECS = [
               BIGRAM_LM_SQL, headline=True,
               doc="interpolated bigram-LM quality gate, trained on held-in "
                   "slice, bottom-quantile drop"),
+    QuerySpec("dsir_importance_select", dsir_importance_select, DSIR_SQL,
+              doc="DSIR-style importance resampling: target-vs-raw bigram "
+                  "mass weights (all-integer), exact-k PPS stride draw"),
     QuerySpec("perplexity_bucket_split", perplexity_bucket_split,
               PERPLEXITY_BUCKET_SQL,
               doc="CCNet head/middle/tail split on the bigram-LM score via "

@@ -99,6 +99,7 @@ _SANCTIONED_BNLJ = {
     "unigram_lm_em_round",   # 1-row M-step total scalar
     "unigram_lm_em_iterated",  # 1-row M-step total scalar
     "perplexity_bucket_split",  # 1-row corpus-totals + cut scalars
+    "dsir_importance_select",  # 1-row model-totals + shift scalars
     "training_prep_e2e",     # 1-row percentile-threshold scalar
     "ann_projected_rerank",  # coarse sketch pass over broadcast query set
     "a_equidepth_hist",      # 1-row decile-boundary scalar

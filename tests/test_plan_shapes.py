@@ -139,6 +139,7 @@ _BNLJ_OK = {
     "unigram_lm_em_round",   # 1-row M-step total scalar
     "unigram_lm_em_iterated",  # 1-row M-step total scalar
     "perplexity_bucket_split",  # 1-row corpus-totals + cut scalars
+    "dsir_importance_select",  # 1-row model-totals + shift scalars
     "a_equidepth_hist",      # 1-row decile-boundary scalar
     "j_bloom_semi_join",     # 1-row 2KiB bloom-bitmap scalar
     "training_prep_e2e",     # 1-row percentile-threshold scalar
