@@ -206,12 +206,14 @@ def leakage_safe_assignments(
     contract matches the catalog query: (doc_id, component, bucket, split);
     incremental == batch is pinned by tests/test_streaming_components.py.
     """
-    comp = current_components(members, remap)
-    labeled = docs.select(F.col(id_col).alias("doc_id")).join(
-        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
-    ).select(
-        "doc_id", F.coalesce("comp", F.col("doc_id")).alias("component")
-    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    if members.exists():  # a never-built index means every doc is a singleton
+        comp = current_components(members, remap)
+        labeled = base.join(
+            comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        ).select("doc_id", F.coalesce("comp", F.col("doc_id")).alias("component"))
+    else:
+        labeled = base.select("doc_id", F.col("doc_id").alias("component"))
     bucket = (
         ((F.col("component") % 1000003) * 2654435761) % 999983 % 10
     ).cast("int")

@@ -117,19 +117,24 @@ def test_leakage_safe_assignments_match_batch_query(spark, wh):
     )
 
     sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    members = ParquetTable(spark, f"{wh}/members")
+    remap = ParquetTable(spark, f"{wh}/remap")
+
+    # a never-built index degrades to all-singleton components
+    docs = load_table(spark, sf, "documents")
+    fresh = leakage_safe_assignments(docs.limit(5), members, remap).collect()
+    assert all(r.component == r.doc_id for r in fresh)
+
     pairs = (
         ngram_jaccard_pairs(spark, sf)
         .filter(F.col("jac") >= _SPLIT_TAU)
         .select("a_id", "b_id")
         .localCheckpoint(eager=True)
     )
-    members = ParquetTable(spark, f"{wh}/members")
-    remap = ParquetTable(spark, f"{wh}/remap")
     half = F.col("a_id") % 2 == 0
     update_components_index(pairs.filter(half), members, remap, epoch=1)
     update_components_index(pairs.filter(~half), members, remap, epoch=2)
 
-    docs = load_table(spark, sf, "documents")
     got = {
         r.doc_id: (r.component, r.bucket, r.split)
         for r in leakage_safe_assignments(docs, members, remap).collect()
