@@ -509,6 +509,59 @@ WITH RECURSIVE {_EM_SEED_CTES},{_em_round_sql(1, "vocab")},{_VOCAB2_CTE},{_em_ro
 """
 
 
+def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained unigram tokenizer to the corpus — the unigram twin
+    of ``bpe_apply_merges``, completing train/apply symmetry for both
+    tokenizer families: one EM round trains the vocabulary, then every
+    document re-tokenizes by per-TYPE Viterbi segmentation (distinct words
+    segment once; documents join the result and rebuild in position
+    order). The oracle chains the enumeration-certified training round
+    with a second enumeration under the trained vocabulary and the same
+    position-ordered string rebuild."""
+    from schwab_elt_etl_pipeline_spark.operators.tokenize import (
+        pruned_vocab,
+        seed_subword_vocab,
+        unigram_em_round,
+        unigram_tokenize_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        )
+        .filter((F.length("word") >= 1) & (F.length("word") <= 16))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    trained = unigram_em_round(words, max_piece_len=4, min_count=2)
+    ones = (
+        seed_subword_vocab(words, max_piece_len=4, min_count=2)
+        .filter(F.length("piece") == 1)
+        .select("piece")
+    )
+    return unigram_tokenize_docs(docs, pruned_vocab(trained, ones))
+
+
+UNIGRAM_TOKENIZE_SQL = f"""
+WITH RECURSIVE {_EM_SEED_CTES},{_em_round_sql(1, "vocab")},{_VOCAB2_CTE},{_em_round_sql(2, "vocab2")},
+docd AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), docw AS (
+  SELECT doc_id, i AS pos, t[i] AS word
+  FROM docd, UNNEST(generate_series(1, LEN(t))) AS g(i)
+)
+SELECT w.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(LEN(COALESCE(b.ps, [w.word]))) AS BIGINT) AS n_pieces,
+       string_agg(array_to_string(COALESCE(b.ps, [w.word]), ' '), ' '
+                  ORDER BY w.pos) AS text_seg
+FROM docw w
+LEFT JOIN (SELECT word, ps FROM best2 WHERE rn = 1) b ON w.word = b.word
+GROUP BY w.doc_id
+"""
+
+
 SPECS = [
     QuerySpec(
         "unigram_lm_em_round", unigram_lm_em_round, UNIGRAM_EM_SQL,
@@ -520,6 +573,11 @@ SPECS = [
         "unigram_lm_em_iterated", unigram_lm_em_iterated, UNIGRAM_EM2_SQL,
         doc="two chained unigram-LM EM rounds with in-loop vocabulary "
             "pruning, certified against two chained enumeration rounds",
+    ),
+    QuerySpec(
+        "unigram_lm_tokenize", unigram_lm_tokenize, UNIGRAM_TOKENIZE_SQL,
+        doc="unigram tokenizer APPLY: per-type Viterbi segmentation under "
+            "the trained vocabulary, position-ordered document rebuild",
     ),
     QuerySpec(
         "bpe_apply_merges", bpe_apply_merges, BPE_APPLY_SQL,

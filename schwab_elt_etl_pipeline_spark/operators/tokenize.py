@@ -298,6 +298,17 @@ def viterbi_segment(
     )
 
 
+def pruned_vocab(counts: DataFrame, ones: DataFrame) -> DataFrame:
+    """The post-EM vocabulary: the M-step counts (corpus-unused pieces
+    drop out) plus unused single characters at count 0, so every word
+    stays segmentable — the SentencePiece pruning rule."""
+    return counts.select("piece", F.col("em_cnt").alias("cnt")).unionByName(
+        ones.join(counts, "piece", "left_anti").withColumn(
+            "cnt", F.lit(0).cast("long")
+        )
+    )
+
+
 def unigram_em_round(
     words: DataFrame,
     max_piece_len: int = 4,
@@ -332,14 +343,7 @@ def unigram_em_round(
     m = None
     for _ in range(rounds):
         if m is not None:
-            vocab = (
-                m.select("piece", F.col("em_cnt").alias("cnt"))
-                .unionByName(
-                    ones.join(m, "piece", "left_anti").withColumn(
-                        "cnt", F.lit(0).cast("long")
-                    )
-                )
-            )
+            vocab = pruned_vocab(m, ones)
         vocab = vocab.localCheckpoint(eager=True)  # vocabulary-sized
         segs = viterbi_segment(words, vocab, max_piece_len, word_col)
         m = (
@@ -360,4 +364,58 @@ def unigram_em_round(
             / F.col("total").cast("double")
             * F.lit(1000000.0)
         ).alias("p_ppm"),
+    )
+
+
+def unigram_tokenize_docs(
+    docs: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = 16,
+) -> DataFrame:
+    """APPLY a trained unigram-LM vocabulary to a corpus — the unigram twin
+    of ``apply_pair_merges``: every word (whitespace token, lowered) is
+    Viterbi-segmented once per TYPE (the per-type trick again: segmentation
+    depends only on the word, so distinct words segment once and documents
+    join the result), and documents rebuild in position order. Words longer
+    than ``max_word_len`` pass through unsegmented (none exist in the
+    benchmark corpus; the cap bounds the enumeration oracle).
+
+    Output: (id, n_words, n_pieces, text_seg) with pieces space-joined.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    exploded = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(toks).alias("pos", "word"),
+    )
+    words = (
+        exploded.filter(
+            (F.length("word") >= 1) & (F.length("word") <= max_word_len)
+        )
+        .select("word")
+        .distinct()
+    )
+    segs = viterbi_segment(words, vocab, max_piece_len).select("word", "pieces")
+    joined = exploded.join(F.broadcast(segs), "word", "left").select(
+        "_id",
+        "pos",
+        "word",
+        F.coalesce("pieces", F.array(F.col("word"))).alias("pieces"),
+    )
+    return joined.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("pieces")).cast("long").alias("n_pieces"),
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                    lambda s: s["pieces"],
+                )
+            ),
+            " ",
+        ).alias("text_seg"),
+    ).select(
+        F.col("_id").alias(id_col), "n_words", "n_pieces", "text_seg"
     )

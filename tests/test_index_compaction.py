@@ -101,6 +101,33 @@ def test_gram_index_compaction_bit_identical_probe(spark, wh):
     assert compacted.read().count() == n
 
 
+def test_minhash_index_compaction_pure_rewrite(spark, wh):
+    """The minhash band index has NO _epoch column (id-keyed idempotence);
+    compact_index must be a pure clustered rewrite — identical rows, and a
+    later batch probes identically against compacted vs uncompacted state."""
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_minhash_index
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = mk([(0, "the quick brown fox jumps over the lazy dog today"),
+             (1, "completely different content about spark and parquet")])
+    b2 = mk([(2, "the quick brown fox jumps over the lazy dog today ok")])
+    compacted = ParquetTable(spark, f"{wh}/mh_c", cluster_by=("bucket",))
+    twin = ParquetTable(spark, f"{wh}/mh_t", cluster_by=("bucket",))
+    for idx in (compacted, twin):
+        update_minhash_index(b1, idx)
+    rows_before = {
+        (r["id"], r["band"], r["bucket"]) for r in compacted.read().collect()
+    }
+    compact_index(compacted)
+    assert {
+        (r["id"], r["band"], r["bucket"]) for r in compacted.read().collect()
+    } == rows_before
+    get = lambda df: {(r["batch_id"], r["index_id"]) for r in df.collect()}
+    assert get(update_minhash_index(b2, compacted)) == get(
+        update_minhash_index(b2, twin)
+    )
+
+
 def test_pq_index_query_bit_identical_after_compaction(spark, wh):
     """ADC shortlists computed against the code table are bit-identical
     before and after compact_index (codes unchanged, stamps folded)."""

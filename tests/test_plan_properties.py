@@ -98,6 +98,7 @@ _SANCTIONED_BNLJ = {
     "bigram_lm_perplexity_gate",  # 1-row corpus-totals + threshold scalars
     "unigram_lm_em_round",   # 1-row M-step total scalar
     "unigram_lm_em_iterated",  # 1-row M-step total scalar
+    "unigram_lm_tokenize",   # 1-row M-step total scalar (training stage)
     "perplexity_bucket_split",  # 1-row corpus-totals + cut scalars
     "dsir_importance_select",  # 1-row model-totals + shift scalars
     "training_prep_e2e",     # 1-row percentile-threshold scalar

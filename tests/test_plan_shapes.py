@@ -138,6 +138,7 @@ _BNLJ_OK = {
     "bigram_lm_perplexity_gate",  # 1-row corpus-totals + threshold scalars
     "unigram_lm_em_round",   # 1-row M-step total scalar
     "unigram_lm_em_iterated",  # 1-row M-step total scalar
+    "unigram_lm_tokenize",   # 1-row M-step total scalar (training stage)
     "perplexity_bucket_split",  # 1-row corpus-totals + cut scalars
     "dsir_importance_select",  # 1-row model-totals + shift scalars
     "a_equidepth_hist",      # 1-row decile-boundary scalar
