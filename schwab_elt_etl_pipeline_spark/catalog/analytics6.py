@@ -916,18 +916,20 @@ def _bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schwab_elt_etl_pipeline_spark.operators.langmodel import (
         doc_bigrams,
         doc_unigrams,
+        held_in,
         lm_score_docs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    held_in = F.col("doc_id") % 5 > 0  # deterministic 80% training slice
     big = doc_bigrams(docs)
     bigram = (
-        big.filter(held_in).groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))
+        big.filter(held_in())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("bc"))
     )
     unigram = (
         doc_unigrams(docs)
-        .filter(held_in)
+        .filter(held_in())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("uc"))
     )
@@ -946,6 +948,12 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``w = sum_tc * BT_raw - sum_rc * BT_target`` (positive exactly when
     the document's trained-bigram mass is relatively more target-like),
     an all-integer expression, shifted positive by the corpus minimum.
+    The cross-multiplication runs in DECIMAL(38,0) (HUGEINT on the oracle
+    side): per-doc mass × corpus total passes int64's 9.2e18 once bigram
+    totals reach ~1e9-scale corpora, and with ANSI off the long product
+    would wrap silently. 38 digits bounds exactness at products < 1e38 —
+    ~1e12 headroom over any real corpus. The stride quotients downstream
+    are integral ``div``s (long results), exact while grand/k < 2^63.
     Selection reuses the deterministic cumulative-weight stride sampler
     (``sample_weighted_systematic``): integer weights, one prefix-scan
     pass (grand total rides the scan — no extra crossJoin), a row selected
@@ -980,9 +988,13 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("rc"), F.lit(0))).alias("s_r"),
         )
     )
+    dec = "decimal(38,0)"
     w = per_doc.crossJoin(F.broadcast(stats)).select(  # 1-row model totals
         "doc_id",
-        (F.col("s_t") * F.col("bt_r") - F.col("s_r") * F.col("bt_t")).alias("w_raw"),
+        (
+            F.col("s_t").cast(dec) * F.col("bt_r").cast(dec)
+            - F.col("s_r").cast(dec) * F.col("bt_t").cast(dec)
+        ).alias("w_raw"),
     )
     mn = w.agg(F.min("w_raw").alias("_mn"))
     wc = w.crossJoin(F.broadcast(mn)).select(  # 1-row shift scalar
@@ -1022,7 +1034,9 @@ WITH d AS (
   LEFT JOIN rmodel r ON b.prev = r.prev AND b.cur = r.cur
   GROUP BY b.doc_id
 ), w AS (
-  SELECT doc_id, s_t * bt_r - s_r * bt_t AS w_raw FROM per_doc CROSS JOIN stats
+  SELECT doc_id,
+         CAST(s_t AS HUGEINT) * bt_r - CAST(s_r AS HUGEINT) * bt_t AS w_raw
+  FROM per_doc CROSS JOIN stats
 ), mn AS (SELECT MIN(w_raw) AS m FROM w),
 wc AS (SELECT doc_id, w_raw - m + 1 AS wc FROM w, mn),
 c AS (

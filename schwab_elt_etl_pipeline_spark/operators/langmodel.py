@@ -29,6 +29,15 @@ def _toks(text_col: str) -> F.Column:
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
+def held_in() -> F.Column:
+    """The deterministic 80% training slice shared by the batch LM queries
+    and the streaming model maintainer — ONE definition so the
+    stream-equals-batch parity can never drift on the slice predicate.
+    (A function, not a module constant: building a Column requires an
+    active Spark context, which imports must not assume.)"""
+    return F.col("doc_id") % 5 > 0
+
+
 def doc_bigrams(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

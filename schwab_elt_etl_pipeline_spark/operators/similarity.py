@@ -980,10 +980,18 @@ def mmr_rerank_topk(
     rows — the pairwise-similarity join is pool², and the greedy selection
     runs as ONE per-row higher-order ``aggregate`` over the packed pool
     (no driver loop, no shuffle, no UDF — the ``viterbi_segment``
-    discipline). Determinism: rel/sim/score all rounded to 6 digits; ties
-    break by (rel DESC, id ASC) via the pool ordering. Output:
-    (q_id, rank, vec_id, score).
+    discipline). Determinism: rel and sim are rounded to 6 digits and the
+    combined MMR score to 7 (6 + one coefficient digit — rounding the
+    linear combination back to 6 would sit exactly on the half-way
+    boundary whenever the 7th digit is 5, where Spark and the DuckDB
+    oracle disagree); ties break by (rel DESC, id ASC) via the pool
+    ordering. Output: (q_id, rank, vec_id, score).
+
+    ``pool`` must be <= 63: pairwise sims are packed into one map keyed
+    ``i * 64 + j``, so a larger pool would collide keys silently.
     """
+    if pool > 63:
+        raise ValueError(f"mmr_rerank_topk: pool must be <= 63, got {pool}")
     cand = brute_force_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
     vecs = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(vec_col).alias("_vec")

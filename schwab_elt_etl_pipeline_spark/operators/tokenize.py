@@ -295,6 +295,13 @@ def viterbi_segment(
             F.expr(f"element_at(dp, length({word_col}) + 1).k").alias("k"),
             F.expr(f"element_at(dp, length({word_col}) + 1).s").alias("s"),
         )
+        # A word containing a character absent from the vocab leaves the
+        # final DP cell unreachable (k = sentinel); dropping the row lets
+        # apply paths fall back to the whole word via their left-join
+        # coalesce instead of emitting length(word) empty pieces. Training
+        # vocabularies always carry every corpus single char, so this never
+        # fires there.
+        .filter(F.col("k") != 2147483647)
     )
 
 

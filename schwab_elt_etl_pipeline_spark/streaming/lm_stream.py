@@ -33,15 +33,18 @@ from pyspark.sql.streaming.query import StreamingQuery
 from schwab_elt_etl_pipeline_spark.operators.langmodel import (
     doc_bigrams,
     doc_unigrams,
+    held_in,
 )
 from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
 from schwab_elt_etl_pipeline_spark.streaming.runner import start_foreach_batch
 
-def held_in() -> F.Column:
-    """The batch queries' deterministic 80% training slice. (A function,
-    not a module constant: building a Column requires an active Spark
-    context, which imports must not assume.)"""
-    return F.col("doc_id") % 5 > 0
+__all__ = [
+    "held_in",
+    "update_lm_counts",
+    "current_lm_model",
+    "consolidate_lm_counts",
+    "lm_stream",
+]
 
 
 def update_lm_counts(

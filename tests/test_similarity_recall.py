@@ -374,3 +374,17 @@ def test_mmr_rerank_prefers_diversity_over_redundancy(spark):
         for r in mmr_rerank_topk(emb, q, pool=4, k=3, lam=1.0).collect()
     }
     assert [relevance_only[i] for i in (1, 2, 3)] == top
+
+
+def test_mmr_rerank_rejects_pool_past_packing_bound(spark):
+    """Pairwise sims pack into one map keyed i*64+j, so pool > 63 would
+    collide keys silently — the guard must refuse it loudly."""
+    import pytest
+
+    from schwab_elt_etl_pipeline_spark.operators.similarity import mmr_rerank_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="pool"):
+        mmr_rerank_topk(emb, emb, pool=64, k=3)

@@ -329,3 +329,29 @@ def test_unigram_em_two_rounds_match_sequential_reference(spark, words):
         for r in unigram_em_round(wdf, max_piece_len=3, rounds=2).collect()
     }
     assert got == _em_rounds(words, 2, max_l=3)
+
+
+def test_unigram_tokenize_unseen_char_falls_back_to_whole_word(spark):
+    """A word containing a character absent from the trained vocab has an
+    unreachable final DP cell; viterbi_segment must DROP the row (not emit
+    empty pieces) so unigram_tokenize_docs' left-join coalesce passes the
+    word through whole — the trained-vocab-on-new-corpus contract."""
+    from schwab_elt_etl_pipeline_spark.operators.tokenize import (
+        unigram_tokenize_docs,
+        viterbi_segment,
+    )
+
+    vocab = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("ab", 4)], "piece string, cnt long"
+    )
+    words = spark.createDataFrame([("abz",), ("ab",)], "word string")
+    segs = viterbi_segment(words, vocab)
+    got = {r["word"]: list(r["pieces"]) for r in segs.collect()}
+    assert got == {"ab": ["ab"]}  # 'abz' dropped: z is not segmentable
+
+    docs = spark.createDataFrame(
+        [(1, "ab abz b")], "doc_id long, text string"
+    )
+    out = unigram_tokenize_docs(docs, vocab).collect()[0]
+    assert out["text_seg"] == "ab abz b"  # abz passes through whole
+    assert out["n_words"] == 3 and out["n_pieces"] == 3
