@@ -53,20 +53,48 @@ from schwab_elt_etl_pipeline_spark.operators.dedup import connected_components
 from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
 
 
+def _closure_table(remap: ParquetTable) -> ParquetTable:
+    """The maintained transitive closure of the remap forest — a sibling
+    table so existing (members, remap) call sites need no new handle."""
+    return ParquetTable(remap.spark, remap.path + "__closure")
+
+
 def _remap_closure(remap: ParquetTable) -> DataFrame | None:
     """(root, comp): every retired root's FINAL label, fully resolved.
 
-    min-label CC over the remap forest IS transitive resolution here:
-    new_root is always the minimum of the merged set, so the minimum label
-    of a remap chain's connected set is exactly the chain's final root."""
+    The closure is MAINTAINED incrementally by ``update_components_index``
+    (one broadcast-join fold per trigger), so the normal path here is a
+    plain read — no per-trigger pointer jumping. Freshness check: remap is
+    keyed on old_root and the closure carries exactly one row per retired
+    root, so equal row counts ⟺ in sync; a mismatch (a crash between the
+    remap append and the closure rewrite, or an index written by an older
+    version) HEALS by re-deriving the closure with min-label CC over the
+    merge events — sound because new_root is always the minimum of the
+    merged set, so the minimum label of a remap chain's connected set is
+    exactly the chain's final root."""
     if not remap.exists():
         return None
     edges = remap.read()
-    if edges.isEmpty():
+    n_events = edges.count()
+    if n_events == 0:
         return None
-    return connected_components(edges, "old_root", "new_root").withColumnRenamed(
-        "node", "root"
+    ct = _closure_table(remap)
+    if ct.exists():
+        closure = ct.read()
+        if closure.count() == n_events:
+            return closure
+    healed = (
+        connected_components(edges, "old_root", "new_root")
+        .withColumnRenamed("node", "root")
+        # CC emits every node of the remap graph; keep only RETIRED roots so
+        # the one-row-per-remap-row invariant (the freshness check) holds.
+        .join(
+            edges.select(F.col("old_root").alias("root")).distinct(), "root"
+        )
     )
+    ct.overwrite_versioned(healed)
+    ct.vacuum(keep_last=2)  # 2: a lazy plan may still pin the prior version
+    return ct.read()
 
 
 def _resolve(nodes: DataFrame, members: ParquetTable, closure: DataFrame | None) -> DataFrame:
@@ -101,14 +129,19 @@ def update_components_index(
     (node / old_root), so replayed epochs insert nothing and the resolved
     mapping equals the batch operator over every edge ever delivered
     (pinned by tests/test_streaming_components.py)."""
-    e = edge_batch.select(F.col(src).alias("s"), F.col(dst).alias("t")).filter(
-        F.col("s") != F.col("t")
+    e = (
+        edge_batch.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        # batch-sized; pin it — the caller's edge plan may be expensive
+        # (e.g. a MinHash index probe) and feeds the node scan, both
+        # contracted-join sides, and every CC iteration below.
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("t").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)  # feeds resolve + member append
+        .distinct()  # no checkpoint: e is pinned, and res (below) is — the
+        # node scan runs once inside the res evaluation
     )
     closure = _remap_closure(remap)
     res = _resolve(nodes, members, closure).localCheckpoint(eager=True)
@@ -131,7 +164,33 @@ def update_components_index(
         F.col("comp").alias("new_root"),
         F.lit(epoch).cast("long").alias("_epoch"),
     )
-    remap.insert_new(merge_events, keys=["old_root"])
+    inserted = remap.insert_new(merge_events, keys=["old_root"])
+    if inserted:
+        # Fold this batch's merges into the maintained closure: previously
+        # retired roots whose final label just changed are remapped through
+        # `mapping` (their stored comp was a CURRENT root, so one broadcast
+        # join suffices), and the batch's merge events — roots retired for
+        # the first time, so disjoint from the existing keys — append as
+        # (root, comp) rows. The closure is merge-event-sized; rewriting it
+        # per trigger costs a tiny broadcast join, replacing the per-trigger
+        # CC over all remap rows. A replayed epoch contracts to self-loops,
+        # inserts nothing, and skips the rewrite — closure stays fixed.
+        ct = _closure_table(remap)
+        step = F.broadcast(
+            mapping.select(
+                F.col("node").alias("comp"), F.col("comp").alias("_new")
+            )
+        )
+        events = merge_events.select(
+            F.col("old_root").alias("root"), F.col("new_root").alias("comp")
+        )
+        if closure is not None:
+            folded = closure.join(step, "comp", "left").select(
+                "root", F.coalesce("_new", "comp").alias("comp")
+            )
+            events = folded.unionByName(events)
+        ct.overwrite_versioned(events)
+        ct.vacuum(keep_last=2)
 
     new_members = (
         res.join(mapping.withColumnRenamed("node", "res"), "res", "left")
@@ -242,3 +301,6 @@ def compact_components(members: ParquetTable, remap: ParquetTable) -> None:
     members.overwrite_versioned(resolved)
     if remap.exists():
         remap.overwrite_versioned(remap.read().limit(0))
+    ct = _closure_table(remap)
+    if ct.exists():
+        ct.overwrite_versioned(ct.read().limit(0))

@@ -194,3 +194,38 @@ def test_neardup_components_stream_matches_batch_chain(spark, wh):
     want = _comps(connected_components(edges))
     assert _comps(current_components(members, remap)) == want
     assert want and all(c == 0 for n, c in want.items())  # one dup cluster
+
+
+def test_closure_maintained_incrementally_and_heals_after_crash(spark, wh):
+    """The maintained closure table must (a) stay in sync with the remap
+    merge events — one row per retired root, fully resolved, so resolution
+    is one broadcast join with NO per-trigger CC — and (b) self-heal by
+    re-deriving from remap when it is missing or stale (a crash between the
+    remap append and the closure rewrite)."""
+    from schwab_elt_etl_pipeline_spark.streaming.components import _closure_table
+
+    members = ParquetTable(spark, f"{wh}/members")
+    remap = ParquetTable(spark, f"{wh}/remap")
+    # chain-merge so remap rows genuinely need transitive chasing:
+    # {3,4} then {1,2} then 2-3 (retires 3) then 0-1 (retires 1 AND remaps 3)
+    for epoch, edges in enumerate([[(3, 4)], [(1, 2)], [(2, 3)], [(0, 1)]]):
+        update_components_index(
+            spark.createDataFrame(edges, _SCHEMA), members, remap, epoch=epoch
+        )
+    ct = _closure_table(remap)
+    assert ct.exists()
+    closure = {r.root: r.comp for r in ct.read().collect()}
+    assert closure == {4: 0, 3: 0, 2: 0, 1: 0}  # every retired root -> FINAL
+    assert ct.read().count() == remap.read().count()
+    want = _comps(current_components(members, remap))
+    assert set(want.values()) == {0}
+
+    # crash simulation: closure vanishes entirely -> reads heal from remap
+    shutil.rmtree(ct.path, ignore_errors=True)
+    assert _comps(current_components(members, remap)) == want
+    assert {r.root: r.comp for r in _closure_table(remap).read().collect()} == closure
+
+    # stale-closure simulation: drop one row (count mismatch) -> heal
+    ct2 = _closure_table(remap)
+    ct2.overwrite_versioned(ct2.read().filter(F.col("root") != 3))
+    assert _comps(current_components(members, remap)) == want
