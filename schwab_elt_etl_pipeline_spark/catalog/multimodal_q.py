@@ -89,7 +89,76 @@ GROUP BY doc_id
 """
 
 
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash image near-dup pairs: fixed-point integer 2-D DCT of each
+    document's deterministic 8x8 luma thumbnail -> 63-bit perceptual hash,
+    pigeonhole-blocked Hamming candidates (5 blocks => guaranteed recall
+    for Hamming <= 4), exact Hamming <= 4 as the verdict. Oracle =
+    brute-force ALL-PAIRS Hamming over the same integer hashes, so the
+    hash match certifies candidate recall — the image twin of
+    ``minhash_lsh_neardup``/``simhash_neardup`` (all-integer arithmetic:
+    the DCT basis is the same 14-bit literal table in both engines)."""
+    from schwab_elt_etl_pipeline_spark.operators.phash import phash_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return phash_verified_pairs(docs, blocks=5, max_hamming=4)
+
+
+def _phash_oracle_sql() -> str:
+    from schwab_elt_etl_pipeline_spark.operators.phash import CT
+
+    ct_rows = ",".join(
+        f"({u},{x},{CT[u * 8 + x]})" for u in range(8) for x in range(8)
+    )
+    return rf"""
+WITH ct(u, x, c) AS (VALUES {ct_rows}),
+words AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+         CAST((LENGTH(w) * 31 + ascii(w)) % 64 AS BIGINT) AS cell,
+         LEAST(COUNT(*), 255) AS p
+  FROM words GROUP BY doc_id, cell
+),
+s1 AS (  -- separable DCT pass 1: rows (x) under basis u, per output row y
+  SELECT px.doc_id, px.cell // 8 AS y, ct.u, SUM(px.p * ct.c) AS s
+  FROM px JOIN ct ON ct.x = px.cell % 8
+  GROUP BY px.doc_id, y, ct.u
+),
+co AS (  -- pass 2: columns (y) under basis v
+  SELECT s1.doc_id, s1.u, ct.u AS v, CAST(SUM(s1.s * ct.c) AS BIGINT) AS coeff
+  FROM s1 JOIN ct ON ct.x = s1.y
+  GROUP BY s1.doc_id, s1.u, v
+),
+ac AS (SELECT doc_id, u, v, coeff FROM co WHERE NOT (u = 0 AND v = 0)),
+tot AS (SELECT doc_id, CAST(SUM(coeff) AS BIGINT) AS sac FROM ac GROUP BY doc_id),
+h AS (
+  SELECT ac.doc_id,
+         CAST(SUM(CASE WHEN 63 * ac.coeff > tot.sac
+                  THEN 1::BIGINT << (ac.u * 8 + ac.v - 1) ELSE 0 END) AS BIGINT) AS ph
+  FROM ac JOIN tot USING (doc_id) GROUP BY ac.doc_id
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+FROM h a JOIN h b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= 4
+"""
+
+
+IMAGE_PHASH_SQL = _phash_oracle_sql()
+
+
 SPECS = [
+    QuerySpec(
+        "image_phash_neardup",
+        image_phash_neardup,
+        IMAGE_PHASH_SQL,
+        doc="pHash image near-dup: integer-DCT hash, pigeonhole Hamming blocks, all-pairs oracle",
+    ),
     QuerySpec(
         "multimodal_decode",
         multimodal_decode,

@@ -1,0 +1,201 @@
+"""Perceptual-hash (pHash) image near-duplicate detection.
+
+The multimodal twin of SimHash text dedup: a 64-bit signature over an
+image's 8x8 luma thumbnail via the 2-D DCT (the classic pHash recipe:
+DCT the luma grid, keep the low-frequency block, threshold each AC
+coefficient against the block mean), then pigeonhole-blocked Hamming
+candidates exactly like ``operators/dedup.py simhash_block_candidates``
+and an exact-Hamming verify.
+
+Exactness discipline: the DCT runs in FIXED-POINT INTEGER arithmetic —
+the cosine basis is rounded once to 14-bit integers (``CT``, generated
+from ``math.cos`` at import and embedded as literals on BOTH the Spark
+and the oracle side), so every coefficient, the mean threshold, and every
+hash bit are exact int64 expressions with no float divergence anywhere.
+Magnitude bound: |coeff| <= 64 * 255 * 16384^2 ~ 4.4e12, far inside
+int64.
+
+Scale shape: the hash is ONE keyed aggregation (pixels -> per-image map)
+followed by pure higher-order expressions (the ``viterbi_segment``
+discipline — no UDF, no extra shuffle, whole-stage codegen'd); candidate
+generation buckets on (block, key) so all-pairs never materializes, and
+the verify is a bit_count over the joined signatures. Pigeonhole
+guarantee: with B blocks over the 63 AC bits, every pair with Hamming
+distance <= B-1 shares at least one exact block — recall 1.0 inside the
+radius, certified by the brute-force all-pairs oracle on the catalog
+query (``catalog/multimodal_q.py image_phash_neardup``).
+
+Reference behavior mirrored: the reference has no image dedup; this is
+the LLM-training-pipeline extension the build brief asks for, shaped
+like its text near-dup counterparts (reference tools/schwab.py has only
+text-keyed dedup guards).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 14-bit fixed-point DCT-II basis: CT[u*8+x] = round(cos((2x+1)*u*pi/16) * 2^14).
+# Generated once from math.cos and embedded as integer literals in both
+# engines' plans — the same literal-lookup trick as operators/recurrence.py.
+CT = [round(math.cos((2 * x + 1) * u * math.pi / 16) * 16384) for u in range(8) for x in range(8)]
+
+_CT_ARR = "array(" + ",".join(f"{c}L" for c in CT) + ")"
+
+
+def luma_cells(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic 8x8 bag-of-words luma thumbnail: every whitespace word
+    lands in one of 64 cells keyed by (length, first-char) and the cell's
+    pixel is its clamped word count — a content histogram, so word-order
+    edits and small mutations move few pixels (the property pHash needs
+    from a real thumbnail). This is the catalog's stand-in for a decoded
+    image (the real decode path is ``operators/multimodal.py``; the bridge
+    from its luma blocks is :func:`phash_from_luma_array`, pinned by
+    tests/test_phash.py over real stdlib-decoded PNGs).
+
+    Output: (id, cell, px) sparse rows — absent cells are zero pixels,
+    which contribute nothing to the DCT sums and so never materialize.
+    """
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    return (
+        words.select(
+            "id",
+            ((F.length("w") * 31 + F.ascii("w")) % 64).cast("long").alias("cell"),
+        )
+        .groupBy("id", "cell")
+        .agg(F.least(F.count(F.lit(1)), F.lit(255)).cast("long").alias("px"))
+    )
+
+
+# coeff(u,v) = sum_i px[i] * CT[u*8 + i%8] * CT[v*8 + i/8]   (i = y*8 + x);
+# the 63 AC coefficients indexed by uv = u*8+v in 1..63 (DC excluded).
+_COEFFS_EXPR = f"""
+    transform(
+      sequence(1, 63),
+      uv -> aggregate(
+        map_entries(pm),
+        0L,
+        (a, e) -> a + e.value
+             * element_at({_CT_ARR}, cast((uv div 8) * 8 + e.key % 8 + 1 as int))
+             * element_at({_CT_ARR}, cast((uv % 8) * 8 + e.key div 8 + 1 as int))
+      )
+    )"""
+
+# bit uv-1 set iff 63*coeff(uv) > sum(AC) — the integer-exact mean
+# threshold (no division anywhere).
+_BITS_EXPR = """
+    aggregate(
+      sequence(1, 63),
+      0L,
+      (acc, uv) -> acc + CASE
+        WHEN 63 * element_at(ac, uv) > sac
+        THEN shiftleft(1L, cast(uv - 1 as int)) ELSE 0L END
+    )"""
+
+
+def phash64(cells: DataFrame) -> DataFrame:
+    """(id, phash): the 63-AC-bit perceptual hash of each image's sparse
+    (id, cell, px) luma rows. One groupBy(id) builds the pixel map; the
+    DCT, the mean threshold, and the bit pack are staged projections over
+    that single aggregation — no further shuffle."""
+    return (
+        cells.groupBy("id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("cell").alias("key"), F.col("px").alias("value")))
+            ).alias("pm")
+        )
+        .withColumn("ac", F.expr(_COEFFS_EXPR))
+        .withColumn("sac", F.aggregate("ac", F.lit(0).cast("long"), lambda a, c: a + c))
+        .select("id", F.expr(_BITS_EXPR).alias("phash"))
+    )
+
+
+def phash_blocked(hashes: DataFrame, blocks: int = 5) -> DataFrame:
+    """(id, phash, block, key): the 63 hash bits cut into ``blocks``
+    contiguous chunks — the bucketable pigeonhole form, one row per chunk
+    (``simhash_blocked``'s layout, sig precomputed)."""
+    base, rem = divmod(63, blocks)
+    chunks, start = [], 0
+    for bk in range(blocks):
+        w = base + (1 if bk < rem else 0)
+        chunks.append(
+            F.struct(
+                F.lit(bk).alias("block"),
+                F.shiftrightunsigned("phash", start)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("key"),
+            )
+        )
+        start += w
+    return hashes.select(
+        "id", "phash", F.explode(F.array(*chunks)).alias("bb")
+    ).select("id", "phash", "bb.block", "bb.key")
+
+
+def phash_verified_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocks: int = 5,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """pHash-then-verify image near-dup pairs: pigeonhole-blocked candidates
+    (guaranteed recall for Hamming <= blocks-1), exact Hamming <= the radius
+    as the verdict. Output (a_id, b_id, hamming) — certified against the
+    brute-force all-pairs oracle like ``minhash_verified_pairs``.
+
+    More blocks widen the guaranteed radius but loosen the buckets
+    (63/blocks bits of selectivity each) — the HmSearch trade-off; at
+    corpus scale the bucket join is the only shuffle past the hash build.
+    """
+    if max_hamming is None:
+        max_hamming = blocks - 1
+    if max_hamming > blocks - 1:
+        raise ValueError(
+            f"pigeonhole recall only guaranteed to hamming {blocks - 1}; "
+            f"got max_hamming={max_hamming}"
+        )
+    banded = phash_blocked(phash64(luma_cells(docs, id_col, text_col)), blocks)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def phash_from_luma_array(
+    imgs: DataFrame, id_col: str = "media_id", luma_col: str = "luma"
+) -> DataFrame:
+    """Bridge from a REAL decode: (id, luma array<long> of 64 row-major
+    pixels) -> (id, phash). The multimodal decoders
+    (``operators/multimodal.py``) produce luma grids from PNG/JPEG bytes;
+    downsample to 8x8, pack row-major, and hash here — same expression,
+    same exactness (pinned over stdlib-decoded PNGs in tests/test_phash.py).
+    """
+    cells = imgs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(luma_col)).alias("cell", "px"),
+    ).filter(F.col("px") != 0)
+    return phash64(cells.select("id", F.col("cell").cast("long"), F.col("px").cast("long")))
