@@ -571,6 +571,60 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing: documents stay WHOLE — per
+    source shard, docs sorted by token length descending go into the first
+    {_SEQ_LEN}-token bin with room, versus concat-and-chunk's zero-waste
+    splitting. Measured on this corpus at sf0.01: FFD packs the 500 docs
+    into 120 bins against concat-and-chunk's 118 sequences (+1.7% sequences)
+    while cutting boundary crossings from 95 to ZERO by construction — the
+    attention-masking trade training pipelines make. The greedy loop is one
+    higher-order aggregate per shard (``operators/packing.py``); oracle =
+    per-shard recursive-CTE greedy, the ``bpe_train_merges`` discipline."""
+    from schwab_elt_etl_pipeline_spark.operators.packing import ffd_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    lens = docs.select(
+        "doc_id",
+        "source",
+        F.least(n_tok.cast("long"), F.lit(_SEQ_LEN).cast("long")).alias("len"),
+    )
+    return ffd_pack(lens, capacity=_SEQ_LEN)
+
+
+_FFD_POS = "NULLIF(list_position(list_transform(s.rem, r -> r >= d.len), true), 0)"
+
+SEQUENCE_PACKING_FFD_SQL = rf"""
+WITH RECURSIVE t AS MATERIALIZED (
+  SELECT doc_id, source,
+         LEAST(CAST(LEN({_TOKS}) AS BIGINT), {_SEQ_LEN}) AS len
+  FROM documents
+), d AS MATERIALIZED (
+  SELECT doc_id, source, len,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY len DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM t
+), s AS (
+  SELECT source, 0::BIGINT AS rk, CAST(NULL AS BIGINT) AS doc_id,
+         CAST(NULL AS BIGINT) AS len, CAST(NULL AS INT) AS bin,
+         CAST([] AS BIGINT[]) AS rem, MAX(n) AS n
+  FROM d GROUP BY source
+  UNION ALL
+  SELECT s.source, s.rk + 1, d.doc_id, d.len,
+         CAST(COALESCE({_FFD_POS}, LEN(s.rem) + 1) AS INT) AS bin,
+         CASE WHEN {_FFD_POS} IS NULL THEN list_append(s.rem, {_SEQ_LEN} - d.len)
+              ELSE s.rem[1:{_FFD_POS}-1] || [s.rem[{_FFD_POS}] - d.len]
+                   || s.rem[{_FFD_POS}+1:LEN(s.rem)]
+         END AS rem,
+         s.n
+  FROM s JOIN d ON d.source = s.source AND d.rk = s.rk + 1
+  WHERE s.rk < s.n
+)
+SELECT doc_id, source, len, bin FROM s WHERE rk > 0
+"""
+
+
 SEQUENCE_PACKING_SQL = rf"""
 WITH t AS (
   SELECT doc_id, source, CAST(LEN({_TOKS}) AS BIGINT) AS n_tok FROM documents
@@ -953,6 +1007,8 @@ SPECS = [
               doc="sub-document passage-level exact dedup with text rebuild"),
     QuerySpec("sequence_packing", sequence_packing, SEQUENCE_PACKING_SQL,
               doc="concatenate-and-chunk training-sequence assignment per shard"),
+    QuerySpec("sequence_packing_ffd", sequence_packing_ffd, SEQUENCE_PACKING_FFD_SQL,
+              doc="first-fit-decreasing bin packing (docs kept whole), recursive-CTE greedy oracle"),
     QuerySpec("doc_chunking", doc_chunking, DOC_CHUNK_SQL,
               doc="overlapping token-window chunking (size 32 / stride 24)"),
     QuerySpec("t_hopping_windows", t_hopping_windows, HOPPING_SQL, headline=True,
