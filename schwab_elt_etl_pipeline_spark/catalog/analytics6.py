@@ -1135,7 +1135,189 @@ FROM scored, cuts
 """
 
 
+def doremi_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style iterative domain-mixture reweighting (Xie et al. 2023):
+    per source domain, an excess-loss signal against a fixed reference
+    model drives a multiplicative weight update over 2 unrolled rounds,
+    then the token budget re-mixes by the final weights — extending
+    ``dsir_importance_select`` from per-document selection to per-domain
+    proportions.
+
+    Deterministic surrogate (all integer, the DSIR discipline): reference
+    model = the ``lang = 'en'`` target slice's bigram counts; the round-k
+    proxy model = the mixture of PER-SOURCE bigram models weighted by the
+    current w_k. Excess for domain s is the cross-multiplied comparison
+    e_k(s) = SR(s)*PT_k - SP_k(s)*RT (positive when s is more
+    reference-like than the current mixture), and the update is the
+    rational multiplicative rule
+    w_{k+1} = (w_k * (500000 + ((e_k + mx_k)*500000) div mx_k)) div 1e6
+    with mx_k = max |e_k| — factors span [0.5x, 1.5x], everything stays a
+    nonnegative integer (div == floor on both engines), products run in
+    DECIMAL(38,0)/HUGEINT like DSIR.
+
+    Scale shape: the corpus is touched ONCE — per-source bigram models,
+    the reference mass SR(s), and the sources x sources mass matrix
+    MM(s, s') = sum over s's bigram occurrences of model-s' counts — after
+    which every round is a sources-sized matrix-vector product with 1-row
+    broadcast totals. The MM build is the one fan-out join (occurrences x
+    models-containing-that-bigram); rounds never rescan the corpus.
+    Oracle: the same algebra as chained CTEs (the ``kmeans_lloyd_train``
+    pattern). Output: (source, weight, tokens) for a 1e9-token budget.
+    """
+    from schwab_elt_etl_pipeline_spark.operators.langmodel import doc_bigrams
+
+    dec = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = docs.select("source").distinct().localCheckpoint(eager=True)
+    big = doc_bigrams(docs).join(
+        docs.select("doc_id", "source", "lang"), "doc_id"
+    )
+    csrc = big.groupBy("prev", "cur", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ct = csrc.groupBy(F.col("source").alias("s2")).agg(
+        F.sum("c").cast(dec).alias("ct")
+    )
+    rmodel = (
+        big.filter(F.col("lang") == "en")
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    rt = rmodel.agg(F.sum("rc").cast(dec).alias("rt"))
+    sr = (
+        big.join(rmodel, ["prev", "cur"])
+        .groupBy("source")
+        .agg(F.sum("rc").cast(dec).alias("sr"))
+    )
+    mm = (
+        big.join(
+            csrc.select("prev", "cur", F.col("source").alias("s2"), "c"),
+            ["prev", "cur"],
+        )
+        .groupBy("source", "s2")
+        .agg(F.sum("c").cast(dec).alias("mm"))
+        .localCheckpoint(eager=True)  # sources x sources; rounds reuse it
+    )
+    base = (
+        srcs.join(sr, "source", "left")
+        .select("source", F.coalesce("sr", F.lit(0).cast(dec)).alias("sr"))
+        .localCheckpoint(eager=True)
+    )
+
+    w = srcs.select("source", F.lit(1000000).cast("long").alias("w"))
+    for _ in range(2):
+        pt = (
+            w.join(ct, w["source"] == ct["s2"])
+            .agg(F.sum(F.col("w").cast(dec) * F.col("ct")).cast(dec).alias("pt"))
+        )
+        sp = (
+            mm.join(w.select(F.col("source").alias("s2"), "w"), "s2")
+            .groupBy("source")
+            .agg(F.sum(F.col("w").cast(dec) * F.col("mm")).cast(dec).alias("sp"))
+        )
+        e = (
+            base.join(sp, "source", "left")
+            .crossJoin(F.broadcast(pt))  # 1-row mixture total
+            .crossJoin(F.broadcast(rt))  # 1-row reference total
+            .select(
+                "source",
+                (
+                    F.col("sr") * F.col("pt")
+                    - F.coalesce("sp", F.lit(0).cast(dec)) * F.col("rt")
+                ).alias("e"),
+            )
+        )
+        mx = e.agg(
+            F.greatest(
+                F.max("e"), -F.min("e"), F.lit(1).cast(dec)
+            ).alias("mx")
+        )
+        w = (
+            e.join(w, "source")
+            .crossJoin(F.broadcast(mx))  # 1-row max-|excess| scalar
+            .select(
+                "source",
+                F.expr(
+                    "cast((cast(w as decimal(38,0)) *"
+                    " (500000 + (((e + mx) * 500000) div mx)))"
+                    " div 1000000 as long)"
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)  # sources-sized round state
+        )
+    sw = w.agg(F.sum("w").cast(dec).alias("sw"))
+    return (
+        w.crossJoin(F.broadcast(sw))  # 1-row weight total
+        .select(
+            "source",
+            F.col("w").alias("weight"),
+            F.expr(
+                "cast((1000000000 * cast(w as decimal(38,0))) div sw as long)"
+            ).alias("tokens"),
+        )
+    )
+
+
+def _doremi_round_sql(k: int) -> str:
+    """One DoReMi round as chained CTE text: w{k-1} -> pt{k}/sp{k}/e{k}/mx{k}/w{k}."""
+    p, n = k - 1, k
+    return f"""
+pt{n} AS (SELECT CAST(SUM(w{p}.w * ct.ct) AS HUGEINT) AS pt
+          FROM w{p} JOIN ct ON w{p}.source = ct.s2),
+sp{n} AS (SELECT mm.src AS source, CAST(SUM(w{p}.w * mm.mm) AS HUGEINT) AS sp
+          FROM mm JOIN w{p} ON mm.s2 = w{p}.source GROUP BY mm.src),
+e{n} AS (SELECT s.source,
+                COALESCE(sr.sr, 0) * pt{n}.pt - COALESCE(sp{n}.sp, 0) * rt.rt AS e
+         FROM srcs s LEFT JOIN sr USING (source) LEFT JOIN sp{n} USING (source),
+              pt{n}, rt),
+mx{n} AS (SELECT GREATEST(MAX(e), -MIN(e), 1::HUGEINT) AS mx FROM e{n}),
+w{n} AS (SELECT e{n}.source,
+               (w{p}.w * (500000 + (((e{n}.e + mx{n}.mx) * 500000) // mx{n}.mx)))
+                 // 1000000 AS w
+        FROM e{n} JOIN w{p} USING (source), mx{n})"""
+
+
+DOREMI_SQL = rf"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, source, lang,
+         string_split_regex(TRIM(LOWER(text)), '\s+') AS t
+  FROM documents
+), big AS MATERIALIZED (
+  SELECT doc_id, source, lang,
+         UNNEST(t[1:len(t)-1]) AS prev, UNNEST(t[2:len(t)]) AS cur
+  FROM d WHERE len(t) >= 2
+), srcs AS (SELECT DISTINCT source FROM documents),
+csrc AS MATERIALIZED (
+  SELECT prev, cur, source, COUNT(*) AS c FROM big GROUP BY prev, cur, source
+),
+ct AS (SELECT source AS s2, CAST(SUM(c) AS HUGEINT) AS ct FROM csrc GROUP BY source),
+rmodel AS MATERIALIZED (
+  SELECT prev, cur, COUNT(*) AS rc FROM big WHERE lang = 'en' GROUP BY prev, cur
+),
+rt AS (SELECT CAST(SUM(rc) AS HUGEINT) AS rt FROM rmodel),
+sr AS (SELECT b.source, CAST(SUM(r.rc) AS HUGEINT) AS sr
+       FROM big b JOIN rmodel r USING (prev, cur) GROUP BY b.source),
+mm AS MATERIALIZED (
+  SELECT b.source AS src, c.source AS s2, CAST(SUM(c.c) AS HUGEINT) AS mm
+  FROM big b JOIN csrc c ON b.prev = c.prev AND b.cur = c.cur
+  GROUP BY b.source, c.source
+),
+w0 AS (SELECT source, 1000000::HUGEINT AS w FROM srcs),
+{_doremi_round_sql(1)},
+{_doremi_round_sql(2)},
+sw AS (SELECT CAST(SUM(w) AS HUGEINT) AS sw FROM w2)
+SELECT source, CAST(w AS BIGINT) AS weight,
+       CAST((1000000000::HUGEINT * w) // sw AS BIGINT) AS tokens
+FROM w2, sw
+"""
+
+
 SPECS = [
+    QuerySpec("doremi_mixture_reweight", doremi_mixture_reweight, DOREMI_SQL,
+              headline=True,
+              doc="DoReMi-style iterative domain reweighting: integer excess "
+                  "loss vs en-target model, 2 multiplicative rounds, "
+                  "token-budget re-mix"),
     QuerySpec("quality_quantile_gate", quality_quantile_gate, QUALITY_QUANTILE_SQL,
               doc="drop bottom-20%-by-quality via broadcast exact-percentile threshold"),
     QuerySpec("bm25_retrieval", bm25_retrieval, BM25_SQL, headline=True,

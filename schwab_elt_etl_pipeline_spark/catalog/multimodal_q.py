@@ -157,6 +157,7 @@ SPECS = [
         "image_phash_neardup",
         image_phash_neardup,
         IMAGE_PHASH_SQL,
+        headline=True,
         doc="pHash image near-dup: integer-DCT hash, pigeonhole Hamming blocks, all-pairs oracle",
     ),
     QuerySpec(

@@ -101,6 +101,7 @@ _SANCTIONED_BNLJ = {
     "unigram_lm_tokenize",   # 1-row M-step total scalar (training stage)
     "perplexity_bucket_split",  # 1-row corpus-totals + cut scalars
     "dsir_importance_select",  # 1-row model-totals + shift scalars
+    "doremi_mixture_reweight",  # 1-row mixture/reference/max-excess scalars per round
     "training_prep_e2e",     # 1-row percentile-threshold scalar
     "ann_projected_rerank",  # coarse sketch pass over broadcast query set
     "a_equidepth_hist",      # 1-row decile-boundary scalar

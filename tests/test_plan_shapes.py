@@ -141,6 +141,7 @@ _BNLJ_OK = {
     "unigram_lm_tokenize",   # 1-row M-step total scalar (training stage)
     "perplexity_bucket_split",  # 1-row corpus-totals + cut scalars
     "dsir_importance_select",  # 1-row model-totals + shift scalars
+    "doremi_mixture_reweight",  # 1-row mixture/reference/max-excess scalars per round
     "a_equidepth_hist",      # 1-row decile-boundary scalar
     "j_bloom_semi_join",     # 1-row 2KiB bloom-bitmap scalar
     "training_prep_e2e",     # 1-row percentile-threshold scalar

@@ -35,6 +35,9 @@ _NAMES = [
     "first_seen_novelty",
     "kmeans_lloyd_train",
     "bigram_lm_perplexity_gate",
+    "image_phash_neardup",
+    "sequence_packing_ffd",
+    "doremi_mixture_reweight",
 ]
 
 _HEADER = """# PLANS — executed physical plans of the heaviest headline queries

@@ -82,6 +82,18 @@ QUERIES = [
     # scales with token count
     "bigram_lm_perplexity_gate",
     "unigram_lm_em_round",
+    # round-9 wave: pHash hashes one 64-cell expression per doc then a
+    # pigeonhole bucket join (copy-tag replicas grow buckets linearly);
+    # DoReMi touches the corpus once to build sources×sources integer
+    # matrices — rounds are broadcast-sized algebra, so 10× data stresses
+    # only the one fan-out MM join. sequence_packing_ffd is deliberately
+    # NOT stressed here: the replica harness grows each source shard 10×
+    # LONGER (sources are not key-shifted), and FFD is by definition
+    # sequential-and-quadratic WITHIN a shard — its scale contract is
+    # bounded shard size with more shards (operators/packing.py), which
+    # this perturbation cannot represent.
+    "image_phash_neardup",
+    "doremi_mixture_reweight",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
