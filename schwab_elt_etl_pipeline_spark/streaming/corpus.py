@@ -301,6 +301,65 @@ def update_simhash_index(
     return self_cands.dropDuplicates(["batch_id", "index_id"])
 
 
+def update_phash_index(
+    batch: DataFrame,
+    index: ParquetTable,
+    blocks: int = 5,
+) -> DataFrame:
+    """Incrementally maintain a pigeonhole-blocked perceptual-hash (pHash)
+    image index and return the batch's near-dup candidates against the
+    entire corpus seen so far — the MULTIMODAL member of the incremental
+    index family (the image twin of :func:`update_simhash_index`).
+
+    Bit-for-bit the batch operator's blocking (``operators/phash.py
+    phash_blocked``: the 63-AC-bit integer-DCT hash cut into ``blocks``
+    chunks, guaranteed recall for Hamming <= blocks-1), so incremental
+    candidates == ``phash_verified_pairs`` candidates over the union corpus
+    (pinned in tests/test_streaming_corpus.py). Protocol identical to the
+    text twins: hash only the batch, probe the pre-bucketed index on the
+    (block, key) equi-key, self-join the batch, append idempotently on
+    (id, block). Output: ``(batch_id, index_id, hamming)``.
+    """
+    from schwab_elt_etl_pipeline_spark.operators.phash import (
+        luma_cells,
+        phash64,
+        phash_blocked,
+    )
+
+    signed = phash_blocked(
+        phash64(luma_cells(batch)), blocks=blocks
+    ).localCheckpoint(eager=True)
+
+    def _pairs(left, right, residual):
+        return (
+            left.alias("a")
+            .join(
+                right.alias("b"),
+                (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.key") == F.col("b.key"))
+                & residual,
+            )
+            .select(
+                F.col("a.id").alias("batch_id"),
+                F.col("b.id").alias("index_id"),
+                F.bit_count(
+                    F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+                ).alias("hamming"),
+            )
+        )
+
+    self_cands = _pairs(signed, signed, F.col("a.id") < F.col("b.id"))
+    if index.exists():
+        probed = _pairs(signed, index.read(), F.col("a.id") != F.col("b.id"))
+        cands = probed.unionByName(self_cands).dropDuplicates(
+            ["batch_id", "index_id"]
+        )
+        index.insert_new(signed, keys=["id", "block"])
+        return cands
+    index.overwrite_versioned(signed)
+    return self_cands.dropDuplicates(["batch_id", "index_id"])
+
+
 def update_ann_index(
     batch: DataFrame,
     index: ParquetTable,

@@ -636,3 +636,61 @@ def test_gram_novelty_symmetric_and_prefix_forms_agree_on_uniques(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["novelty"] for r in first_seen_novelty(docs, n=3).collect()}
     assert out == {0: 1.0, 1: 1.0, 2: 1.0}
+
+
+def test_incremental_phash_index_matches_batch_operator(spark, dirs):
+    """Stream-incremental pHash image candidates over two batches must
+    equal the batch operator's candidate set over the union corpus (same
+    integer-DCT hash, same pigeonhole blocking), and the index append must
+    be replay-idempotent — multimodal dedup as an incremental index."""
+    from schwab_elt_etl_pipeline_spark.operators.phash import (
+        luma_cells,
+        phash64,
+        phash_blocked,
+    )
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_phash_index
+
+    _, idx_dir, _ = dirs
+    index = ParquetTable(spark, idx_dir)
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows1 = [
+        (1, base),
+        (2, base.replace("zeta", "zetaX", 1)),   # near-dup of 1, same batch
+        (3, "one two three four five six seven eight nine ten " * 5),
+    ]
+    rows2 = [
+        (11, base.replace("eta", "etaY", 1)),    # near-dup arriving later
+        (12, "completely novel words about spark shuffles and joins here"),
+    ]
+    schema = "doc_id long, text string"
+    out1 = update_phash_index(spark.createDataFrame(rows1, schema), index)
+    out2 = update_phash_index(spark.createDataFrame(rows2, schema), index)
+    streamed = {
+        tuple(sorted((r["batch_id"], r["index_id"])))
+        for out in (out1, out2)
+        for r in out.collect()
+    }
+
+    banded = phash_blocked(
+        phash64(luma_cells(spark.createDataFrame(rows1 + rows2, schema)))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    expected = {
+        tuple(sorted((r["a_id"], r["b_id"])))
+        for r in a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+        .collect()
+    }
+    assert streamed == expected
+    assert (1, 2) in streamed  # sanity: the near-dups actually collide
+
+    # replaying batch 2 must not grow the index (insert_new on (id, block))
+    n = index.read().count()
+    update_phash_index(spark.createDataFrame(rows2, schema), index)
+    assert index.read().count() == n
