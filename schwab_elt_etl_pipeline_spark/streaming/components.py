@@ -59,6 +59,13 @@ def _closure_table(remap: ParquetTable) -> ParquetTable:
     return ParquetTable(remap.spark, remap.path + "__closure")
 
 
+#: remap paths whose closure THIS process has verified or written — lets the
+#: steady-state trigger path skip the two freshness count() actions. Process
+#: lifetime only: a restart (the only way a crash-stale closure can exist
+#: under the single-writer insert_new contract) starts cold and re-verifies.
+_CLOSURE_FRESH: set[str] = set()
+
+
 def _remap_closure(remap: ParquetTable) -> DataFrame | None:
     """(root, comp): every retired root's FINAL label, fully resolved.
 
@@ -74,14 +81,17 @@ def _remap_closure(remap: ParquetTable) -> DataFrame | None:
     exactly the chain's final root."""
     if not remap.exists():
         return None
+    ct = _closure_table(remap)
+    if remap.path in _CLOSURE_FRESH and ct.exists():
+        return ct.read()  # verified or written by this process already
     edges = remap.read()
     n_events = edges.count()
     if n_events == 0:
         return None
-    ct = _closure_table(remap)
     if ct.exists():
         closure = ct.read()
         if closure.count() == n_events:
+            _CLOSURE_FRESH.add(remap.path)
             return closure
     healed = (
         connected_components(edges, "old_root", "new_root")
@@ -94,6 +104,7 @@ def _remap_closure(remap: ParquetTable) -> DataFrame | None:
     )
     ct.overwrite_versioned(healed)
     ct.vacuum(keep_last=2)  # 2: a lazy plan may still pin the prior version
+    _CLOSURE_FRESH.add(remap.path)
     return ct.read()
 
 
@@ -191,6 +202,7 @@ def update_components_index(
             events = folded.unionByName(events)
         ct.overwrite_versioned(events)
         ct.vacuum(keep_last=2)
+        _CLOSURE_FRESH.add(remap.path)
 
     new_members = (
         res.join(mapping.withColumnRenamed("node", "res"), "res", "left")
@@ -304,3 +316,5 @@ def compact_components(members: ParquetTable, remap: ParquetTable) -> None:
     ct = _closure_table(remap)
     if ct.exists():
         ct.overwrite_versioned(ct.read().limit(0))
+    # next read must take the n_events == 0 path, not trust the empty table
+    _CLOSURE_FRESH.discard(remap.path)

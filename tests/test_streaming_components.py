@@ -220,12 +220,18 @@ def test_closure_maintained_incrementally_and_heals_after_crash(spark, wh):
     want = _comps(current_components(members, remap))
     assert set(want.values()) == {0}
 
-    # crash simulation: closure vanishes entirely -> reads heal from remap
+    # crash simulation: the process dies (freshness cache gone) and the
+    # closure vanished -> reads heal from remap
+    from schwab_elt_etl_pipeline_spark.streaming.components import _CLOSURE_FRESH
+
+    _CLOSURE_FRESH.discard(remap.path)
     shutil.rmtree(ct.path, ignore_errors=True)
     assert _comps(current_components(members, remap)) == want
     assert {r.root: r.comp for r in _closure_table(remap).read().collect()} == closure
 
-    # stale-closure simulation: drop one row (count mismatch) -> heal
+    # stale-closure simulation: crash after the remap append but before the
+    # closure rewrite (row missing, count mismatch), fresh process -> heal
     ct2 = _closure_table(remap)
     ct2.overwrite_versioned(ct2.read().filter(F.col("root") != 3))
+    _CLOSURE_FRESH.discard(remap.path)
     assert _comps(current_components(members, remap)) == want

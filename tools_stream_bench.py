@@ -385,6 +385,27 @@ def main() -> None:
     wall = _drain(q)
     record("lm_model_counts", n_docs, wall, lm_bg.read().count())
 
+    # 12. incremental pHash image index (per-batch fixed-point DCT hashes,
+    # pigeonhole (block, key) probe, insert_new on (id, block))
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_phash_index
+
+    ph_idx = ParquetTable(spark, f"{root}/phash_index", cluster_by=("key",))
+    ph_pairs = ParquetTable(spark, f"{root}/phash_pairs")
+
+    def _phash_sink(batch: DataFrame, epoch: int) -> None:
+        out = update_phash_index(batch, ph_idx).filter(F.col("hamming") <= 4)
+        ph_pairs.insert_new(out, keys=["batch_id", "index_id"])
+
+    q = (
+        read_document_stream(spark, docs_dir, max_files_per_trigger=per_trigger)
+        .writeStream.foreachBatch(_phash_sink)
+        .option("checkpointLocation", f"{root}/phash_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wall = _drain(q)
+    record("phash_image_index", n_docs, wall, ph_pairs.read().count())
+
     payload = {
         "metric": "streaming throughput (rows/sec, end-to-end incl. checkpoints)",
         "ticks": n_ticks,
