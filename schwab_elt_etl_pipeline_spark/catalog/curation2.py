@@ -1021,18 +1021,12 @@ SPECS = [
 # ---------------------------------------------------------------------------
 
 
-def training_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE training-data preparation pass as ONE oracle-checked
-    query: exact dedup (fingerprint first-winner) → passage-level dedup with
-    text rebuild → quantile quality gate scored on the REBUILT text (drop
-    the bottom 20%) → concatenate-and-chunk sequence packing of the
-    survivors. Output: one row per packed document with its token offsets
-    and quality score — the manifest a training job reads.
-
-    Plan shape at scale: one fingerprint window, the passage pair of
-    shuffles, a map-only feature projection, a 1-row broadcast threshold,
-    and one per-source cumsum window — no global ordering, no unbounded
-    join, every stage individually plan-pinned by its standalone query."""
+def _training_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tok, logit): the curation front of the training-
+    prep pass — exact dedup (fingerprint first-winner) -> passage-level
+    dedup with text rebuild -> quantile quality gate on the REBUILT text
+    (drop the bottom 20%). ONE definition shared by both packing variants
+    (`training_prep_e2e` chunk, `training_prep_ffd_e2e` bin-pack)."""
     from schwab_elt_etl_pipeline_spark.catalog.analytics6 import (
         quality_features,
         quality_logit,
@@ -1058,7 +1052,24 @@ def training_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_logit().alias("logit"),
     )
     thr = scored.agg(F.expr("percentile(logit, 0.2)").alias("thr"))
-    surv2 = scored.crossJoin(F.broadcast(thr)).filter(F.col("logit") >= F.col("thr"))
+    return scored.crossJoin(F.broadcast(thr)).filter(
+        F.col("logit") >= F.col("thr")
+    )
+
+
+def training_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data preparation pass as ONE oracle-checked
+    query: exact dedup (fingerprint first-winner) → passage-level dedup with
+    text rebuild → quantile quality gate scored on the REBUILT text (drop
+    the bottom 20%) → concatenate-and-chunk sequence packing of the
+    survivors. Output: one row per packed document with its token offsets
+    and quality score — the manifest a training job reads.
+
+    Plan shape at scale: one fingerprint window, the passage pair of
+    shuffles, a map-only feature projection, a 1-row broadcast threshold,
+    and one per-source cumsum window — no global ordering, no unbounded
+    join, every stage individually plan-pinned by its standalone query."""
+    surv2 = _training_survivors(spark, sf_dir)
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -1080,7 +1091,9 @@ def training_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _training_prep_sql() -> str:
+def _training_prep_prefix() -> str:
+    """The shared curation-front CTE chain (fp ... surv2) of both
+    training-prep oracles — compose after a WITH / WITH RECURSIVE."""
     from schwab_elt_etl_pipeline_spark.catalog.analytics6 import (
         _W0,
         _W_STOP,
@@ -1100,8 +1113,7 @@ def _training_prep_sql() -> str:
         f" + {_W_UNIQ} * (CAST(LEN(list_distinct({nt})) AS DOUBLE)"
         f"   / CAST(LEN({nt}) AS DOUBLE))"
     )
-    return rf"""
-WITH fp AS (
+    return rf"""fp AS (
   SELECT doc_id, source, text,
          MIN(doc_id) OVER (
            PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
@@ -1135,7 +1147,11 @@ WITH fp AS (
   SELECT quantile_cont(logit, 0.2) AS thr FROM scored
 ), surv2 AS (
   SELECT doc_id, source, n_tok, logit FROM scored, thr WHERE logit >= thr
-), o AS (
+)"""
+
+
+TRAINING_PREP_SQL = rf"""
+WITH {_training_prep_prefix()}, o AS (
   SELECT doc_id, source, n_tok, logit,
          CAST(COALESCE(SUM(n_tok) OVER (
            PARTITION BY source ORDER BY doc_id
@@ -1151,7 +1167,59 @@ FROM o
 """
 
 
-TRAINING_PREP_SQL = _training_prep_sql()
+def training_prep_ffd_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-prep pass ending in FIRST-FIT-DECREASING packing: the
+    shared curation front (exact dedup -> passage dedup -> quality gate,
+    `_training_survivors`) feeds `ffd_pack` instead of concat-and-chunk —
+    the manifest variant where no surviving document straddles a sequence
+    boundary. Packing depends only on the survivors' integer token counts
+    (clamped to {_SEQ_LEN}), so the composite inherits the front's
+    float-determinism certification unchanged. Output: one row per packed
+    document with its bin and quality score."""
+    from schwab_elt_etl_pipeline_spark.operators.packing import ffd_pack
+
+    surv2 = _training_survivors(spark, sf_dir)
+    lens = surv2.select(
+        "doc_id",
+        "source",
+        F.least(F.col("n_tok"), F.lit(_SEQ_LEN).cast("long")).alias("len"),
+    )
+    packed = ffd_pack(lens, capacity=_SEQ_LEN)
+    return packed.join(
+        surv2.select("doc_id", "n_tok", F.round("logit", 6).alias("logit")),
+        "doc_id",
+    ).select("doc_id", "source", "n_tok", "len", "bin", "logit")
+
+
+TRAINING_PREP_FFD_SQL = rf"""
+WITH RECURSIVE {_training_prep_prefix()}, t AS MATERIALIZED (
+  SELECT doc_id, source, LEAST(n_tok, {_SEQ_LEN}) AS len, n_tok,
+         ROUND(logit, 6) AS logit
+  FROM surv2
+), d AS MATERIALIZED (
+  SELECT doc_id, source, len,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY len DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM t
+), s AS (
+  SELECT source, 0::BIGINT AS rk, CAST(NULL AS BIGINT) AS doc_id,
+         CAST(NULL AS BIGINT) AS len, CAST(NULL AS INT) AS bin,
+         CAST([] AS BIGINT[]) AS rem, MAX(n) AS n
+  FROM d GROUP BY source
+  UNION ALL
+  SELECT s.source, s.rk + 1, d.doc_id, d.len,
+         CAST(COALESCE({_FFD_POS}, LEN(s.rem) + 1) AS INT) AS bin,
+         CASE WHEN {_FFD_POS} IS NULL THEN list_append(s.rem, {_SEQ_LEN} - d.len)
+              ELSE s.rem[1:{_FFD_POS}-1] || [s.rem[{_FFD_POS}] - d.len]
+                   || s.rem[{_FFD_POS}+1:LEN(s.rem)]
+         END AS rem,
+         s.n
+  FROM s JOIN d ON d.source = s.source AND d.rk = s.rk + 1
+  WHERE s.rk < s.n
+)
+SELECT s.doc_id, s.source, t.n_tok, s.len, s.bin, t.logit
+FROM s JOIN t ON t.doc_id = s.doc_id WHERE s.rk > 0
+"""
 
 
 # registered here (not in the mid-file SPECS literal) because the e2e builder
@@ -1160,4 +1228,11 @@ SPECS.append(
     QuerySpec("training_prep_e2e", training_prep_e2e, TRAINING_PREP_SQL,
               headline=True,
               doc="e2e training prep: exact dedup -> passage dedup -> quality gate -> packing")
+)
+SPECS.append(
+    QuerySpec("training_prep_ffd_e2e", training_prep_ffd_e2e,
+              TRAINING_PREP_FFD_SQL,
+              doc="e2e training prep ending in first-fit-decreasing packing "
+                  "(docs kept whole); shared curation front, recursive-CTE "
+                  "greedy oracle")
 )

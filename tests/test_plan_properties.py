@@ -103,6 +103,7 @@ _SANCTIONED_BNLJ = {
     "dsir_importance_select",  # 1-row model-totals + shift scalars
     "doremi_mixture_reweight",  # 1-row mixture/reference/max-excess scalars per round
     "training_prep_e2e",     # 1-row percentile-threshold scalar
+    "training_prep_ffd_e2e",  # same 1-row threshold scalar (shared front)
     "ann_projected_rerank",  # coarse sketch pass over broadcast query set
     "a_equidepth_hist",      # 1-row decile-boundary scalar
     "j_bloom_semi_join",     # 1-row 2KiB bloom-bitmap scalar

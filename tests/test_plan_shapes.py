@@ -145,6 +145,7 @@ _BNLJ_OK = {
     "a_equidepth_hist",      # 1-row decile-boundary scalar
     "j_bloom_semi_join",     # 1-row 2KiB bloom-bitmap scalar
     "training_prep_e2e",     # 1-row percentile-threshold scalar
+    "training_prep_ffd_e2e",  # same 1-row threshold scalar (shared front)
 }
 
 
