@@ -152,6 +152,68 @@ WHERE bit_count(xor(a.ph, b.ph)) <= 4
 IMAGE_PHASH_SQL = _phash_oracle_sql()
 
 
+def audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haitsma-Kalker audio-fingerprint near-dup pairs: 10-frame x 8-band
+    integer energy grid per track -> 63 double-difference sign bits ->
+    pigeonhole-blocked Hamming candidates (8 blocks => guaranteed recall
+    for Hamming <= 7), exact Hamming <= 7 as the verdict. Oracle =
+    brute-force ALL-PAIRS Hamming over the same integer fingerprints, so
+    the hash match certifies candidate recall — the audio twin of
+    ``image_phash_neardup`` (grid/sign/pack algebra replayed exactly in
+    DuckDB; real PCM enters via ``operators/audiofp.py afp_from_pcm``)."""
+    from schwab_elt_etl_pipeline_spark.operators.audiofp import afp_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return afp_verified_pairs(docs, blocks=8, max_hamming=7)
+
+
+AUDIO_FP_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, UNNEST(generate_series(1, LENGTH(text))) AS i
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         CAST(((i - 1) * 10) // LENGTH(text) AS BIGINT) AS frame,
+         CAST(ascii(text[i]) % 8 AS BIGINT) AS band
+  FROM pos
+),
+e AS (
+  SELECT doc_id, frame, band, CAST(COUNT(*) AS BIGINT) AS e
+  FROM ch GROUP BY doc_id, frame, band
+),
+ids AS (SELECT DISTINCT doc_id FROM e),
+grid AS (
+  SELECT ids.doc_id, f.f AS frame, b.b AS band, COALESCE(e.e, 0) AS e
+  FROM ids
+  CROSS JOIN generate_series(0, 9) f(f)
+  CROSS JOIN generate_series(0, 7) b(b)
+  LEFT JOIN e ON e.doc_id = ids.doc_id AND e.frame = f.f AND e.band = b.b
+),
+d AS (  -- band delta D(n, m) = E(n, m) - E(n, m+1), m in 0..6
+  SELECT a.doc_id, a.frame, a.band AS m, a.e - b.e AS d
+  FROM grid a
+  JOIN grid b ON b.doc_id = a.doc_id AND b.frame = a.frame AND b.band = a.band + 1
+),
+h AS (  -- bit (n-1)*7+m set iff the band delta grew since the previous frame
+  SELECT n.doc_id,
+         CAST(SUM(CASE WHEN n.d - p.d > 0
+                  THEN 1::BIGINT << CAST((n.frame - 1) * 7 + n.m AS INT)
+                  ELSE 0 END) AS BIGINT) AS afp
+  FROM d n
+  JOIN d p ON p.doc_id = n.doc_id AND p.frame = n.frame - 1 AND p.m = n.m
+  WHERE n.frame >= 1
+  GROUP BY n.doc_id
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+FROM h a JOIN h b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 7
+"""
+
+
 SPECS = [
     QuerySpec(
         "image_phash_neardup",
@@ -159,6 +221,13 @@ SPECS = [
         IMAGE_PHASH_SQL,
         headline=True,
         doc="pHash image near-dup: integer-DCT hash, pigeonhole Hamming blocks, all-pairs oracle",
+    ),
+    QuerySpec(
+        "audio_fp_neardup",
+        audio_fp_neardup,
+        AUDIO_FP_SQL,
+        headline=True,
+        doc="Haitsma-Kalker audio fingerprint near-dup: integer band-energy sign bits, pigeonhole Hamming blocks, all-pairs oracle",
     ),
     QuerySpec(
         "multimodal_decode",

@@ -119,26 +119,72 @@ def phash64(cells: DataFrame) -> DataFrame:
     )
 
 
-def phash_blocked(hashes: DataFrame, blocks: int = 5) -> DataFrame:
-    """(id, phash, block, key): the 63 hash bits cut into ``blocks``
-    contiguous chunks — the bucketable pigeonhole form, one row per chunk
-    (``simhash_blocked``'s layout, sig precomputed)."""
-    base, rem = divmod(63, blocks)
+def phash_blocked(
+    hashes: DataFrame,
+    blocks: int = 5,
+    hash_col: str = "phash",
+    bits: int = 63,
+) -> DataFrame:
+    """(id, <hash_col>, block, key): the ``bits`` hash bits cut into
+    ``blocks`` contiguous chunks — the bucketable pigeonhole form, one row
+    per chunk (``simhash_blocked``'s layout, sig precomputed). Generic over
+    the signature column so the audio fingerprint (``operators/audiofp.py``)
+    reuses the same candidate machinery."""
+    base, rem = divmod(bits, blocks)
     chunks, start = [], 0
     for bk in range(blocks):
         w = base + (1 if bk < rem else 0)
         chunks.append(
             F.struct(
                 F.lit(bk).alias("block"),
-                F.shiftrightunsigned("phash", start)
+                F.shiftrightunsigned(hash_col, start)
                 .bitwiseAND(F.lit((1 << w) - 1))
                 .alias("key"),
             )
         )
         start += w
     return hashes.select(
-        "id", "phash", F.explode(F.array(*chunks)).alias("bb")
-    ).select("id", "phash", "bb.block", "bb.key")
+        "id", hash_col, F.explode(F.array(*chunks)).alias("bb")
+    ).select("id", hash_col, "bb.block", "bb.key")
+
+
+def blocked_hamming_pairs(
+    hashes: DataFrame,
+    blocks: int,
+    max_hamming: int,
+    hash_col: str = "phash",
+    bits: int = 63,
+) -> DataFrame:
+    """Pigeonhole-blocked Hamming pairs over any (id, <hash_col>) signature
+    table: bucket-join candidates (guaranteed recall for Hamming <=
+    blocks-1), exact ``bit_count(xor)`` verify. Output (a_id, b_id,
+    hamming). Shared by the image-pHash and audio-fingerprint near-dup
+    paths — one candidate-generation definition, certified by BOTH
+    brute-force all-pairs oracles."""
+    if max_hamming > blocks - 1:
+        raise ValueError(
+            f"pigeonhole recall only guaranteed to hamming {blocks - 1}; "
+            f"got max_hamming={max_hamming}"
+        )
+    banded = phash_blocked(hashes, blocks, hash_col, bits)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
+    )
 
 
 def phash_verified_pairs(
@@ -159,29 +205,8 @@ def phash_verified_pairs(
     """
     if max_hamming is None:
         max_hamming = blocks - 1
-    if max_hamming > blocks - 1:
-        raise ValueError(
-            f"pigeonhole recall only guaranteed to hamming {blocks - 1}; "
-            f"got max_hamming={max_hamming}"
-        )
-    banded = phash_blocked(phash64(luma_cells(docs, id_col, text_col)), blocks)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
-                "hamming"
-            ),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["a_id", "b_id"])
+    return blocked_hamming_pairs(
+        phash64(luma_cells(docs, id_col, text_col)), blocks, max_hamming
     )
 
 

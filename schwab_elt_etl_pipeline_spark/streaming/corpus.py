@@ -329,6 +329,19 @@ def update_phash_index(
     signed = phash_blocked(
         phash64(luma_cells(batch)), blocks=blocks
     ).localCheckpoint(eager=True)
+    return _update_blocked_hash_index(signed, index, hash_col="phash")
+
+
+def _update_blocked_hash_index(
+    signed: DataFrame, index: ParquetTable, hash_col: str
+) -> DataFrame:
+    """Shared probe-then-append protocol for every pigeonhole-blocked
+    Hamming index (pHash images, audio fingerprints): the batch's
+    pre-blocked (id, <hash_col>, block, key) rows self-join, probe the
+    persisted index on the (block, key) equi-key, and append idempotently
+    on (id, block). One definition, so the image and audio twins cannot
+    drift from each other or from ``operators/phash.py
+    blocked_hamming_pairs``."""
 
     def _pairs(left, right, residual):
         return (
@@ -343,7 +356,7 @@ def update_phash_index(
                 F.col("a.id").alias("batch_id"),
                 F.col("b.id").alias("index_id"),
                 F.bit_count(
-                    F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+                    F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
                 ).alias("hamming"),
             )
         )
@@ -358,6 +371,31 @@ def update_phash_index(
         return cands
     index.overwrite_versioned(signed)
     return self_cands.dropDuplicates(["batch_id", "index_id"])
+
+
+def update_afp_index(
+    batch: DataFrame,
+    index: ParquetTable,
+    blocks: int = 8,
+) -> DataFrame:
+    """Incrementally maintain a pigeonhole-blocked AUDIO-fingerprint index
+    (Haitsma-Kalker sign bits, ``operators/audiofp.py``) and return the
+    batch's near-dup candidates against the entire corpus seen so far —
+    the audio member of the incremental index family, same O(batch)
+    protocol and replay contract as :func:`update_phash_index` (pinned
+    equal to the batch operator in tests/test_streaming_corpus.py).
+    Output: ``(batch_id, index_id, hamming)``."""
+    from schwab_elt_etl_pipeline_spark.operators.audiofp import (
+        BITS,
+        afp63,
+        level_cells,
+    )
+    from schwab_elt_etl_pipeline_spark.operators.phash import phash_blocked
+
+    signed = phash_blocked(
+        afp63(level_cells(batch)), blocks=blocks, hash_col="afp", bits=BITS
+    ).localCheckpoint(eager=True)
+    return _update_blocked_hash_index(signed, index, hash_col="afp")
 
 
 def update_ann_index(
