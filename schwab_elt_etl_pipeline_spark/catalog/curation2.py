@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
 from schwab_elt_etl_pipeline_spark.operators.curation import (
+    boilerplate_scrub,
     decontaminate,
     eval_gram_set,
     pii_counts,
@@ -521,6 +522,52 @@ GROUP BY doc_id
 """
 
 
+def boilerplate_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb line
+    rule): any 2-token line that recurs across >= greatest(2, n_docs/25)
+    DISTINCT documents is boilerplate and is excised from EVERY document
+    — the frequency-threshold complement of ``passage_dedup`` (which keeps
+    a first occurrence; boilerplate has no first worth keeping). The
+    corpus-relative threshold is evaluated in-plan as a 1-row broadcast
+    scalar, so the rule means the same thing at sf0.001 and at 100 TB.
+
+    Shape: one explode + ONE line-keyed distinct-doc count; the
+    boilerplate set is Zipf-truncated to at most corpus_lines/threshold
+    lines, so it broadcasts and the excision is a broadcast LEFT ANTI
+    join — the wide text never shuffles on the line key. Core in
+    ``operators/curation.py`` ``boilerplate_scrub``."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return boilerplate_scrub(docs, passage_tokens=2, min_docs=2, min_docs_per=25)
+
+
+BOILERPLATE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), p AS (
+  SELECT doc_id,
+         CAST((start - 1) // 2 AS INT) AS passage_id,
+         array_to_string(ts[start : start + 1], ' ') AS passage
+  FROM (SELECT doc_id, ts, UNNEST(generate_series(1, LEN(ts), 2)) AS start
+        FROM tok)
+), thr AS (
+  SELECT GREATEST(2, COUNT(*) // 25) AS t FROM documents
+), dfq AS (
+  SELECT passage, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY passage
+), boiler AS (
+  SELECT passage FROM dfq, thr WHERE df >= thr.t
+)
+SELECT p.doc_id,
+       COALESCE(string_agg(p.passage, ' ' ORDER BY p.passage_id)
+                FILTER (WHERE b.passage IS NULL), '') AS text,
+       COUNT(*) AS n_lines,
+       COUNT(*) FILTER (WHERE b.passage IS NOT NULL) AS n_removed
+FROM p LEFT JOIN boiler b USING (passage)
+GROUP BY p.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (concatenate-and-chunk training-sequence assignment)
 # ---------------------------------------------------------------------------
@@ -1005,6 +1052,8 @@ SPECS = [
               doc="BPE training pair-count step (non-distinct adjacent pairs)"),
     QuerySpec("passage_dedup", passage_dedup, PASSAGE_DEDUP_SQL, headline=True,
               doc="sub-document passage-level exact dedup with text rebuild"),
+    QuerySpec("boilerplate_line_scrub", boilerplate_line_scrub, BOILERPLATE_SQL,
+              doc="CCNet-style corpus-frequency boilerplate line removal"),
     QuerySpec("sequence_packing", sequence_packing, SEQUENCE_PACKING_SQL,
               doc="concatenate-and-chunk training-sequence assignment per shard"),
     QuerySpec("sequence_packing_ffd", sequence_packing_ffd, SEQUENCE_PACKING_FFD_SQL,

@@ -137,3 +137,53 @@ def test_pii_redaction_is_complete_property(spark):
         assert (row["e"], row["p"], row["n"]) == (0, 0, 0), (s, row["red"])
 
     check()
+
+
+def test_boilerplate_scrub_removes_from_every_doc_including_first(spark):
+    """The frequency rule excises a recurring line from ALL documents (no
+    first-occurrence survivor — the semantic difference vs passage dedup),
+    keeps rare lines, and a doc that loses everything survives with empty
+    text."""
+    from schwab_elt_etl_pipeline_spark.operators.curation import (
+        boilerplate_scrub,
+    )
+
+    footer = "cookie banner"
+    rows = [
+        (1, f"unique alpha {footer}"),
+        (2, f"other beta {footer}"),
+        (3, f"third gamma {footer}"),
+        (4, footer),  # nothing but boilerplate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text, r.n_lines, r.n_removed)
+        for r in boilerplate_scrub(docs, passage_tokens=2, min_docs=3).collect()
+    }
+    assert out[1] == ("unique alpha", 2, 1)
+    assert out[2] == ("other beta", 2, 1)
+    assert out[3] == ("third gamma", 2, 1)
+    assert out[4] == ("", 1, 1)  # survives, empty — caller's length gate decides
+
+
+def test_boilerplate_scrub_relative_threshold_matches_absolute(spark):
+    """min_docs_per computes greatest(min_docs, n_docs div per) in-plan:
+    with 4 docs and per=2 the threshold is 2, so a line shared by exactly
+    2 docs is scrubbed — identical output to the absolute form."""
+    from schwab_elt_etl_pipeline_spark.operators.curation import (
+        boilerplate_scrub,
+    )
+
+    rows = [
+        (1, "shared pair one two"),
+        (2, "shared pair three four"),
+        (3, "five six seven eight"),
+        (4, "nine ten eleven twelve"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rel = boilerplate_scrub(docs, passage_tokens=2, min_docs=1, min_docs_per=2)
+    ab = boilerplate_scrub(docs, passage_tokens=2, min_docs=2)
+    assert sorted(map(tuple, rel.collect())) == sorted(map(tuple, ab.collect()))
+    got = {r.doc_id: r.text for r in rel.collect()}
+    assert got[1] == "one two" and got[2] == "three four"
+    assert got[3] == "five six seven eight"

@@ -89,6 +89,7 @@ _SANCTIONED_BNLJ = {
     "assoc_rules_lift",      # 1-row basket-total scalar
     "unigram_rarity",        # 1-row corpus-total broadcast
     "tfidf_topk_keywords",   # 1-row doc-count broadcast
+    "boilerplate_line_scrub",  # 1-row doc-count threshold scalar
     "event_funnel",          # 1-row base-population broadcast
     "dq_expectations_orders",  # crossJoin of two 1-row check aggregates
     "a_heavy_hitters_sketch",  # 1-row token-total + 1-row sketch broadcast
