@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
-from schwab_elt_etl_pipeline_spark.operators.curation import semantic_dedup_verdicts
+from schwab_elt_etl_pipeline_spark.operators.curation import (
+    semantic_decontam,
+    semantic_dedup_verdicts,
+)
 from schwab_elt_etl_pipeline_spark.operators.sampling import hash_bucket
 from schwab_elt_etl_pipeline_spark.operators.similarity import (
     as_double,
@@ -316,6 +319,40 @@ _ALPHA_TEMP = 0.5  # temperature exponent: p_i ∝ n_i^0.5
 _TARGET_SHARE = 0.4  # materialize 40% of the corpus overall
 
 
+def semantic_decontam_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: vectors with
+    ``vec_id % 29 == 0`` play the held-out eval set; any training vector
+    whose exact cosine to an eval anchor reaches 0.35 is contaminated —
+    the semantic complement of ``decontam_ngram_overlap`` (exact grams)
+    and ``decontam_fuzzy_minhash`` (lexical near-dup), catching the
+    paraphrase/translation leakage token rules miss. Corpus x
+    broadcast(eval) exhaustive scan (the production shape for a small
+    eval set — linear in the corpus, no recall caveat to certify), exact
+    6-digit cosines. Core in ``operators/curation.py``
+    ``semantic_decontam``."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    is_eval = F.col("vec_id") % 29 == 0
+    return semantic_decontam(
+        emb.filter(~is_eval), emb.filter(is_eval), threshold=0.35
+    )
+
+
+SEMANTIC_DECONTAM_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT * FROM e WHERE vec_id % 29 = 0),
+tr AS (SELECT * FROM e WHERE vec_id % 29 <> 0),
+hits AS (
+  SELECT a.vec_id, ROUND({_COS.format(a="a.v", b="b.v")}, 6) AS c
+  FROM tr a, ev b
+  WHERE ROUND({_COS.format(a="a.v", b="b.v")}, 6) >= 0.35
+)
+SELECT vec_id, MAX(c) AS max_cos, COUNT(*) AS n_hits
+FROM hits GROUP BY vec_id
+"""
+
+
 def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (multilingual-LM style): source i
     contributes proportionally to n_i^α instead of n_i, up-weighting small
@@ -597,6 +634,11 @@ SPECS = [
     QuerySpec(
         "corpus_temperature_mix", corpus_temperature_mix, CORPUS_TEMP_MIX_SQL,
         doc="temperature-based (n^alpha) source mixing via deterministic hash draw",
+    ),
+    QuerySpec(
+        "semantic_decontam_select", semantic_decontam_select, SEMANTIC_DECONTAM_SQL,
+        doc="embedding-space benchmark decontamination: corpus x broadcast "
+            "eval anchors, exact cosine >= 0.35 verdicts",
     ),
     QuerySpec(
         "embedding_curation_e2e", embedding_curation_e2e, EMB_CURATION_SQL,

@@ -470,3 +470,46 @@ def boilerplate_scrub(
             ),
         )
     )
+
+
+def semantic_decontam(
+    train: DataFrame,
+    eval_vecs: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic member of
+    the decontamination family (:func:`decontaminate` is exact n-gram,
+    :func:`decontaminate_fuzzy` is MinHash): a training vector whose
+    cosine to ANY eval-set anchor reaches ``threshold`` is contaminated
+    (a paraphrased or translated benchmark item that token-level rules
+    miss). Output, contaminated rows only: (id, max_cos, n_hits) — the
+    strongest match and how many anchors fired.
+
+    Scale shape: eval sets are small (thousands of benchmark items)
+    against an unbounded corpus, so the PRODUCTION-correct plan is the
+    brute-force one — corpus x broadcast(eval) nested-loop with exact
+    cosine, strictly linear in the corpus with zero shuffle before the
+    per-id aggregate (the ``kmeans_assign_fixed`` BNLJ shape, sanctioned
+    scalar/tiny-broadcast). No LSH recall question to certify: the
+    oracle replays the identical exhaustive scan. Cosines round to 6
+    digits (the repo-wide embedding contract) so verdicts hash-match.
+    """
+    t = train.select(F.col(id_col), as_double(vec_col).alias("_tv"))
+    e = eval_vecs.select(
+        F.col(id_col).alias("_eid"), as_double(vec_col).alias("_ev")
+    )
+    return (
+        t.crossJoin(F.broadcast(e))
+        .select(
+            id_col,
+            F.round(cosine(F.col("_tv"), F.col("_ev")), 6).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.max("_cos").alias("max_cos"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )

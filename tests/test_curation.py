@@ -187,3 +187,29 @@ def test_boilerplate_scrub_relative_threshold_matches_absolute(spark):
     got = {r.doc_id: r.text for r in rel.collect()}
     assert got[1] == "one two" and got[2] == "three four"
     assert got[3] == "five six seven eight"
+
+
+def test_semantic_decontam_flags_only_close_vectors(spark):
+    """A training vector aligned with an eval anchor is contaminated (with
+    the hit count), an orthogonal one is absent from the output."""
+    from schwab_elt_etl_pipeline_spark.operators.curation import (
+        semantic_decontam,
+    )
+
+    evalset = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.8, 0.6, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0]),   # cos 1.0 to eval 100, 0.8 to eval 101
+            (2, [0.0, 0.0, 5.0]),   # orthogonal to both
+            (3, [0.0, 1.0, 0.0]),   # cos 0.6 to eval 101 only
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: (r.max_cos, r.n_hits)
+        for r in semantic_decontam(train, evalset, threshold=0.5).collect()
+    }
+    assert out == {1: (1.0, 2), 3: (0.6, 1)}

@@ -116,6 +116,7 @@ _BNLJ_OK = {
     "unigram_rarity",        # 1-row corpus-total scalar
     "tfidf_topk_keywords",   # 1-row doc-count scalar
     "boilerplate_line_scrub",  # 1-row doc-count threshold scalar
+    "semantic_decontam_select",  # corpus x broadcast eval-anchor set
     "event_funnel",          # 1-row base-population scalar
     "ann_cosine_topk",       # ≤8-row query-vector set
     "retrieval_mmr_diverse",  # pool stage: ≤8-row query-vector set

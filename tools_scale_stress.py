@@ -94,6 +94,14 @@ QUERIES = [
     # this perturbation cannot represent.
     "image_phash_neardup",
     "doremi_mixture_reweight",
+    # round-9 additions: the audio fingerprint is the pHash shape with a
+    # per-char explode front (copy-tag replicas shift every fingerprint's
+    # frame grid, so buckets grow linearly); boilerplate scrub is one
+    # line-keyed distinct-doc count + a broadcast anti join — the
+    # corpus-relative threshold scales with n_docs, keeping the
+    # boilerplate set proportionate at 10×
+    "audio_fp_neardup",
+    "boilerplate_line_scrub",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).

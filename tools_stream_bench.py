@@ -406,6 +406,27 @@ def main() -> None:
     wall = _drain(q)
     record("phash_image_index", n_docs, wall, ph_pairs.read().count())
 
+    # 13. incremental audio-fingerprint index (per-batch Haitsma-Kalker
+    # sign bits over the char-sample grid, same pigeonhole probe protocol)
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_afp_index
+
+    afp_idx = ParquetTable(spark, f"{root}/afp_index", cluster_by=("key",))
+    afp_pairs = ParquetTable(spark, f"{root}/afp_pairs")
+
+    def _afp_sink(batch: DataFrame, epoch: int) -> None:
+        out = update_afp_index(batch, afp_idx).filter(F.col("hamming") <= 7)
+        afp_pairs.insert_new(out, keys=["batch_id", "index_id"])
+
+    q = (
+        read_document_stream(spark, docs_dir, max_files_per_trigger=per_trigger)
+        .writeStream.foreachBatch(_afp_sink)
+        .option("checkpointLocation", f"{root}/afp_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wall = _drain(q)
+    record("afp_audio_index", n_docs, wall, afp_pairs.read().count())
+
     payload = {
         "metric": "streaming throughput (rows/sec, end-to-end incl. checkpoints)",
         "ticks": n_ticks,
