@@ -530,6 +530,89 @@ UNIGRAM_EM_SQL = f"""
 WITH RECURSIVE {_EM_SEED_CTES},{_em_round_sql(1, "vocab")},{_em_final_sql(1)}
 """
 
+
+def wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match-first WordPiece apply (the BERT rule) over the
+    corpus vocabulary: word-initial pieces keep their surface form,
+    continuation pieces carry ``##``; at every position the walk consumes
+    the longest matching piece. Completes tokenizer-family apply symmetry
+    (BPE merge cascade, unigram Viterbi, WordPiece greedy) — per-TYPE
+    segmentation, broadcast vocabulary, the whole walk ONE higher-order
+    aggregate. The oracle replays the greedy walk step-for-step with a
+    recursive CTE over the identical match table. Core in
+    ``operators/tokenize.py wordpiece_segment``."""
+    from schwab_elt_etl_pipeline_spark.operators.tokenize import (
+        wordpiece_segment,
+        wordpiece_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        )
+        .filter((F.length("word") >= 1) & (F.length("word") <= 16))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    seg = wordpiece_segment(words, wordpiece_vocab(words, 4, 2), max_piece_len=4)
+    return seg.select(
+        "word",
+        F.array_join("pieces", " ").alias("wp_text"),
+        "n_pieces",
+        F.col("is_unk").cast("int").alias("is_unk"),
+    )
+
+
+WORDPIECE_SQL = rf"""
+WITH RECURSIVE tok AS (
+  SELECT UNNEST({_TOKS}) AS word FROM documents
+), words AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq FROM tok
+  WHERE LEN(word) BETWEEN 1 AND 16 GROUP BY word
+), wocc AS (
+  SELECT CASE WHEN i - l + 1 = 1 THEN SUBSTRING(w.word, i - l + 1, l)
+              ELSE '##' || SUBSTRING(w.word, i - l + 1, l) END AS piece,
+         l AS base_len, w.freq
+  FROM words w,
+       UNNEST(generate_series(1, LEN(w.word))) AS gi(i),
+       UNNEST(generate_series(1, LEAST(4, i))) AS gl(l)
+), wpvocab AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM wocc GROUP BY piece
+  HAVING MAX(base_len) = 1 OR SUM(freq) >= 2
+), cand AS (
+  SELECT w.word, i - l + 1 AS i0, l,
+         CASE WHEN i - l + 1 = 1 THEN SUBSTRING(w.word, i - l + 1, l)
+              ELSE '##' || SUBSTRING(w.word, i - l + 1, l) END AS form
+  FROM words w,
+       UNNEST(generate_series(1, LEN(w.word))) AS gi(i),
+       UNNEST(generate_series(1, LEAST(4, i))) AS gl(l)
+), m AS MATERIALIZED (
+  SELECT cand.word, cand.i0, MAX(cand.l) AS lm
+  FROM cand JOIN wpvocab v ON v.piece = cand.form
+  GROUP BY cand.word, cand.i0
+), walk(word, pos, wp, np, ok) AS (
+  SELECT word, 1, CAST('' AS VARCHAR), 0, TRUE FROM words
+  UNION ALL
+  SELECT w.word,
+         CASE WHEN m.lm IS NULL THEN LEN(w.word) + 1 ELSE w.pos + m.lm END,
+         CASE WHEN m.lm IS NULL THEN w.wp
+              ELSE w.wp || CASE WHEN w.pos = 1 THEN '' ELSE ' ' END ||
+                   CASE WHEN w.pos = 1 THEN SUBSTRING(w.word, w.pos, m.lm)
+                        ELSE '##' || SUBSTRING(w.word, w.pos, m.lm) END END,
+         CASE WHEN m.lm IS NULL THEN w.np ELSE w.np + 1 END,
+         m.lm IS NOT NULL
+  FROM walk w LEFT JOIN m ON m.word = w.word AND m.i0 = w.pos
+  WHERE w.pos <= LEN(w.word) AND w.ok
+)
+SELECT word,
+       CASE WHEN ok THEN wp ELSE '[UNK]' END AS wp_text,
+       CASE WHEN ok THEN np ELSE 1 END AS n_pieces,
+       CASE WHEN ok THEN 0 ELSE 1 END AS is_unk
+FROM walk WHERE pos = LEN(word) + 1
+"""
+
 # round-2 vocabulary: the previous M-step's counts, plus unused single
 # characters at count 0 (always segmentable — the SentencePiece pruning rule)
 _VOCAB2_CTE = """
@@ -615,6 +698,11 @@ SPECS = [
         "unigram_lm_tokenize", unigram_lm_tokenize, UNIGRAM_TOKENIZE_SQL,
         doc="unigram tokenizer APPLY: per-type Viterbi segmentation under "
             "the trained vocabulary, position-ordered document rebuild",
+    ),
+    QuerySpec(
+        "wordpiece_tokenize", wordpiece_tokenize, WORDPIECE_SQL,
+        doc="WordPiece greedy longest-match apply (##-continuation pieces), "
+            "oracle replays the walk with a recursive CTE",
     ),
     QuerySpec(
         "bpe_apply_merges", bpe_apply_merges, BPE_APPLY_SQL,

@@ -426,3 +426,146 @@ def unigram_tokenize_docs(
     ).select(
         F.col("_id").alias(id_col), "n_words", "n_pieces", "text_seg"
     )
+
+
+def wordpiece_vocab(
+    words: DataFrame,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """WordPiece vocabulary seeded from corpus substrings: word-INITIAL
+    substrings keep their surface form, word-internal substrings carry the
+    ``##`` continuation prefix (the BERT convention — public literature:
+    Wu et al. 2016, Devlin et al. 2018). Single-character base pieces of
+    BOTH forms are always kept (every letter stays representable); longer
+    pieces must clear ``min_count`` summed corpus frequency. Output:
+    (piece, cnt). Assumes ``#`` is not a corpus character (the standard
+    WordPiece sentinel assumption)."""
+    occ = (
+        words.withColumn("i", F.explode(F.sequence(F.lit(1), F.length(word_col))))
+        .withColumn(
+            "l",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece_len), F.col("i")))
+            ),
+        )
+        .select(
+            F.when(
+                F.col("i") - F.col("l") + 1 == 1,
+                F.expr(f"substring({word_col}, i - l + 1, l)"),
+            )
+            .otherwise(
+                F.concat(F.lit("##"), F.expr(f"substring({word_col}, i - l + 1, l)"))
+            )
+            .alias("piece"),
+            F.col("l").alias("base_len"),
+            F.col(freq_col).alias("freq"),
+        )
+    )
+    return (
+        occ.groupBy("piece")
+        .agg(
+            F.sum("freq").cast("long").alias("cnt"),
+            F.max("base_len").alias("_bl"),
+        )
+        .filter((F.col("_bl") == 1) | (F.col("cnt") >= min_count))
+        .select("piece", "cnt")
+    )
+
+
+def wordpiece_segment(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 4,
+    word_col: str = "word",
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece segmentation (the BERT apply
+    rule): at each position consume the LONGEST vocabulary piece matching
+    the remaining suffix — initial positions match surface pieces,
+    continuation positions match ``##``-prefixed pieces; a word with any
+    unmatchable position collapses to the single ``[UNK]`` token (the
+    whole-word UNK rule). Completes the apply family next to the BPE merge
+    cascade (:func:`apply_pair_merges`) and the unigram Viterbi
+    (:func:`viterbi_segment`): three tokenizer families, one engine
+    discipline.
+
+    Shape: candidate matches are one explode + one broadcast vocab join;
+    the per-(word, position) longest match folds into a map, and the
+    greedy walk is ONE higher-order ``aggregate`` over the bounded word
+    length — no shuffle, no UDF, no driver loop (the ``viterbi_segment``
+    discipline; greedy needs no DP, just the walk). Per-TYPE cost: words
+    segment once regardless of corpus frequency.
+
+    Output: (word, pieces array<string>, n_pieces, is_unk).
+    """
+    m = max_piece_len
+    matches = (
+        words.select(word_col)
+        .withColumn("i", F.explode(F.sequence(F.lit(1), F.length(word_col))))
+        .withColumn(
+            "l", F.explode(F.sequence(F.lit(1), F.least(F.lit(m), F.col("i"))))
+        )
+        .withColumn("i0", F.col("i") - F.col("l") + 1)
+        .withColumn(
+            "form",
+            F.when(F.col("i0") == 1, F.expr(f"substring({word_col}, i0, l)"))
+            .otherwise(
+                F.concat(F.lit("##"), F.expr(f"substring({word_col}, i0, l)"))
+            ),
+        )
+        .join(F.broadcast(vocab.select(F.col("piece").alias("form"))), "form")
+        .groupBy(word_col, "i0")
+        .agg(F.max("l").alias("lm"))
+    )
+    lattice = matches.groupBy(word_col).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("i0").alias("key"), F.col("lm").alias("value"))
+            )
+        ).alias("lm")
+    )
+    walk_expr = f"""
+    aggregate(
+      sequence(1, length({word_col})),
+      named_struct('pos', 1,
+                   'ps', cast(array() as array<string>),
+                   'ok', true),
+      (st, _x) -> CASE
+        WHEN NOT st.ok OR st.pos > length({word_col}) THEN st
+        WHEN NOT map_contains_key(lm, st.pos)
+          THEN named_struct('pos', st.pos, 'ps', st.ps, 'ok', false)
+        ELSE named_struct(
+          'pos', st.pos + element_at(lm, st.pos),
+          'ps', st.ps || array(CASE WHEN st.pos = 1
+            THEN substring({word_col}, st.pos, element_at(lm, st.pos))
+            ELSE concat('##', substring({word_col}, st.pos,
+                                        element_at(lm, st.pos))) END),
+          'ok', true)
+      END
+    )"""
+    segmented = (
+        lattice.withColumn("walk", F.expr(walk_expr))
+        .select(
+            word_col,
+            F.when(F.col("walk.ok"), F.col("walk.ps"))
+            .otherwise(F.array(F.lit("[UNK]")))
+            .alias("pieces"),
+            (~F.col("walk.ok")).alias("is_unk"),
+        )
+    )
+    # words with NO vocab match anywhere never reach the lattice: [UNK] too
+    return (
+        words.select(word_col)
+        .distinct()
+        .join(segmented, word_col, "left")
+        .select(
+            word_col,
+            F.coalesce("pieces", F.array(F.lit("[UNK]"))).alias("pieces"),
+            F.size(F.coalesce("pieces", F.array(F.lit("[UNK]")))).alias(
+                "n_pieces"
+            ),
+            F.coalesce("is_unk", F.lit(True)).alias("is_unk"),
+        )
+    )

@@ -355,3 +355,81 @@ def test_unigram_tokenize_unseen_char_falls_back_to_whole_word(spark):
     out = unigram_tokenize_docs(docs, vocab).collect()[0]
     assert out["text_seg"] == "ab abz b"  # abz passes through whole
     assert out["n_words"] == 3 and out["n_pieces"] == 3
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy longest-match apply
+# ---------------------------------------------------------------------------
+
+
+def _py_wordpiece(word: str, vocab: set, m: int = 4):
+    """Reference greedy longest-match-first walk (the BERT apply rule)."""
+    pos, ps = 0, []
+    while pos < len(word):
+        best = 0
+        for l in range(1, min(m, len(word) - pos) + 1):
+            form = word[pos : pos + l] if pos == 0 else "##" + word[pos : pos + l]
+            if form in vocab:
+                best = l
+        if best == 0:
+            return ["[UNK]"], True
+        ps.append(
+            word[pos : pos + best] if pos == 0 else "##" + word[pos : pos + best]
+        )
+        pos += best
+    return ps, False
+
+
+def test_wordpiece_unseen_char_is_whole_word_unk(spark):
+    """A word with any unmatchable position collapses to ONE [UNK] token —
+    the whole-word rule, not per-char fallback."""
+    from schwab_elt_etl_pipeline_spark.operators.tokenize import (
+        wordpiece_segment,
+    )
+
+    vocab = spark.createDataFrame(
+        [("ab", 5), ("a", 5), ("b", 5), ("##b", 5), ("##a", 5)],
+        "piece string, cnt long",
+    )
+    words = spark.createDataFrame(
+        [("abab", 1), ("abxb", 1), ("zz", 1)], "word string, freq long"
+    )
+    out = {
+        r.word: (r.pieces, r.n_pieces, r.is_unk)
+        for r in wordpiece_segment(words, vocab).collect()
+    }
+    assert out["abab"] == (["ab", "##a", "##b"], 3, False)  # longest first
+    assert out["abxb"] == (["[UNK]"], 1, True)  # 'x' unmatchable anywhere
+    assert out["zz"] == (["[UNK]"], 1, True)  # no lattice row at all
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=9), min_size=1, max_size=12
+    )
+)
+def test_wordpiece_matches_python_reference(spark, words):
+    """Spark greedy walk == the sequential Python reference over the
+    corpus-seeded ##-vocabulary, for every word."""
+    from schwab_elt_etl_pipeline_spark.operators.tokenize import (
+        wordpiece_segment,
+        wordpiece_vocab,
+    )
+
+    from pyspark.sql import functions as F
+
+    wdf = (
+        spark.createDataFrame([(w,) for w in words], "word string")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    vdf = wordpiece_vocab(wdf, max_piece_len=4, min_count=2)
+    vocab = {r.piece for r in vdf.collect()}
+    got = {
+        r.word: (r.pieces, r.is_unk)
+        for r in wordpiece_segment(wdf, vdf).collect()
+    }
+    for w in set(words):
+        ps, unk = _py_wordpiece(w, vocab)
+        assert got[w] == (ps, unk), w
