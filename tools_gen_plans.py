@@ -38,6 +38,10 @@ _NAMES = [
     "image_phash_neardup",
     "sequence_packing_ffd",
     "doremi_mixture_reweight",
+    "audio_fp_neardup",
+    "boilerplate_line_scrub",
+    "wordpiece_tokenize",
+    "semantic_decontam_select",
 ]
 
 _HEADER = """# PLANS — executed physical plans of the heaviest headline queries

@@ -102,6 +102,15 @@ QUERIES = [
     # boilerplate set proportionate at 10×
     "audio_fp_neardup",
     "boilerplate_line_scrub",
+    # WordPiece apply is per-TYPE: 10× corpus under copy-tag perturbation
+    # grows the distinct-word vocabulary by only the handful of tag words,
+    # so the ratio certifies that segmentation cost tracks types, not
+    # tokens. semantic_decontam_select is deliberately NOT stressed: the
+    # replica grows BOTH sides of the corpus x eval product (eval anchors
+    # are a fixed id-residue slice), so 10× data means 100× pair work by
+    # construction — in production the eval set is FIXED and the scan is
+    # linear in the corpus; this perturbation cannot represent that.
+    "wordpiece_tokenize",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
