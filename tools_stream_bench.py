@@ -427,6 +427,29 @@ def main() -> None:
     wall = _drain(q)
     record("afp_audio_index", n_docs, wall, afp_pairs.read().count())
 
+    # 14. incremental boilerplate line-frequency index (per-line
+    # distinct-doc deltas + doc totals on the epoch ledger)
+    from schwab_elt_etl_pipeline_spark.streaming.boilerplate_stream import (
+        boilerplate_stream,
+        current_boilerplate,
+    )
+
+    bl_lines = ParquetTable(spark, f"{root}/bl_lines")
+    bl_stats = ParquetTable(spark, f"{root}/bl_stats")
+    q = boilerplate_stream(
+        read_document_stream(spark, docs_dir, max_files_per_trigger=per_trigger),
+        bl_lines,
+        bl_stats,
+        f"{root}/bl_ckpt",
+    )
+    wall = _drain(q)
+    record(
+        "boilerplate_line_index",
+        n_docs,
+        wall,
+        current_boilerplate(bl_lines, bl_stats).count(),
+    )
+
     payload = {
         "metric": "streaming throughput (rows/sec, end-to-end incl. checkpoints)",
         "ticks": n_ticks,
