@@ -294,7 +294,197 @@ FROM assigned
 )
 
 
+
+
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth diagnostic: how many DISTINCT token
+    types the corpus has seen after each eighth of the global token
+    stream (documents in doc_id order) — the curve a tokenizer-budget or
+    dedup-health check reads before committing a vocab size (Heaps 1978,
+    public literature; sublinear growth is the healthy shape, a linear
+    tail flags unmixed or synthetic data).
+
+    Scale shape: the global token offsets come from the two-phase
+    ``prefix_agg`` scan (never a SinglePartition window); type first
+    occurrences are ONE token-keyed min; the 8-bucket cumulation is a
+    bounded 8-row window. Integer-exact throughout: a type at global
+    position p belongs to checkpoint i iff 8p <= i*total (the floor-free
+    equivalence both engines evaluate identically).
+
+    Output: (checkpoint 1..8, n_tokens_prefix, n_types).
+    """
+    from schwab_elt_etl_pipeline_spark.operators.prefix import prefix_agg
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ts")
+    )
+    sized = docs.select("doc_id", "ts", F.size("ts").cast("long").alias("n_toks"))
+    offs = prefix_agg(
+        sized,
+        order_by=["doc_id"],
+        value="n_toks",
+        out="off",
+        inclusive=False,
+        total_out="total",
+    ).select("doc_id", "ts", F.coalesce("off", F.lit(0)).alias("off"), "total")
+    firsts = (
+        offs.select(
+            "off",
+            "total",
+            F.posexplode("ts").alias("p0", "tok"),
+        )
+        .select(
+            "tok",
+            (F.col("off") + F.col("p0") + 1).alias("gpos"),
+            "total",
+        )
+        .groupBy("tok")
+        .agg(F.min("gpos").alias("fp"), F.first("total").alias("total"))
+    )
+    buckets = (
+        firsts.select(
+            F.expr("(8 * fp + total - 1) div total").alias("cp"), "total"
+        )
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("n_new"), F.first("total").alias("total"))
+    )
+    grid = (
+        buckets.select("total")
+        .limit(1)
+        .select(F.explode(F.sequence(F.lit(1), F.lit(8))).alias("cp"), "total")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("cp").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(buckets.select("cp", "n_new"), "cp", "left")
+        .withColumn("n_types", F.sum(F.coalesce("n_new", F.lit(0))).over(w))
+        .select(
+            F.col("cp").cast("int").alias("checkpoint"),
+            F.expr("cp * total div 8").alias("n_tokens_prefix"),
+            F.col("n_types").cast("long").alias("n_types"),
+        )
+    )
+
+
+HEAPS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), sized AS (
+  SELECT doc_id, ts, CAST(LEN(ts) AS BIGINT) AS n_toks FROM tok
+), offs AS (
+  SELECT doc_id, ts,
+         COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+         SUM(n_toks) OVER () AS total
+  FROM sized
+), firsts AS (
+  SELECT ts[p] AS tok, MIN(off + p) AS fp, ANY_VALUE(total) AS total
+  FROM (SELECT ts, off, total, UNNEST(generate_series(1, LEN(ts))) AS p
+        FROM offs)
+  GROUP BY ts[p]
+), buckets AS (
+  SELECT (8 * fp + total - 1) // total AS cp, COUNT(*) AS n_new,
+         ANY_VALUE(total) AS total
+  FROM firsts GROUP BY (8 * fp + total - 1) // total
+), grid AS (
+  SELECT UNNEST(generate_series(1, 8)) AS cp,
+         (SELECT ANY_VALUE(total) FROM buckets) AS total
+)
+SELECT CAST(g.cp AS INT) AS checkpoint,
+       CAST(g.cp * g.total // 8 AS BIGINT) AS n_tokens_prefix,
+       CAST(SUM(COALESCE(b.n_new, 0)) OVER (ORDER BY g.cp
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types
+FROM grid g LEFT JOIN buckets b ON b.cp = g.cp
+"""
+
+
+
+def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the one-pass corpus panel a curation run
+    publishes next to its output shards: document/token volume, length
+    envelope, corpus-wide exact-duplicate exposure, and language profile
+    per source. All counts integer-exact; the dominant language breaks
+    ties lexicographically so the report hash-matches across engines.
+
+    Scale shape: ONE normalized-text-keyed count (the exact-dup exposure —
+    at 100 TB the key is the 128-bit fingerprint as in ``dedup_exact``),
+    one (source, lang) count, and one source-keyed fold; no sorts, no
+    windows, no driver scalars.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.trim(F.lower(F.col("text"))).alias("norm"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("long").alias("n_toks"),
+    )
+    dup = docs.groupBy("norm").agg(F.count(F.lit(1)).alias("_n"))
+    flagged = docs.join(dup, "norm").withColumn(
+        "is_dup", (F.col("_n") > 1).cast("long")
+    )
+    base = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.min("n_toks").alias("min_toks"),
+        F.max("n_toks").alias("max_toks"),
+        F.sum("is_dup").alias("n_dup_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    # deterministic argmax: (count desc, lang asc) as a min over
+    # struct(-count, lang) — no window, one fold
+    top = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("lc"))
+        .groupBy("source")
+        .agg(F.min(F.struct((-F.col("lc")).alias("neg"), F.col("lang").alias("lang"))).alias("_b"))
+        .select("source", F.col("_b.lang").alias("top_lang"))
+    )
+    return base.join(top, "source").select(
+        "source", "n_docs", "n_tokens", "min_toks", "max_toks",
+        "n_dup_docs", "n_langs", "top_lang",
+    )
+
+
+CORPUS_STATS_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, source, lang, TRIM(LOWER(text)) AS norm,
+         CAST(LEN({_TOKS}) AS BIGINT) AS n_toks
+  FROM documents
+), dup AS (
+  SELECT norm, COUNT(*) AS _n FROM d GROUP BY norm
+), f AS (
+  SELECT d.*, CASE WHEN dup._n > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM d JOIN dup USING (norm)
+), base AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         MIN(n_toks) AS min_toks, MAX(n_toks) AS max_toks,
+         CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+         COUNT(DISTINCT lang) AS n_langs
+  FROM f GROUP BY source
+), lc AS (
+  SELECT source, lang, COUNT(*) AS lc FROM d GROUP BY source, lang
+), top AS (
+  SELECT source, lang AS top_lang,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY lc DESC, lang ASC) AS rk
+  FROM lc
+)
+SELECT b.source, b.n_docs, b.n_tokens, b.min_toks, b.max_toks,
+       b.n_dup_docs, b.n_langs, t.top_lang
+FROM base b JOIN top t ON t.source = b.source AND t.rk = 1
+"""
+
 SPECS = [
+    QuerySpec(
+        "corpus_stats_report", corpus_stats_report, CORPUS_STATS_SQL,
+        doc="per-source dataset card: volume, length envelope, exact-dup "
+            "exposure, language profile — one pass, integer-exact",
+    ),
+    QuerySpec(
+        "heaps_vocab_growth", heaps_vocab_growth, HEAPS_SQL,
+        doc="Heaps-law vocabulary-growth curve at 8 global-token checkpoints "
+            "via the two-phase prefix scan",
+    ),
     QuerySpec(
         "phrase_detection_pmi", phrase_detection_pmi, PHRASE_PMI_SQL,
         doc="word2vec collocation mining: discounted PMI over adjacent "
