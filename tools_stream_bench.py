@@ -443,11 +443,14 @@ def main() -> None:
         f"{root}/bl_ckpt",
     )
     wall = _drain(q)
+    # serve at an absolute threshold the 40x-copied crawl exercises (the
+    # corpus-relative default needs df >= n_docs/25 = 800; the synthetic
+    # stream's duplication tops out at the copy count)
     record(
         "boilerplate_line_index",
         n_docs,
         wall,
-        current_boilerplate(bl_lines, bl_stats).count(),
+        current_boilerplate(bl_lines, bl_stats, min_docs=30, min_docs_per=None).count(),
     )
 
     payload = {
