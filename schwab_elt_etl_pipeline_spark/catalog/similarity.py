@@ -268,6 +268,85 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, neg_id ASC) = 1
 """
 
 
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) training triplets for contrastive /
+    InfoNCE embedding training: per anchor, the highest-cosine SAME-label
+    neighbor (hardest positive) and the highest-cosine DIFFERENT-label
+    vector (hardest negative) inside the anchor's sign-LSH bucket; anchors
+    missing either candidate drop out. The mining step a retrieval-model
+    data pipeline runs after dedup — hard pairs dominate gradient quality
+    (public literature: InfoNCE / SimCLR / DPR mining).
+
+    Shape: ONE bucket equi-join bounds candidates to the anchor's cell
+    (O(N²/2^bits) spread across co-partitioned cells, the
+    ``hard_negative_mining`` discipline), then BOTH argmaxes fold in ONE
+    grouped aggregate — min over struct(-cos, id), no window, ties by id.
+    Margins are differences of identical 6-digit doubles, so they
+    hash-match across engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        as_double("embedding").alias("a_vec"),
+    ).withColumn("bucket", sign_bucket(F.col("a_vec"), 4))
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        as_double("embedding").alias("b_vec"),
+    ).withColumn("bucket", sign_bucket(F.col("b_vec"), 4))
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("a_label") == F.col("b_label")).alias("same"),
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cos"),
+        )
+    )
+    cand = F.struct((-F.col("cos")).alias("neg_cos"), F.col("b_id").alias("id"))
+    folded = scored.groupBy("a_id").agg(
+        F.min(F.when(F.col("same"), cand)).alias("_p"),
+        F.min(F.when(~F.col("same"), cand)).alias("_n"),
+    )
+    return (
+        folded.filter(F.col("_p").isNotNull() & F.col("_n").isNotNull())
+        .select(
+            "a_id",
+            F.col("_p.id").alias("pos_id"),
+            (-F.col("_p.neg_cos")).alias("pos_cos"),
+            F.col("_n.id").alias("neg_id"),
+            (-F.col("_n.neg_cos")).alias("neg_cos"),
+            F.round(-F.col("_p.neg_cos") + F.col("_n.neg_cos"), 6).alias("margin"),
+        )
+    )
+
+
+CONTRASTIVE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         {_BUCKET_SQL.format(v="(embedding::DOUBLE[])")} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         a.label = b.label AS same,
+         ROUND({_COS_SQL.format(a="a.v", b="b.v")}, 6) AS cos
+  FROM e a JOIN e b USING (bucket)
+  WHERE a.vec_id <> b.vec_id
+), pos AS (
+  SELECT a_id, b_id AS pos_id, cos AS pos_cos FROM scored WHERE same
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) = 1
+), neg AS (
+  SELECT a_id, b_id AS neg_id, cos AS neg_cos FROM scored WHERE NOT same
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) = 1
+)
+SELECT p.a_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+       ROUND(p.pos_cos - n.neg_cos, 6) AS margin
+FROM pos p JOIN neg n USING (a_id)
+"""
+
+
 def _shortlist_rerank_verdicts(
     emb: DataFrame, q: DataFrame, shortlist: DataFrame, recall_floor: int
 ) -> DataFrame:
@@ -605,4 +684,7 @@ SPECS = [
               doc="filter-then-refine ANN: 8-d sign-projection coarse pass + exact re-rank"),
     QuerySpec("hard_negative_mining", hard_negative_mining, HARD_NEGATIVE_SQL,
               doc="contrastive hard-negative mining within sign-LSH buckets"),
+    QuerySpec("contrastive_triplets", contrastive_triplets, CONTRASTIVE_SQL,
+              doc="(anchor, hardest positive, hardest negative) training "
+                  "triplets in one bucket join + one grouped double-argmax"),
 ]

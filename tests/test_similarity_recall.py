@@ -388,3 +388,35 @@ def test_mmr_rerank_rejects_pool_past_packing_bound(spark):
     )
     with pytest.raises(ValueError, match="pool"):
         mmr_rerank_topk(emb, emb, pool=64, k=3)
+
+
+def test_contrastive_triplets_pick_hardest_pair(spark, tmp_path):
+    """The triplet for each anchor is (max-cos same-label, max-cos
+    diff-label) within its bucket; anchors lacking either side drop out."""
+    import os
+
+    from schwab_elt_etl_pipeline_spark.catalog.similarity import (
+        contrastive_triplets,
+    )
+
+    # all vectors share one bucket (same orthant); label 0: ids 1,2,3 with
+    # 2 closer to 1 than 3; label 1: ids 10,11 with 10 closer to 1.
+    rows = [
+        (1, [1.0, 0.1, 0.1, 0.1], 0),
+        (2, [1.0, 0.2, 0.1, 0.1], 0),
+        (3, [1.0, 0.9, 0.9, 0.9], 0),
+        (10, [1.0, 0.4, 0.1, 0.1], 1),
+        (11, [1.0, 0.9, 0.1, 0.9], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path)
+    emb.write.parquet(os.path.join(sf, "embeddings.parquet"))
+    out = {
+        r.a_id: (r.pos_id, r.neg_id, r.margin)
+        for r in contrastive_triplets(spark, sf).collect()
+    }
+    assert out[1][0] == 2 and out[1][1] == 10  # hardest pos / hardest neg
+    assert out[1][2] > 0  # positive still closer than the hard negative
+    assert set(out) == {1, 2, 3, 10, 11}  # every anchor has both sides here
