@@ -1277,6 +1277,74 @@ w{n} AS (SELECT e{n}.source,
         FROM e{n} JOIN w{p} USING (source), mx{n})"""
 
 
+def kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram quality score (d = 3/4, Chen &
+    Goodman) — the exact-rational member of the LM family: every
+    per-bigram probability is ONE DECIMAL(38,0) cross-multiplication
+    floored to parts-per-billion, unseen histories back off to the KN
+    continuation probability N1+(.,w)/T, and the per-doc score is an
+    integer mean — no floats anywhere, so Spark and DuckDB (HUGEINT)
+    agree bit-for-bit. Trained on the shared held-in slice
+    (``operators/langmodel.py held_in``), scored over the whole corpus
+    through the shared ``doc_bigrams`` extraction; the derived KN
+    statistics (c(v), N1+(v,.), N1+(.,w), T) are Zipf-bounded vocabulary
+    aggregations that broadcast."""
+    from schwab_elt_etl_pipeline_spark.operators.langmodel import (
+        doc_bigrams,
+        held_in,
+        kn_score_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    big = doc_bigrams(docs)
+    trained = (
+        doc_bigrams(docs.filter(held_in()))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("bc"))
+    )
+    return kn_score_docs(big, trained)
+
+
+KNESER_NEY_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS t FROM documents
+), big AS (
+  SELECT doc_id,
+         UNNEST(t[1:len(t)-1]) AS prev,
+         UNNEST(t[2:len(t)]) AS cur
+  FROM d WHERE len(t) >= 2
+), bigram AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS bc
+  FROM big WHERE doc_id % 5 > 0 GROUP BY prev, cur
+), pp AS (
+  SELECT prev, CAST(SUM(bc) AS BIGINT) AS cv, CAST(COUNT(*) AS BIGINT) AS n1v
+  FROM bigram GROUP BY prev
+), pc AS (
+  SELECT cur, CAST(COUNT(*) AS BIGINT) AS n1w FROM bigram GROUP BY cur
+), tt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM bigram
+), scored AS (
+  SELECT b.doc_id,
+         CASE WHEN pp.cv IS NOT NULL THEN CAST(
+           ((CAST(GREATEST(4 * COALESCE(g.bc, 0) - 3, 0) AS HUGEINT) * tt.tt
+             + 3 * CAST(pp.n1v AS HUGEINT) * COALESCE(pc.n1w, 0))
+            * 1000000000)
+           // (4 * CAST(pp.cv AS HUGEINT) * tt.tt) AS BIGINT)
+         ELSE CAST(
+           (CAST(COALESCE(pc.n1w, 0) AS HUGEINT) * 1000000000) // tt.tt
+           AS BIGINT) END AS ppb
+  FROM big b
+  LEFT JOIN bigram g ON g.prev = b.prev AND g.cur = b.cur
+  LEFT JOIN pp ON pp.prev = b.prev
+  LEFT JOIN pc ON pc.cur = b.cur
+  CROSS JOIN tt
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(SUM(ppb) // COUNT(*) AS BIGINT) AS kn_avg_ppb
+FROM scored GROUP BY doc_id
+"""
+
+
 DOREMI_SQL = rf"""
 WITH d AS MATERIALIZED (
   SELECT doc_id, source, lang,
@@ -1328,6 +1396,9 @@ SPECS = [
               BIGRAM_LM_SQL, headline=True,
               doc="interpolated bigram-LM quality gate, trained on held-in "
                   "slice, bottom-quantile drop"),
+    QuerySpec("kneser_ney_score", kneser_ney_score, KNESER_NEY_SQL,
+              doc="interpolated Kneser-Ney bigram score (d=3/4) as exact "
+                  "DECIMAL(38,0)/HUGEINT rationals, parts-per-billion"),
     QuerySpec("dsir_importance_select", dsir_importance_select, DSIR_SQL,
               doc="DSIR-style importance resampling: target-vs-raw bigram "
                   "mass weights (all-integer), exact-k PPS stride draw"),

@@ -1053,6 +1053,7 @@ SPECS = [
     QuerySpec("passage_dedup", passage_dedup, PASSAGE_DEDUP_SQL, headline=True,
               doc="sub-document passage-level exact dedup with text rebuild"),
     QuerySpec("boilerplate_line_scrub", boilerplate_line_scrub, BOILERPLATE_SQL,
+              headline=True,
               doc="CCNet-style corpus-frequency boilerplate line removal"),
     QuerySpec("sequence_packing", sequence_packing, SEQUENCE_PACKING_SQL,
               doc="concatenate-and-chunk training-sequence assignment per shard"),

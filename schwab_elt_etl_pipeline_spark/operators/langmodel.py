@@ -122,3 +122,67 @@ def lm_score_docs(
             * F.lit(250000.0)
         ).alias("score_ppm"),
     )
+
+
+def kn_stats(bigram: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Kneser-Ney statistics derived from a trained (prev, cur, bc) table:
+    per-prev (cv = c(v), n1v = N1+(v,.)), per-cur (n1w = N1+(., w)), and
+    the 1-row distinct-bigram-type total ``tt`` = N1+(..). All Zipf-bounded
+    vocabulary aggregations — nothing here scales with corpus token count.
+    """
+    per_prev = bigram.groupBy("prev").agg(
+        F.sum("bc").cast("long").alias("cv"),
+        F.count(F.lit(1)).cast("long").alias("n1v"),
+    )
+    per_cur = bigram.groupBy("cur").agg(
+        F.count(F.lit(1)).cast("long").alias("n1w")
+    )
+    tt = bigram.agg(F.count(F.lit(1)).cast("long").alias("tt"))
+    return per_prev, per_cur, tt
+
+
+# Interpolated Kneser-Ney with discount d = 3/4 (Chen & Goodman 1999,
+# public literature), as ONE exact rational per bigram:
+#
+#   P(w|v) = max(c(vw) - 3/4, 0)/c(v) + (3/4)(N1+(v,.)/c(v))(N1+(.,w)/T)
+#          = [max(4 c(vw) - 3, 0) T + 3 N1+(v,.) N1+(.,w)] / (4 c(v) T)
+#
+# numerator/denominator in DECIMAL(38,0) (HUGEINT on the oracle side — the
+# DSIR/DoReMi cross-multiplication discipline; 4 c T 1e9 stays under 1e38
+# far past 100 TB), floored to parts-per-billion with integral div so both
+# engines agree bit-for-bit. Unseen history backs off to pure continuation
+# probability N1+(.,w)/T — the KN base case.
+_KN_PPB = """
+    CASE WHEN cv IS NOT NULL THEN cast(
+      ((cast(greatest(4 * coalesce(bc, 0L) - 3, 0L) as decimal(38,0)) * tt
+        + 3 * cast(n1v as decimal(38,0)) * coalesce(n1w, 0L)) * 1000000000)
+      div (4 * cast(cv as decimal(38,0)) * tt) as long)
+    ELSE cast(
+      (cast(coalesce(n1w, 0L) as decimal(38,0)) * 1000000000) div tt as long)
+    END"""
+
+
+def kn_score_docs(
+    big: DataFrame, bigram: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_big, kn_avg_ppb) for every document in ``big`` (a
+    ``doc_bigrams`` stream) against a trained bigram table, under
+    interpolated Kneser-Ney smoothing with d = 3/4 — the exact-rational
+    member of the LM quality family (the 0.75/0.25 interpolation in
+    ``lm_score_docs`` is the float fixed-order form; this one is
+    all-integer end to end, so it composes with the hashed-output
+    discipline anywhere a float would be a liability). Model-side joins
+    broadcast (Zipf-bounded); the per-bigram probability is one
+    DECIMAL(38,0) expression, the per-doc score an integer mean."""
+    per_prev, per_cur, tt = kn_stats(bigram)
+    scored = (
+        big.join(F.broadcast(bigram), ["prev", "cur"], "left")
+        .join(F.broadcast(per_prev), "prev", "left")
+        .join(F.broadcast(per_cur), "cur", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(F.col(id_col), F.expr(_KN_PPB).alias("ppb"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_big"),
+        F.expr("cast(sum(ppb) div count(1) as long)").alias("kn_avg_ppb"),
+    )

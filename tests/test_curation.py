@@ -5,6 +5,8 @@ exercise)."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.operators.curation import (
@@ -213,3 +215,48 @@ def test_semantic_decontam_flags_only_close_vectors(spark):
         for r in semantic_decontam(train, evalset, threshold=0.5).collect()
     }
     assert out == {1: (1.0, 2), 3: (0.6, 1)}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    min_docs=st.integers(min_value=2, max_value=4),
+)
+def test_boilerplate_scrub_matches_python_reference(spark, texts, min_docs):
+    """Spark frequency rule == a sequential Python reference: chunk into
+    2-token lines, count distinct docs per line, excise lines at df >=
+    min_docs from every doc, rebuild in position order."""
+    from schwab_elt_etl_pipeline_spark.operators.curation import (
+        boilerplate_scrub,
+    )
+
+    docs = list(enumerate(texts))
+
+    def lines_of(text):
+        toks = text.split()
+        return [" ".join(toks[i : i + 2]) for i in range(0, len(toks), 2)]
+
+    df = {}
+    for i, t in docs:
+        for ln in set(lines_of(t)):
+            df[ln] = df.get(ln, 0) + 1
+    want = {}
+    for i, t in docs:
+        lns = lines_of(t)
+        kept = [ln for ln in lns if df[ln] < min_docs]
+        want[i] = (" ".join(kept), len(lns), len(lns) - len(kept))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_lines, r.n_removed)
+        for r in boilerplate_scrub(
+            sdf, passage_tokens=2, min_docs=min_docs
+        ).collect()
+    }
+    assert got == want

@@ -91,6 +91,7 @@ _SANCTIONED_BNLJ = {
     "tfidf_topk_keywords",   # 1-row doc-count broadcast
     "boilerplate_line_scrub",  # 1-row doc-count threshold scalar
     "semantic_decontam_select",  # corpus x broadcast eval-anchor set
+    "kneser_ney_score",      # 1-row bigram-type-total scalar
     "event_funnel",          # 1-row base-population broadcast
     "dq_expectations_orders",  # crossJoin of two 1-row check aggregates
     "a_heavy_hitters_sketch",  # 1-row token-total + 1-row sketch broadcast

@@ -117,6 +117,7 @@ _BNLJ_OK = {
     "tfidf_topk_keywords",   # 1-row doc-count scalar
     "boilerplate_line_scrub",  # 1-row doc-count threshold scalar
     "semantic_decontam_select",  # corpus x broadcast eval-anchor set
+    "kneser_ney_score",      # 1-row bigram-type-total scalar
     "event_funnel",          # 1-row base-population scalar
     "ann_cosine_topk",       # ≤8-row query-vector set
     "retrieval_mmr_diverse",  # pool stage: ≤8-row query-vector set
