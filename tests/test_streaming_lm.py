@@ -101,3 +101,35 @@ def test_lm_counts_epoch_replay_idempotent(spark, dirs):
     update_lm_counts(docs, bigram, unigram, epoch=0)  # replayed delivery
     assert (bigram.read().count(), unigram.read().count()) == (n_b, n_u)
     assert _scores(docs, current_lm_model(bigram, unigram)) == snap
+
+
+def test_kn_scoring_from_maintained_model_matches_batch(spark, dirs):
+    """Kneser-Ney scoring through the SHARED kernel against the drained
+    incremental model equals batch training — KN derives everything from
+    the (prev, cur, bc) table, so model parity lifts to KN parity."""
+    from schwab_elt_etl_pipeline_spark.operators.langmodel import kn_score_docs
+
+    _, _, wh = dirs
+    docs = load_table(spark, SF_DIR, "documents")
+    files = [r.doc_id % 4 for r in docs.select("doc_id").collect()]
+    assert len(set(files)) > 1  # genuinely multi-batch
+
+    bigram = ParquetTable(spark, f"{wh}/kn_bigram")
+    unigram = ParquetTable(spark, f"{wh}/kn_unigram")
+    for part in sorted(set(files)):
+        update_lm_counts(
+            docs.filter(F.col("doc_id") % 4 == part), bigram, unigram, epoch=part
+        )
+    maintained_bg, _ = current_lm_model(bigram, unigram)
+    batch_bg, _ = _batch_model(docs)
+
+    big = doc_bigrams(docs)
+    got = {
+        r.doc_id: (r.n_big, r.kn_avg_ppb)
+        for r in kn_score_docs(big, maintained_bg).collect()
+    }
+    want = {
+        r.doc_id: (r.n_big, r.kn_avg_ppb)
+        for r in kn_score_docs(big, batch_bg).collect()
+    }
+    assert got == want
