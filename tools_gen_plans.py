@@ -42,6 +42,7 @@ _NAMES = [
     "boilerplate_line_scrub",
     "wordpiece_tokenize",
     "semantic_decontam_select",
+    "kneser_ney_score",
 ]
 
 _HEADER = """# PLANS — executed physical plans of the heaviest headline queries

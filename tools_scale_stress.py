@@ -111,6 +111,9 @@ QUERIES = [
     # construction — in production the eval set is FIXED and the scan is
     # linear in the corpus; this perturbation cannot represent that.
     "wordpiece_tokenize",
+    # Kneser-Ney: two corpus passes + Zipf-bounded broadcast statistics —
+    # the ratio certifies the DECIMAL(38,0) rational stays per-row work
+    "kneser_ney_score",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
