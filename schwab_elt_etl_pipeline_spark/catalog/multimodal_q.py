@@ -152,6 +152,78 @@ WHERE bit_count(xor(a.ph, b.ph)) <= 4
 IMAGE_PHASH_SQL = _phash_oracle_sql()
 
 
+def video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs via per-frame perceptual hashes — the third
+    member of the multimodal dedup triple (image pHash, audio
+    fingerprint, now video): each of the 4 deterministic frames of every
+    'video'-kind document gets a 63-bit integer-DCT pHash; candidates
+    bucket frame-AGNOSTICALLY on the pigeonhole (block, key) (frame i may
+    match frame j — the shifted-clip case) and a pair is a near-dup when
+    >= 2 distinct frame pairs verify within Hamming 4. Pigeonhole recall
+    holds per frame pair; the oracle is the brute-force ALL-(video,frame)-
+    PAIRS Hamming scan, so the match certifies that no qualifying frame
+    match was missed. Core in ``operators/phash.py video_phash_pairs``."""
+    from schwab_elt_etl_pipeline_spark.operators.phash import video_phash_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return video_phash_pairs(docs, frames=4, blocks=5, max_hamming=4, min_frames=2)
+
+
+def _video_phash_oracle_sql() -> str:
+    from schwab_elt_etl_pipeline_spark.operators.phash import CT
+
+    ct_rows = ",".join(
+        f"({u},{x},{CT[u * 8 + x]})" for u in range(8) for x in range(8)
+    )
+    return rf"""
+WITH ct(u, x, c) AS (VALUES {ct_rows}),
+fr(f) AS (VALUES (0),(1),(2),(3)),
+words AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+  FROM documents WHERE doc_id % 3 = 2
+),
+px AS (
+  SELECT doc_id, fr.f AS f,
+         CAST((LENGTH(w) * 31 + ascii(w) + fr.f * 7) % 64 AS BIGINT) AS cell,
+         LEAST(COUNT(*), 255) AS p
+  FROM words CROSS JOIN fr GROUP BY doc_id, f, cell
+),
+s1 AS (
+  SELECT px.doc_id, px.f, px.cell // 8 AS y, ct.u, SUM(px.p * ct.c) AS s
+  FROM px JOIN ct ON ct.x = px.cell % 8
+  GROUP BY px.doc_id, px.f, y, ct.u
+),
+co AS (
+  SELECT s1.doc_id, s1.f, s1.u, ct.u AS v, CAST(SUM(s1.s * ct.c) AS BIGINT) AS coeff
+  FROM s1 JOIN ct ON ct.x = s1.y
+  GROUP BY s1.doc_id, s1.f, s1.u, v
+),
+ac AS (SELECT doc_id, f, u, v, coeff FROM co WHERE NOT (u = 0 AND v = 0)),
+tot AS (SELECT doc_id, f, CAST(SUM(coeff) AS BIGINT) AS sac FROM ac GROUP BY doc_id, f),
+h AS (
+  SELECT ac.doc_id, ac.f,
+         CAST(SUM(CASE WHEN 63 * ac.coeff > tot.sac
+                  THEN 1::BIGINT << (ac.u * 8 + ac.v - 1) ELSE 0 END) AS BIGINT) AS ph
+  FROM ac JOIN tot USING (doc_id, f) GROUP BY ac.doc_id, ac.f
+),
+m AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hm
+  FROM h a JOIN h b ON b.doc_id > a.doc_id
+  WHERE bit_count(xor(a.ph, b.ph)) <= 4
+)
+SELECT a_id, b_id, COUNT(*) AS n_frame_matches, MIN(hm) AS min_hamming
+FROM m GROUP BY a_id, b_id HAVING COUNT(*) >= 2
+"""
+
+
+VIDEO_PHASH_SQL = _video_phash_oracle_sql()
+
+
 def audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haitsma-Kalker audio-fingerprint near-dup pairs: 10-frame x 8-band
     integer energy grid per track -> 63 double-difference sign bits ->
@@ -221,6 +293,12 @@ SPECS = [
         IMAGE_PHASH_SQL,
         headline=True,
         doc="pHash image near-dup: integer-DCT hash, pigeonhole Hamming blocks, all-pairs oracle",
+    ),
+    QuerySpec(
+        "video_phash_neardup",
+        video_phash_neardup,
+        VIDEO_PHASH_SQL,
+        doc="video near-dup via per-frame pHash: frame-agnostic pigeonhole candidates, >=2-frame vote, all-pairs oracle",
     ),
     QuerySpec(
         "audio_fp_neardup",

@@ -224,3 +224,103 @@ def phash_from_luma_array(
         F.posexplode(F.col(luma_col)).alias("cell", "px"),
     ).filter(F.col("px") != 0)
     return phash64(cells.select("id", F.col("cell").cast("long"), F.col("px").cast("long")))
+
+
+def video_frame_cells(
+    docs: DataFrame,
+    frames: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-frame 8x8 luma thumbnails for the video catalog
+    stand-in: frame ``f`` rotates the content histogram's cell key by
+    ``7f`` (a content-preserving permutation, so copies and near-copies
+    of a video produce matching frame sequences — the property per-frame
+    video dedup needs). Real decoded frames enter per frame through
+    :func:`phash_from_luma_array`. Output: (id, frame, cell, px)."""
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    return (
+        words.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(frames - 1))).alias("frame"),
+            F.col("w"),
+        )
+        .select(
+            "id",
+            "frame",
+            ((F.length("w") * 31 + F.ascii("w") + F.col("frame") * 7) % 64)
+            .cast("long")
+            .alias("cell"),
+        )
+        .groupBy("id", "frame", "cell")
+        .agg(F.least(F.count(F.lit(1)), F.lit(255)).cast("long").alias("px"))
+    )
+
+
+def video_phash_pairs(
+    docs: DataFrame,
+    frames: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocks: int = 5,
+    max_hamming: int = 4,
+    min_frames: int = 2,
+) -> DataFrame:
+    """Video near-dup pairs via per-frame perceptual hashes: every frame
+    gets a pHash, candidates bucket frame-AGNOSTICALLY on the pigeonhole
+    (block, key) — frame i of one video may match frame j of another, the
+    shifted-clip case — and a video pair is a near-dup when at least
+    ``min_frames`` distinct frame pairs verify within the Hamming radius
+    (the standard multi-sub-fingerprint vote, Haitsma-Kalker style applied
+    to video). Pigeonhole recall holds PER FRAME PAIR, so no qualifying
+    frame match is ever missed — certified by the brute-force all-pairs
+    oracle (``catalog/multimodal_q.py video_phash_neardup``).
+
+    Output: (a_id, b_id, n_frame_matches, min_hamming). One extra shuffle
+    vs the image path (the per-video-pair vote); everything else is the
+    shared machinery.
+    """
+    if max_hamming > blocks - 1:
+        raise ValueError(
+            f"pigeonhole recall only guaranteed to hamming {blocks - 1}; "
+            f"got max_hamming={max_hamming}"
+        )
+    cells = video_frame_cells(docs, frames, id_col, text_col)
+    # composite key rides through phash64's single id column
+    hashes = phash64(
+        cells.select(
+            (F.col("id") * 16 + F.col("frame")).alias("id"), "cell", "px"
+        )
+    )
+    banded = phash_blocked(hashes, blocks)
+    a, b = banded.alias("a"), banded.alias("b")
+    matches = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.expr("a.id div 16") < F.expr("b.id div 16")),
+        )
+        .select(
+            F.expr("a.id div 16").alias("a_id"),
+            F.expr("b.id div 16").alias("b_id"),
+            F.expr("a.id % 16").alias("fa"),
+            F.expr("b.id % 16").alias("fb"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id", "fa", "fb"])
+    )
+    return (
+        matches.groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frame_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_frame_matches") >= min_frames)
+    )

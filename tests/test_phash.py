@@ -83,3 +83,29 @@ def test_luma_cells_caps_and_buckets(spark):
     assert len(rows) == 1
     assert rows[0].px == 255  # clamped
     assert rows[0].cell == (2 * 31 + ord("a")) % 64
+
+
+def test_video_phash_pairs_vote_over_frames(spark):
+    """A copied video matches on ALL frames at Hamming 0, a lightly-edited
+    one on >= 2 frames, an unrelated one not at all; the pigeonhole guard
+    still applies."""
+    from schwab_elt_etl_pipeline_spark.operators.phash import (
+        video_phash_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    near = base.replace("theta", "thetaX", 1)
+    far = "one two three four five six seven eight nine ten " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], "doc_id long, text string"
+    )
+    out = {
+        (r.a_id, r.b_id): (r.n_frame_matches, r.min_hamming)
+        for r in video_phash_pairs(docs).collect()
+    }
+    assert out[(1, 2)] == (4, 0)  # exact copy: every frame, distance 0
+    assert (1, 3) in out and out[(1, 3)][0] >= 2  # edited copy: frame vote
+    assert all(4 not in pair for pair in out)  # unrelated video never pairs
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        video_phash_pairs(docs, blocks=5, max_hamming=5)
