@@ -43,6 +43,7 @@ _NAMES = [
     "wordpiece_tokenize",
     "semantic_decontam_select",
     "kneser_ney_score",
+    "video_phash_neardup",
 ]
 
 _HEADER = """# PLANS — executed physical plans of the heaviest headline queries

@@ -114,6 +114,9 @@ QUERIES = [
     # Kneser-Ney: two corpus passes + Zipf-bounded broadcast statistics —
     # the ratio certifies the DECIMAL(38,0) rational stays per-row work
     "kneser_ney_score",
+    # video pHash: 4x the image-pHash hash work + the per-video-pair vote;
+    # copy-tag replicas grow frame buckets linearly like the image twin
+    "video_phash_neardup",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
