@@ -398,6 +398,58 @@ def update_afp_index(
     return _update_blocked_hash_index(signed, index, hash_col="afp")
 
 
+def update_video_phash_index(
+    batch: DataFrame,
+    index: ParquetTable,
+    frames: int = 4,
+    blocks: int = 5,
+    max_hamming: int = 4,
+    min_frames: int = 2,
+) -> DataFrame:
+    """Incrementally maintain the per-frame video pHash index and return
+    the batch's video near-dup verdicts against the corpus so far — the
+    video member of the incremental index family. The blocked probe runs
+    on frame-composite ids (id*16+frame) through the SHARED
+    ``_update_blocked_hash_index`` protocol, then the >= ``min_frames``
+    distinct-frame-pair vote reduces frame candidates to video verdicts
+    (the batch operator's rule, ``operators/phash.py video_phash_pairs``).
+    Output: ``(batch_id, index_id, n_frame_matches, min_hamming)``."""
+    from schwab_elt_etl_pipeline_spark.operators.phash import (
+        phash64,
+        phash_blocked,
+        video_frame_cells,
+    )
+
+    cells = video_frame_cells(batch, frames)
+    signed = phash_blocked(
+        phash64(
+            cells.select(
+                (F.col("id") * 16 + F.col("frame")).alias("id"), "cell", "px"
+            )
+        ),
+        blocks=blocks,
+    ).localCheckpoint(eager=True)
+    frame_cands = _update_blocked_hash_index(signed, index, hash_col="phash")
+    return (
+        frame_cands.filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.expr("batch_id div 16").alias("batch_id"),
+            F.expr("index_id div 16").alias("index_id"),
+            F.expr("batch_id % 16").alias("fa"),
+            F.expr("index_id % 16").alias("fb"),
+            "hamming",
+        )
+        .filter(F.col("batch_id") != F.col("index_id"))
+        .dropDuplicates(["batch_id", "index_id", "fa", "fb"])
+        .groupBy("batch_id", "index_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frame_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_frame_matches") >= min_frames)
+    )
+
+
 def update_ann_index(
     batch: DataFrame,
     index: ParquetTable,

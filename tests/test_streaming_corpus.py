@@ -757,3 +757,50 @@ def test_incremental_afp_index_matches_batch_operator(spark, dirs):
     n = index.read().count()
     update_afp_index(spark.createDataFrame(rows2, schema), index)
     assert index.read().count() == n
+
+
+def test_incremental_video_phash_index_matches_batch_operator(spark, dirs):
+    """Stream-incremental video near-dup verdicts over two batches equal
+    the batch operator over the union corpus (the frame-pair vote is
+    symmetric, so normalized pairs carry identical counts/minima), and
+    the index append is replay-idempotent."""
+    from schwab_elt_etl_pipeline_spark.operators.phash import video_phash_pairs
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import (
+        update_video_phash_index,
+    )
+
+    _, idx_dir, _ = dirs
+    index = ParquetTable(spark, idx_dir)
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows1 = [
+        (1, base),
+        (2, base.replace("zeta", "zetaX", 1)),
+        (3, "one two three four five six seven eight nine ten " * 5),
+    ]
+    rows2 = [
+        (11, base.replace("eta", "etaY", 1)),   # near-dup arriving later
+        (12, "completely novel words about spark shuffles and joins here"),
+    ]
+    schema = "doc_id long, text string"
+    out1 = update_video_phash_index(spark.createDataFrame(rows1, schema), index)
+    out2 = update_video_phash_index(spark.createDataFrame(rows2, schema), index)
+    streamed = {
+        tuple(sorted((r["batch_id"], r["index_id"]))): (
+            r["n_frame_matches"],
+            r["min_hamming"],
+        )
+        for out in (out1, out2)
+        for r in out.collect()
+    }
+    expected = {
+        (r["a_id"], r["b_id"]): (r["n_frame_matches"], r["min_hamming"])
+        for r in video_phash_pairs(
+            spark.createDataFrame(rows1 + rows2, schema)
+        ).collect()
+    }
+    assert streamed == expected
+    assert (1, 2) in streamed  # sanity: near-dups collide on >= 2 frames
+
+    n = index.read().count()
+    update_video_phash_index(spark.createDataFrame(rows2, schema), index)
+    assert index.read().count() == n
