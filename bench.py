@@ -19,6 +19,24 @@ from schwab_elt_etl_pipeline_spark.catalog import all_specs
 from schwab_elt_etl_pipeline_spark.session import get_spark
 
 
+def _load_sentinel(spark) -> float:
+    """Fixed CPU-bound probe: best-of-3 of a 32-partition sum over 50M
+    longs — pure whole-stage codegen, no I/O, no data dependence. Its
+    time on an idle host is a constant for a given JVM, so when a bench
+    artifact shows every query uniformly slower AND the sentinel is
+    inflated by the same factor, the cause is machine-level load during
+    the run, not a code regression (the r9 adjudication gap this field
+    exists to close). Run AFTER warm-up so JIT isn't in the number."""
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(cast(id as double) * id) as s"
+        ).collect()
+        best = min(best, time.perf_counter() - start)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -26,6 +44,7 @@ def main() -> None:
     # JVM/codegen warm-up so the first measured query isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    sentinel_before = _load_sentinel(spark)
 
     # Deterministic execution order (sorted by name): all_specs() is
     # LASTGREEN-sorted and re-shuffles every round, which injects up to
@@ -68,6 +87,7 @@ def main() -> None:
                 # drop caches/persists a query may have created so later
                 # queries aren't taxed by leaked executor memory
                 spark.catalog.clearCache()
+    sentinel_after = _load_sentinel(spark)
     timings = {n: round(t, 3) for n, t in best.items() if t != float("inf")}
     total = sum(timings.values())
     # "errors" = queries with NO successful round (they're missing from
@@ -84,6 +104,11 @@ def main() -> None:
             {
                 "metric": "headline catalog queries, total wall-clock (best-of-N per query)",
                 "order": "sorted-by-name",
+                # host-load probes bracketing the run (see _load_sentinel):
+                # compare across rounds — uniform query inflation with a
+                # matching sentinel inflation = environmental, not code
+                "sentinel_before_sec": sentinel_before,
+                "sentinel_after_sec": sentinel_after,
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,

@@ -1322,7 +1322,8 @@ WITH d AS (
 ), pc AS (
   SELECT cur, CAST(COUNT(*) AS BIGINT) AS n1w FROM bigram GROUP BY cur
 ), tt AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM bigram
+  -- GREATEST(.., 1): same empty-model zero-divisor floor as kn_stats
+  SELECT CAST(GREATEST(COUNT(*), 1) AS BIGINT) AS tt FROM bigram
 ), scored AS (
   SELECT b.doc_id,
          CASE WHEN pp.cv IS NOT NULL THEN CAST(

@@ -298,6 +298,7 @@ SPECS = [
         "video_phash_neardup",
         video_phash_neardup,
         VIDEO_PHASH_SQL,
+        headline=True,  # slowest plan in the repo — keep its cost visible
         doc="video near-dup via per-frame pHash: frame-agnostic pigeonhole candidates, >=2-frame vote, all-pairs oracle",
     ),
     QuerySpec(

@@ -59,13 +59,14 @@ def _e(f: str, b: str) -> str:
 
 # bit k (k = (n-1)*(BANDS-1) + m; n in 1..FRAMES-1, m in 0..BANDS-2) set iff
 # the band-delta D(n,m) = E(n,m) - E(n,m+1) grew since the previous frame.
+_B1 = BANDS - 1  # bits per frame-pair; the k -> (n, m) divisor
 _BITS_EXPR = f"""
     aggregate(
       sequence(0, {BITS - 1}),
       0L,
       (acc, k) -> acc + CASE WHEN
-          ({_e("k div 7 + 1", "k % 7")} - {_e("k div 7 + 1", "k % 7 + 1")})
-        - ({_e("k div 7", "k % 7")} - {_e("k div 7", "k % 7 + 1")}) > 0
+          ({_e(f"k div {_B1} + 1", f"k % {_B1}")} - {_e(f"k div {_B1} + 1", f"k % {_B1} + 1")})
+        - ({_e(f"k div {_B1}", f"k % {_B1}")} - {_e(f"k div {_B1}", f"k % {_B1} + 1")}) > 0
         THEN shiftleft(1L, cast(k as int)) ELSE 0L END
     )"""
 
@@ -80,8 +81,13 @@ def level_cells(
     catalog oracle can replay (real PCM enters via :func:`pcm_cells`).
 
     Output: (id, frame, band, e) sparse rows; absent cells are zero counts
-    and never materialize.
+    and never materialize. Empty-text docs are dropped up front: without
+    the guard ``sequence(1, 0)`` would step -1 and emit rows whose
+    ``div len`` frame is a NULL map key (a job-killing runtime error in
+    :func:`afp63`), while the DuckDB oracle's ``generate_series(1, 0)``
+    is empty — the filter keeps both engines on the same (empty) page.
     """
+    docs = docs.where(F.length(text_col) > 0)
     chars = docs.select(
         F.col(id_col).alias("id"),
         F.length(text_col).alias("len"),

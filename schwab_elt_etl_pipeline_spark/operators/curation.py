@@ -413,12 +413,13 @@ def boilerplate_scrub(
 
     Scale shape: one explode + ONE line-keyed distinct-doc count; the
     boilerplate set is at most corpus_lines / min_docs distinct lines
-    (Zipf-truncated much further in practice), so it BROADCASTS and the
-    excision is a broadcast LEFT ANTI join — the corpus never shuffles on
-    the wide text, and the rebuild groups on the id key only. Degradation
-    path at 100 TB: if the boilerplate set outgrows the broadcast
-    threshold, AQE falls back to a shuffled hash join on the line
-    fingerprint — same semantics, one extra exchange.
+    (Zipf-truncated much further in practice), so the excision anti-join
+    is left UNHINTED: AQE sees the post-threshold size and picks a
+    broadcast LEFT ANTI when it fits (the common case — the corpus never
+    shuffles on the wide text) and degrades to a shuffled hash join on
+    the line fingerprint when it doesn't — same semantics, one extra
+    exchange, no driver OOM from a forced-broadcast hint. Only the
+    genuinely-1-row threshold scalar carries an explicit broadcast hint.
 
     Reference behavior mirrored: the reference's dup-guards are row-keyed
     (tools/schwab.py:476-520 dup-guard insert); line-level corpus
@@ -445,7 +446,9 @@ def boilerplate_scrub(
         )
     else:
         boiler = dfc.filter(F.col("df") >= min_docs).select("passage")
-    kept = lines.join(F.broadcast(boiler), "passage", "left_anti")
+    # unhinted: AQE broadcasts when the boilerplate set fits, shuffles when
+    # it doesn't — a forced F.broadcast() would OOM on an outsized set
+    kept = lines.join(boiler, "passage", "left_anti")
     totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
     rebuilt = kept.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_kept"),

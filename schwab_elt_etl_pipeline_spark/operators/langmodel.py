@@ -137,7 +137,13 @@ def kn_stats(bigram: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     per_cur = bigram.groupBy("cur").agg(
         F.count(F.lit(1)).cast("long").alias("n1w")
     )
-    tt = bigram.agg(F.count(F.lit(1)).cast("long").alias("tt"))
+    # greatest(count, 1): an EMPTY trained table would make tt a zero
+    # divisor — Spark's decimal div nulls out while DuckDB's // raises, a
+    # silent-vs-error divergence. With the floor, the degenerate model
+    # scores every bigram at the 0-ppb backoff on both engines.
+    tt = bigram.agg(
+        F.greatest(F.count(F.lit(1)), F.lit(1)).cast("long").alias("tt")
+    )
     return per_prev, per_cur, tt
 
 

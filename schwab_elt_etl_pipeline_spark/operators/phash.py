@@ -166,6 +166,9 @@ def blocked_hamming_pairs(
             f"pigeonhole recall only guaranteed to hamming {blocks - 1}; "
             f"got max_hamming={max_hamming}"
         )
+    # pin the signature table (16 bytes/doc, corpus-text-free) so the
+    # upstream tokenize/DCT pipeline runs once, not once per join side
+    hashes = hashes.localCheckpoint(eager=True)
     banded = phash_blocked(hashes, blocks, hash_col, bits)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -226,6 +229,25 @@ def phash_from_luma_array(
     return phash64(cells.select("id", F.col("cell").cast("long"), F.col("px").cast("long")))
 
 
+def check_frame_composite(frames: int) -> None:
+    """Guard the id*16+frame composite key used by the video pHash paths.
+
+    The frame rides in the low 4 bits of the composite id, so
+    ``frames > 16`` would silently alias frames into NEIGHBORING videos'
+    composite ids (corrupted pairs, no error) — raise instead, the same
+    discipline as the MMR pool bound (``operators/similarity.py``).
+    Callers also require non-negative integral doc ids: ``div``/``%``
+    truncate toward zero, so a negative id would decompose wrongly, and
+    a non-numeric id nulls out the arithmetic — both silently.
+    """
+    if not 1 <= frames <= 16:
+        raise ValueError(
+            f"frames must be in [1, 16]: the composite key id*16+frame has "
+            f"4 bits of frame space and more would silently collide ids; "
+            f"got frames={frames}"
+        )
+
+
 def video_frame_cells(
     docs: DataFrame,
     frames: int = 4,
@@ -237,26 +259,36 @@ def video_frame_cells(
     ``7f`` (a content-preserving permutation, so copies and near-copies
     of a video produce matching frame sequences — the property per-frame
     video dedup needs). Real decoded frames enter per frame through
-    :func:`phash_from_luma_array`. Output: (id, frame, cell, px)."""
+    :func:`phash_from_luma_array`. Output: (id, frame, cell, px).
+
+    The token stream is aggregated ONCE on the frame-0 base cell — the
+    per-frame rotation ``(base + 7f) % 64`` is a bijection mod 64, so
+    per-(id, frame, cell) counts equal per-(id, base) counts and the
+    ``frames``x expansion can run AFTER the groupBy, over the <=64-row
+    per-doc histogram instead of the raw word stream. The shuffle is 1x
+    the words regardless of frame count (previously ``frames``x)."""
     words = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
     )
-    return (
+    base = (
         words.select(
             "id",
-            F.explode(F.sequence(F.lit(0), F.lit(frames - 1))).alias("frame"),
-            F.col("w"),
+            ((F.length("w") * 31 + F.ascii("w")) % 64).cast("long").alias("base"),
         )
-        .select(
-            "id",
-            "frame",
-            ((F.length("w") * 31 + F.ascii("w") + F.col("frame") * 7) % 64)
-            .cast("long")
-            .alias("cell"),
-        )
-        .groupBy("id", "frame", "cell")
+        .groupBy("id", "base")
         .agg(F.least(F.count(F.lit(1)), F.lit(255)).cast("long").alias("px"))
+    )
+    return base.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(frames - 1))).alias("frame"),
+        "base",
+        "px",
+    ).select(
+        "id",
+        "frame",
+        ((F.col("base") + F.col("frame") * 7) % 64).alias("cell"),
+        "px",
     )
 
 
@@ -281,20 +313,26 @@ def video_phash_pairs(
 
     Output: (a_id, b_id, n_frame_matches, min_hamming). One extra shuffle
     vs the image path (the per-video-pair vote); everything else is the
-    shared machinery.
+    shared machinery. Requires non-negative integral doc ids and
+    ``frames <= 16`` (the composite-key contract —
+    :func:`check_frame_composite`).
     """
+    check_frame_composite(frames)
     if max_hamming > blocks - 1:
         raise ValueError(
             f"pigeonhole recall only guaranteed to hamming {blocks - 1}; "
             f"got max_hamming={max_hamming}"
         )
     cells = video_frame_cells(docs, frames, id_col, text_col)
-    # composite key rides through phash64's single id column
+    # composite key rides through phash64's single id column; the hash
+    # table (one 16-byte row per frame — corpus-text-free, tiny at any
+    # scale) is pinned before the self-join so the tokenize+DCT pipeline
+    # runs ONCE, not once per join side
     hashes = phash64(
         cells.select(
             (F.col("id") * 16 + F.col("frame")).alias("id"), "cell", "px"
         )
-    )
+    ).localCheckpoint(eager=True)
     banded = phash_blocked(hashes, blocks)
     a, b = banded.alias("a"), banded.alias("b")
     matches = (
@@ -314,12 +352,15 @@ def video_phash_pairs(
             ),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["a_id", "b_id", "fa", "fb"])
     )
+    # one shuffle for dedup + vote: a frame pair surfacing from several
+    # blocks carries the SAME hamming (it depends only on the two hashes),
+    # so count_distinct over (fa, fb) + plain min replaces the former
+    # dropDuplicates-then-groupBy pair of exchanges exactly
     return (
         matches.groupBy("a_id", "b_id")
         .agg(
-            F.count(F.lit(1)).alias("n_frame_matches"),
+            F.count_distinct("fa", "fb").alias("n_frame_matches"),
             F.min("hamming").alias("min_hamming"),
         )
         .filter(F.col("n_frame_matches") >= min_frames)

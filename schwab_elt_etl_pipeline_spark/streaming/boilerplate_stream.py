@@ -129,11 +129,12 @@ def scrub_docs(
     passage_tokens: int = PASSAGE_TOKENS,
 ) -> DataFrame:
     """Excise a boilerplate set from documents with the batch operator's
-    algebra (broadcast LEFT ANTI + position-ordered rebuild): one
-    excision definition across the batch and streaming paths, so scrubbing
+    algebra (unhinted LEFT ANTI — AQE broadcasts a fitting set, shuffles
+    an outsized one — + position-ordered rebuild): one excision
+    definition across the batch and streaming paths, so scrubbing
     against the drained index is bit-identical to ``boilerplate_scrub``."""
     lp = split_passages(docs, "doc_id", "text", passage_tokens)
-    kept = lp.join(F.broadcast(boiler), "passage", "left_anti")
+    kept = lp.join(boiler, "passage", "left_anti")
     totals = lp.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
     rebuilt = kept.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_kept"),

@@ -413,13 +413,17 @@ def update_video_phash_index(
     ``_update_blocked_hash_index`` protocol, then the >= ``min_frames``
     distinct-frame-pair vote reduces frame candidates to video verdicts
     (the batch operator's rule, ``operators/phash.py video_phash_pairs``).
+    Requires non-negative integral doc ids and ``frames <= 16`` (the
+    composite-key contract, ``operators/phash.py check_frame_composite``).
     Output: ``(batch_id, index_id, n_frame_matches, min_hamming)``."""
     from schwab_elt_etl_pipeline_spark.operators.phash import (
+        check_frame_composite,
         phash64,
         phash_blocked,
         video_frame_cells,
     )
 
+    check_frame_composite(frames)
     cells = video_frame_cells(batch, frames)
     signed = phash_blocked(
         phash64(
@@ -440,10 +444,11 @@ def update_video_phash_index(
             "hamming",
         )
         .filter(F.col("batch_id") != F.col("index_id"))
-        .dropDuplicates(["batch_id", "index_id", "fa", "fb"])
+        # single-shuffle dedup + vote: duplicate (fa, fb) rows from
+        # different blocks carry identical hamming (batch operator's rule)
         .groupBy("batch_id", "index_id")
         .agg(
-            F.count(F.lit(1)).alias("n_frame_matches"),
+            F.count_distinct("fa", "fb").alias("n_frame_matches"),
             F.min("hamming").alias("min_hamming"),
         )
         .filter(F.col("n_frame_matches") >= min_frames)

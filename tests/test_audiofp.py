@@ -166,3 +166,17 @@ def test_pcm_cells_bands_and_frames(spark):
     rows = {(r.frame, r.band): r.e for r in pcm_cells(tracks).collect()}
     # positions 0..3 over 4 samples -> frames 0, 2, 5, 7; bands 0, 3, 4, 7
     assert rows == {(0, 0): 1, (2, 3): 1, (5, 4): 1, (7, 7): 1}
+
+
+def test_level_cells_drops_empty_docs(spark):
+    """Empty-text docs must vanish before the explode: sequence(1, 0)
+    steps -1 and would emit a NULL-frame row that kills afp63 with a
+    NULL map key — while the DuckDB oracle's generate_series(1, 0) is
+    simply empty. Both engines now agree: no fingerprint row."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "abcdef")], "doc_id long, text string"
+    )
+    cells = level_cells(docs)
+    assert {r.id for r in cells.collect()} == {2}
+    fps = afp63(cells).collect()  # must not raise on the mixed corpus
+    assert [r.id for r in fps] == [2]

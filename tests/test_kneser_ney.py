@@ -68,3 +68,13 @@ def test_kn_score_matches_fraction_reference(spark):
         assert got[doc_id] == (len(bgs), sum(ppbs) // len(bgs)), doc_id
     assert got[13][1] == 0  # fully out-of-model
     assert got[12][1] > 0  # backoff actually contributes
+
+
+def test_kn_empty_model_scores_zero_not_error(spark):
+    """tt floors at 1 (kn_stats): with an EMPTY trained table every bigram
+    takes the 0-ppb continuation backoff instead of dividing by zero
+    (Spark would NULL, DuckDB would raise — the silent-vs-error split)."""
+    empty = spark.createDataFrame([], "prev string, cur string, bc long")
+    sdf = spark.createDataFrame([(10, "a b c")], "doc_id long, text string")
+    got = kn_score_docs(doc_bigrams(sdf), empty).collect()
+    assert [(r.doc_id, r.n_big, r.kn_avg_ppb) for r in got] == [(10, 2, 0)]

@@ -109,3 +109,43 @@ def test_video_phash_pairs_vote_over_frames(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         video_phash_pairs(docs, blocks=5, max_hamming=5)
+
+
+def test_video_frames_composite_guard(spark):
+    """frames > 16 overflows the 4-bit frame field of the id*16+frame
+    composite — silent id aliasing — so the operator must refuse."""
+    from schwab_elt_etl_pipeline_spark.operators.phash import (
+        check_frame_composite,
+        video_phash_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="composite"):
+        video_phash_pairs(docs, frames=17)
+    with pytest.raises(ValueError, match="composite"):
+        check_frame_composite(0)
+    check_frame_composite(16)  # boundary: 16 frames still fit 4 bits
+
+
+def test_video_frame_cells_match_per_word_expansion(spark):
+    """The aggregate-then-rotate rewrite must reproduce the original
+    per-word-per-frame expansion bit-for-bit: cell (base + 7f) % 64 with
+    px = min(count, 255) per (id, frame, cell)."""
+    from schwab_elt_etl_pipeline_spark.operators.phash import video_frame_cells
+
+    texts = {1: "Alpha beta  beta gamma", 2: "x " * 300, 3: "solo"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    expected: dict[tuple[int, int, int], int] = {}
+    for i, t in texts.items():
+        for w in t.strip().lower().split():
+            for f in range(4):
+                cell = (len(w) * 31 + ord(w[0]) + f * 7) % 64
+                k = (i, f, cell)
+                expected[k] = min(expected.get(k, 0) + 1, 255)
+    got = {
+        (r.id, r.frame, r.cell): r.px
+        for r in video_frame_cells(docs, frames=4).collect()
+    }
+    assert got == expected
