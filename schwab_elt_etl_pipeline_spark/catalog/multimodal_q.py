@@ -47,22 +47,46 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract through the real ``mapInPandas`` stage; output
-    the boundary-checkable facts (id, kind, byte count, feature arity)."""
+    the boundary-checkable facts (id, kind, byte count, feature arity) PLUS
+    the decoded feature VALUES re-quantized to their exact byte form: the
+    catalog payloads are text bytes, so the kernel lands on the sha256 stub
+    (``operators/multimodal.py _decode_one_stub`` — feature i is digest
+    byte i / 255), and DuckDB computes the same digest natively, so the
+    oracle asserts the values literally — first/last feature bytes and the
+    full 8-byte sum, not just boundary facts."""
     feats = decode_stub_features(_media_from_documents(spark, sf_dir))
     return feats.select(
         "media_id",
         "kind",
         "n_bytes",
         F.size("features").alias("n_features"),
+        F.expr("cast(round(element_at(features, 1) * 255.0) as int)").alias("f_first"),
+        F.expr("cast(round(element_at(features, 8) * 255.0) as int)").alias("f_last"),
+        F.expr(
+            "aggregate(features, 0L, (a, x) -> a + cast(round(x * 255.0) as long))"
+        ).alias("f_sum"),
     )
 
 
+def _hex_byte(i: int) -> str:
+    """DuckDB int value of byte ``i`` (1-based) of a hex digest column hx."""
+    return (
+        f"((strpos('0123456789abcdef', substr(hx, {2 * i - 1}, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(hx, {2 * i}, 1)) - 1)"
+    )
+
+
+# sha256(text) over DuckDB's VARCHAR hashes the UTF-8 bytes — exactly the
+# payload the Spark side built with encode(text, 'UTF-8')
 MULTIMODAL_DECODE_SQL = f"""
 SELECT doc_id AS media_id,
        {_KIND} AS kind,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-       8 AS n_features
-FROM documents
+       8 AS n_features,
+       CAST({_hex_byte(1)} AS INT) AS f_first,
+       CAST({_hex_byte(8)} AS INT) AS f_last,
+       CAST({" + ".join(_hex_byte(i) for i in range(1, 9))} AS BIGINT) AS f_sum
+FROM (SELECT doc_id, text, sha256(text) AS hx FROM documents) d
 """
 
 
