@@ -550,6 +550,50 @@ def passage_dedup_rebuild(
     )
 
 
+def intradoc_dedup_rebuild(
+    docs: DataFrame,
+    passage_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document repeated-passage excision with text rebuild — the
+    self-repetition scrub (the removal counterpart of the Gopher
+    repetition *metrics* in ``operators/curation.py repetition_stats``):
+    a passage that recurs inside the SAME document keeps its first
+    occurrence and loses the repeats, while cross-document repeats are
+    untouched (that's :func:`passage_dedup_rebuild`'s job — the two
+    compose, sharing :func:`split_passages` so the passage rule can't
+    diverge).
+
+    Output: (id, n_passages, n_kept, deduped_text). No window function:
+    first-occurrence-within-doc is a groupBy (id, passage) min(position),
+    so the shape is two doc-keyed shuffles — embarrassingly linear, no
+    corpus-wide key to skew, safe at any scale.
+    """
+    passages = split_passages(docs, id_col, text_col, passage_tokens)
+    firsts = passages.groupBy("_id", "passage").agg(
+        F.min("passage_id").alias("passage_id")
+    )
+    totals = passages.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_passages")
+    )
+    rebuilt = firsts.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("passage_id", "passage"))),
+                lambda x: x["passage"],
+            ),
+            " ",
+        ).alias("deduped_text"),
+    )
+    return (
+        totals.join(rebuilt, "_id")
+        .withColumnRenamed("_id", id_col)
+        .select(id_col, "n_passages", "n_kept", "deduped_text")
+    )
+
+
 def substring_dedup_rebuild(
     docs: DataFrame,
     window_tokens: int = 8,

@@ -1,0 +1,85 @@
+"""URL canonicalization + exact URL dedup — the web-corpus front door.
+
+A crawl-derived training corpus keys provenance on URLs, and the same page
+arrives under many spellings: mixed-case hosts, ``www.`` prefixes, default
+ports, trailing slashes, tracking parameters (``utm_*``/``ref``/click ids),
+fragments, and shuffled query-parameter order. Canonicalizing before any
+doc-level dedup collapses those spellings so URL-exact dedup (the cheapest
+dedup tier, ahead of MinHash/SimHash content passes) actually fires.
+
+Spark-first shape: everything is built-in expression work on ``parse_url``
+(JVM-side, whole-stage-codegen friendly) — host/path/query extraction never
+leaves the executors, and the dup grouping is ONE groupBy on the canonical
+string. No UDFs, no driver round-trips; linear in the corpus at any scale.
+
+Reference parity note: the reference keys rows on exchange-symbol strings
+(tools/schwab.py symbol normalization); URL canonicalization is the
+web-corpus analogue the LLM-pipeline brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one alternation, applied per query-parameter: the industry-standard
+# tracking families plus bare row-id echoes that never identify a page
+TRACKING_PARAM_RE = r"^(utm_[^=]*|ref|fbclid|gclid|msclkid|id)="
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of a URL column.
+
+    Rules (each deterministic, all expressed with built-ins):
+
+    - scheme normalized to ``https``
+    - host lowercased, leading ``www.`` stripped, port dropped
+      (``parse_url HOST`` already excludes the port)
+    - trailing ``/`` stripped from the path
+    - fragment dropped (``parse_url QUERY`` already excludes it)
+    - tracking parameters removed (:data:`TRACKING_PARAM_RE`)
+    - surviving query parameters SORTED so parameter order can't split a
+      dup group
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", ""
+    )
+    path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), r"/$", "")
+    params = F.filter(
+        F.split(F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_dup_groups(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dup groups under URL canonicalization: one row per canonical
+    URL with the group size and the keeper (lowest id — the deterministic
+    keep-first rule every exact-dedup operator in this repo uses).
+
+    Output: (canonical_url, n_docs, first_doc). One groupBy shuffle on the
+    canonical string; at 100 TB this partitions by URL hash with no skew
+    beyond genuinely mega-duplicated pages (which AQE splits).
+    """
+    return (
+        docs.select(
+            canonical_url(url_col).alias("canonical_url"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_id").alias("first_doc"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""Curation wave 4 units: URL canonicalization rules, deterministic shard
+hash, intra-doc self-repetition excision (the catalog oracles cover the
+end-to-end queries; these pin the operator rules on hand-built cases)."""
+
+from __future__ import annotations
+
+from schwab_elt_etl_pipeline_spark.operators.dedup import (
+    intradoc_dedup_rebuild,
+)
+from schwab_elt_etl_pipeline_spark.operators.sharding import (
+    _KNUTH,
+    _MASK32,
+    shard_manifest,
+    shard_of,
+)
+from schwab_elt_etl_pipeline_spark.operators.urls import (
+    canonical_url,
+    url_dup_groups,
+)
+
+
+def test_canonical_url_rules(spark):
+    cases = [
+        # (raw, canonical)
+        ("https://WWW.Ex.COM:443/a/b?utm_source=x&page=2&utm_c=y",
+         "https://ex.com/a/b?page=2"),
+        ("http://ex.com/a/b/?id=99",                  # scheme, slash, id
+         "https://ex.com/a/b"),
+        ("https://ex.com/a/b?page=2#frag",            # fragment dropped
+         "https://ex.com/a/b?page=2"),
+        ("https://ex.com/a/b?z=1&a=2",                # params sorted
+         "https://ex.com/a/b?a=2&z=1"),
+        ("https://ex.com/a/b?ref=tw&fbclid=abc&gclid=1",  # all tracking
+         "https://ex.com/a/b"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url("url")).collect()]
+    assert got == [c for _, c in cases]
+
+
+def test_url_dup_groups_collapse_spellings(spark):
+    rows = [
+        (1, "https://WWW.Ex.COM/p?utm_source=a&page=1"),
+        (2, "https://ex.com/p?page=1&ref=x"),
+        (3, "https://ex.com/p?page=2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.canonical_url: (r.n_docs, r.first_doc)
+        for r in url_dup_groups(df).collect()
+    }
+    assert got == {
+        "https://ex.com/p?page=1": (2, 1),
+        "https://ex.com/p?page=2": (1, 3),
+    }
+
+
+def test_shard_of_matches_python_reference(spark):
+    ids = [0, 1, 7, 12345, 10**12]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = [r[0] for r in df.select(shard_of("doc_id", 8)).collect()]
+    assert got == [((i * _KNUTH) & _MASK32) % 8 for i in ids]
+
+
+def test_shard_manifest_shares_and_empty_text(spark):
+    rows = [(i, "w " * (i + 1)) for i in range(20)] + [(20, "  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shard_manifest(df, shards=4).collect()
+    assert sum(r.n_docs for r in out) == 21
+    assert sum(r.sum_tokens for r in out) == sum(range(1, 21))  # blank = 0
+    # ppm shares from integer div: each within [0, 1e6], total <= 1e6
+    assert all(0 <= r.docs_share_ppm <= 1_000_000 for r in out)
+    assert sum(r.docs_share_ppm for r in out) <= 1_000_000
+
+
+def test_intradoc_dedup_keeps_first_in_doc_only(spark):
+    p1 = "a " * 20  # one 20-token passage, repeated inside doc 1
+    doc1 = (p1 + p1 + "b " * 20).strip()
+    doc2 = p1.strip()  # same passage in ANOTHER doc: untouched
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_passages, r.n_kept, r.deduped_text)
+        for r in intradoc_dedup_rebuild(df, passage_tokens=20).collect()
+    }
+    assert got[1] == (3, 2, ("a " * 20 + "b " * 20).strip())
+    assert got[2] == (1, 1, p1.strip())  # cross-doc repeat survives
