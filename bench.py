@@ -44,7 +44,6 @@ def main() -> None:
     # JVM/codegen warm-up so the first measured query isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
-    sentinel_before = _load_sentinel(spark)
 
     # Deterministic execution order (sorted by name): all_specs() is
     # LASTGREEN-sorted and re-shuffles every round, which injects up to
@@ -66,6 +65,9 @@ def main() -> None:
             except Exception:
                 pass  # the timed rounds will surface real errors
         spark.catalog.clearCache()
+    # AFTER the plan-warm pass, so both sentinels probe the same fully-JIT'd
+    # JVM and differ only by host load (a pre-warm probe reads ~1.5x high)
+    sentinel_before = _load_sentinel(spark)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # Interleaved rounds (all queries per round, best across rounds): a host
     # noise burst then taxes one ROUND, not every attempt of one query —

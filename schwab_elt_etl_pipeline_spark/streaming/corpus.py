@@ -35,6 +35,11 @@ up incrementally. This module runs the batch curation operators
 - ``update_ivfadc_index``: the cell-structured sibling — coarse inverted
   file + residual PQ; queries probe only their nearest cells' code rows,
   appends assign-and-encode against fixed centroids/codebooks.
+- ``update_url_index``: incremental canonical-URL exact-dup index — the
+  EXACT-key front door ahead of the content passes; canonicalize only the
+  batch, resolve keepers against the persistent URL table, ``insert_new``
+  on the canonical string (replay-idempotent, drained index ≡ the batch
+  ``url_dup_groups`` keepers).
 - ``update_gram_index``: incremental first-occurrence NOVELTY scoring —
   a persistent 8-byte n-gram fingerprint table; each batch's documents are
   scored by how much content they introduce vs the corpus so far, with
@@ -625,6 +630,72 @@ def update_passage_index(
     )
     index.insert_new(new_fps, keys=["fp"])
     return out
+
+
+def update_url_index(
+    batch: DataFrame,
+    index: ParquetTable,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incrementally maintain the canonical-URL exact-dup index — the
+    EXACT-key member of the incremental index family, sitting AHEAD of the
+    content passes (MinHash/SimHash/passage) exactly as the batch URL front
+    door does (``operators/urls.py``).
+
+    Per call: (1) canonicalize only the batch (O(batch), built-in
+    ``parse_url`` work); (2) resolve each canonical URL's keeper as the
+    index holder if one exists, else the batch's min id (the in-batch
+    self-pair rule — two spellings of one page arriving together must still
+    collapse); (3) ``insert_new`` on the canonical string, so the index
+    keeps the FIRST doc per canonical URL forever and replays add nothing.
+
+    Keeper semantics: first ARRIVAL wins (ties inside one batch break to
+    the min id) — the index family's contract. Under arrival-ordered ids
+    (the ingest contract here) this coincides with the batch operator's
+    min-id rule, so drained index ≡ ``url_dup_groups`` keepers (pinned in
+    tests/test_streaming_corpus.py).
+
+    Output: (doc_id, canonical_url, first_doc, is_dup) for every batch row.
+    At 100 TB the index is
+    ``cluster_by=("canonical_url",)`` so footer stats prune the probe to
+    the touched URL ranges.
+    """
+    from schwab_elt_etl_pipeline_spark.operators.urls import canonical_url
+
+    canon = batch.select(
+        F.col(id_col).alias("doc_id"),
+        canonical_url(url_col).alias("canonical_url"),
+    ).localCheckpoint(eager=True)  # feeds the resolve, the verdicts AND the
+    # index append — canonicalize once per batch
+    batch_first = canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("_batch_first")
+    )
+    if index.exists():
+        merged = (
+            batch_first.join(
+                index.read().select("canonical_url", "first_doc"),
+                "canonical_url",
+                "left",
+            )
+            .select(
+                "canonical_url",
+                F.coalesce("first_doc", "_batch_first").alias("first_doc"),
+            )
+        )
+    else:
+        merged = batch_first.withColumnRenamed("_batch_first", "first_doc")
+    verdicts = canon.join(merged, "canonical_url").select(
+        "doc_id",
+        "canonical_url",
+        "first_doc",
+        (F.col("doc_id") != F.col("first_doc")).alias("is_dup"),
+    )
+    if index.exists():
+        index.insert_new(merged, keys=["canonical_url"])
+    else:
+        index.overwrite_versioned(merged)
+    return verdicts
 
 
 def update_window_index(

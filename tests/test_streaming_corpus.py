@@ -804,3 +804,51 @@ def test_incremental_video_phash_index_matches_batch_operator(spark, dirs):
     n = index.read().count()
     update_video_phash_index(spark.createDataFrame(rows2, schema), index)
     assert index.read().count() == n
+
+
+def test_incremental_url_index_matches_batch_operator(spark, dirs):
+    """Stream-incremental URL-dedup verdicts over two batches: keepers
+    equal the batch operator's `url_dup_groups` over the union corpus,
+    spellings arriving in one batch still collapse (in-batch self-pair
+    rule), and the index append is replay-idempotent."""
+    from schwab_elt_etl_pipeline_spark.operators.urls import url_dup_groups
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_url_index
+
+    _, idx_dir, _ = dirs
+    index = ParquetTable(spark, idx_dir)
+    rows1 = [
+        (1, "https://WWW.Ex.COM/p?utm_source=a&page=1"),  # keeper for page=1
+        (2, "https://ex.com/p?page=1&ref=x"),             # same page, same batch
+        (3, "https://ex.com/p?page=2"),
+    ]
+    rows2 = [
+        (11, "https://ex.com/p/?page=1"),                 # same page, later batch
+        (12, "https://ex.com/q?page=9"),                  # novel
+    ]
+    schema = "doc_id long, url string"
+    out1 = update_url_index(spark.createDataFrame(rows1, schema), index)
+    out2 = update_url_index(spark.createDataFrame(rows2, schema), index)
+    got = {
+        r.doc_id: (r.canonical_url, r.first_doc, r.is_dup)
+        for out in (out1, out2)
+        for r in out.collect()
+    }
+    assert got[1] == ("https://ex.com/p?page=1", 1, False)
+    assert got[2] == ("https://ex.com/p?page=1", 1, True)   # in-batch collapse
+    assert got[11] == ("https://ex.com/p?page=1", 1, True)  # cross-batch probe
+    assert got[12] == ("https://ex.com/q?page=9", 12, False)
+
+    drained = {
+        (r.canonical_url, r.first_doc) for r in index.read().collect()
+    }
+    batch_keepers = {
+        (r.canonical_url, r.first_doc)
+        for r in url_dup_groups(
+            spark.createDataFrame(rows1 + rows2, schema)
+        ).collect()
+    }
+    assert drained == batch_keepers  # drained index == batch operator
+
+    n = index.read().count()
+    update_url_index(spark.createDataFrame(rows2, schema), index)
+    assert index.read().count() == n  # replay adds nothing

@@ -44,6 +44,9 @@ _NAMES = [
     "semantic_decontam_select",
     "kneser_ney_score",
     "video_phash_neardup",
+    "url_canonicalize_dedup",
+    "intradoc_dedup",
+    "shard_manifest_hash",
 ]
 
 _HEADER = """# PLANS — executed physical plans of the heaviest headline queries

@@ -117,6 +117,10 @@ QUERIES = [
     # video pHash: 4x the image-pHash hash work + the per-video-pair vote;
     # copy-tag replicas grow frame buckets linearly like the image twin
     "video_phash_neardup",
+    # round-10: intra-doc passage excision — the explode-heaviest of the
+    # wave-4 trio; no corpus-wide key at all (two doc-keyed shuffles), so
+    # the ratio certifies pure per-document linearity
+    "intradoc_dedup",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
