@@ -453,6 +453,31 @@ def main() -> None:
         current_boilerplate(bl_lines, bl_stats, min_docs=30, min_docs_per=None).count(),
     )
 
+    # 15. incremental canonical-URL exact-dup index (the exact-key front
+    # door: canonicalize only the batch with parse_url built-ins, probe the
+    # persistent URL table, insert_new keepers). URLs synthesized with the
+    # catalog's messy-variant rule, so the 40x copies all collapse.
+    from schwab_elt_etl_pipeline_spark.catalog.curation4 import _URL_EXPR
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import update_url_index
+
+    url_idx = ParquetTable(spark, f"{root}/url_index", cluster_by=("canonical_url",))
+    url_dups = ParquetTable(spark, f"{root}/url_dups")
+
+    def _url_sink(batch: DataFrame, epoch: int) -> None:
+        media = batch.select("doc_id", F.expr(_URL_EXPR).alias("url"))
+        out = update_url_index(media, url_idx).filter(F.col("is_dup"))
+        url_dups.insert_new(out, keys=["doc_id"])
+
+    q = (
+        read_document_stream(spark, docs_dir, max_files_per_trigger=per_trigger)
+        .writeStream.foreachBatch(_url_sink)
+        .option("checkpointLocation", f"{root}/url_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wall = _drain(q)
+    record("url_canon_index", n_docs, wall, url_dups.read().count())
+
     payload = {
         "metric": "streaming throughput (rows/sec, end-to-end incl. checkpoints)",
         "ticks": n_ticks,
