@@ -86,3 +86,49 @@ def test_intradoc_dedup_keeps_first_in_doc_only(spark):
     }
     assert got[1] == (3, 2, ("a " * 20 + "b " * 20).strip())
     assert got[2] == (1, 1, p1.strip())  # cross-doc repeat survives
+
+
+def test_canonical_url_idempotent_and_collapses_equivalents(spark):
+    """Property sweep over randomized messy URLs: (a) canonicalization is
+    IDEMPOTENT (canonical of a canonical is itself — no rule keeps
+    rewriting), and (b) every messy spelling of a base page (www/case/
+    port/slash/fragment/tracking-param/param-order perturbations) lands
+    on its base's canonical form."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(40):
+        host = rng.choice(["ex.com", "Sub.Ex.COM", "news.site.org"])
+        path = "/" + "/".join(
+            rng.choice(["a", "b", "docs", "x1"]) for _ in range(rng.randint(1, 3))
+        )
+        real = [f"p{j}={rng.randint(0, 9)}" for j in range(rng.randint(0, 2))]
+        base = f"https://{host.lower()}{path}" + (
+            "?" + "&".join(sorted(real)) if real else ""
+        )
+        # messy spelling: perturb everything canonicalization must undo
+        trackers = rng.sample(
+            ["utm_source=x", "utm_campaign=c", "ref=tw", "gclid=9", "id=77"],
+            rng.randint(0, 3),
+        )
+        params = real + trackers
+        rng.shuffle(params)
+        messy = (
+            f"{rng.choice(['http', 'https'])}://"
+            f"{rng.choice(['www.', 'WWW.', ''])}{host}"
+            f"{rng.choice([':443', ''])}{path}{rng.choice(['/', ''])}"
+            + ("?" + "&".join(params) if params else "")
+            + rng.choice(["", "#frag"])
+        )
+        rows.append((i, base, messy))
+    df = spark.createDataFrame(rows, "i long, base string, messy string")
+    out = df.select(
+        "i",
+        canonical_url("base").alias("c_base"),
+        canonical_url("messy").alias("c_messy"),
+        canonical_url(canonical_url("messy")).alias("c_c_messy"),
+    ).collect()
+    for r in out:
+        assert r.c_messy == r.c_base, (r.i, r.c_messy, r.c_base)
+        assert r.c_c_messy == r.c_messy, (r.i, "not idempotent")
