@@ -46,42 +46,24 @@ def shard_of_sql(id_expr: str, shards: int) -> str:
     )
 
 
-def shard_manifest(
-    docs: DataFrame,
-    shards: int = 8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Per-shard manifest: (shard, n_docs, sum_tokens, min_doc, max_doc,
-    docs_share_ppm, tokens_share_ppm).
+def token_count(text_col: Column | str) -> Column:
+    """Whitespace-token count with the empty-text guard (blank counts 0 —
+    an unguarded split of '' yields [''] = 1 in BOTH engines). THE token
+    rule for the manifest, shared by the batch operator and the streaming
+    ledger (`streaming/shard_stream.py`) so the two can't drift."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return (
+        F.when(F.length(F.trim(c)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(c), r"\s+")))
+        .cast("long")
+    )
 
-    Tokens are whitespace-token counts (the corpus-stats rule; empty text
-    counts 0 — guarded identically in the oracle, where an empty split
-    would otherwise yield ['']). Shares are integer parts-per-million via
-    ``div`` against 1-row broadcast totals, so the manifest hashes
-    identically across engines — no float division anywhere.
-    """
-    tokens = F.when(F.length(F.trim(text_col)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    )
-    per = (
-        docs.select(
-            shard_of(id_col, shards).alias("shard"),
-            F.col(id_col).alias("_id"),
-            tokens.cast("long").alias("_tok"),
-        )
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_tok").alias("sum_tokens"),
-            F.min("_id").alias("min_doc"),
-            F.max("_id").alias("max_doc"),
-        )
-    )
-    # ONE corpus scan: totals come from an unpartitioned window over the
-    # ALREADY-AGGREGATED manifest — at most ``shards`` rows, so the
-    # SinglePartition exchange is bounded by the shard count, never the
-    # corpus (a crossJoin against a separate agg would scan the data twice)
+
+def manifest_shares(per: DataFrame) -> DataFrame:
+    """Attach exact integer ppm shares to a per-shard totals table
+    (shard, n_docs, sum_tokens, min_doc, max_doc) — the unpartitioned
+    window runs over at most ``shards`` aggregated rows, never the data.
+    Shared by the batch manifest and the streaming ledger's serve path."""
     return per.select(
         "shard",
         "n_docs",
@@ -97,3 +79,39 @@ def shard_manifest(
             "(rows between unbounded preceding and unbounded following), 1)"
         ).alias("tokens_share_ppm"),
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard manifest: (shard, n_docs, sum_tokens, min_doc, max_doc,
+    docs_share_ppm, tokens_share_ppm).
+
+    Tokens are whitespace-token counts (the corpus-stats rule; empty text
+    counts 0 — guarded identically in the oracle, where an empty split
+    would otherwise yield ['']). Shares are integer parts-per-million via
+    ``div`` against 1-row broadcast totals, so the manifest hashes
+    identically across engines — no float division anywhere.
+    """
+    per = (
+        docs.select(
+            shard_of(id_col, shards).alias("shard"),
+            F.col(id_col).alias("_id"),
+            token_count(text_col).alias("_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("sum_tokens"),
+            F.min("_id").alias("min_doc"),
+            F.max("_id").alias("max_doc"),
+        )
+    )
+    # ONE corpus scan: totals come from an unpartitioned window over the
+    # ALREADY-AGGREGATED manifest — at most ``shards`` rows, so the
+    # SinglePartition exchange is bounded by the shard count, never the
+    # corpus (a crossJoin against a separate agg would scan the data twice)
+    return manifest_shares(per)

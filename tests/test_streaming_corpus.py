@@ -852,3 +852,39 @@ def test_incremental_url_index_matches_batch_operator(spark, dirs):
     n = index.read().count()
     update_url_index(spark.createDataFrame(rows2, schema), index)
     assert index.read().count() == n  # replay adds nothing
+
+
+def test_incremental_shard_manifest_matches_batch_operator(spark, dirs):
+    """The maintained shard ledger serves the EXACT manifest the batch
+    operator computes over the union of ingested batches (shared
+    shard_of/token_count/manifest_shares kernels), replays insert
+    nothing, and consolidation is read-identical."""
+    from schwab_elt_etl_pipeline_spark.operators.sharding import shard_manifest
+    from schwab_elt_etl_pipeline_spark.streaming.shard_stream import (
+        consolidate_shard_stats,
+        current_shard_manifest,
+        update_shard_stats,
+    )
+
+    _, idx_dir, _ = dirs
+    stats = ParquetTable(spark, idx_dir)
+    rows1 = [(i, "w " * (i % 7 + 1)) for i in range(25)] + [(25, "   ")]
+    rows2 = [(100 + i, "x y z " * (i % 3 + 1)) for i in range(15)]
+    schema = "doc_id long, text string"
+    update_shard_stats(spark.createDataFrame(rows1, schema), stats, epoch=0)
+    update_shard_stats(spark.createDataFrame(rows2, schema), stats, epoch=1)
+
+    def snap(df):
+        return {tuple(r) for r in df.collect()}
+
+    expected = snap(
+        shard_manifest(spark.createDataFrame(rows1 + rows2, schema), shards=8)
+    )
+    assert snap(current_shard_manifest(stats)) == expected
+
+    n = stats.read().count()
+    update_shard_stats(spark.createDataFrame(rows2, schema), stats, epoch=1)
+    assert stats.read().count() == n  # replayed epoch inserts nothing
+
+    consolidate_shard_stats(stats)
+    assert snap(current_shard_manifest(stats)) == expected  # read-identical
