@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 # one alternation, applied per query-parameter: the industry-standard
 # tracking families plus bare row-id echoes that never identify a page
-TRACKING_PARAM_RE = r"^(utm_[^=]*|ref|fbclid|gclid|msclkid|id)="
+# ((=|$) so a value-less tracker like '?utm_source' is stripped too)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|ref|fbclid|gclid|msclkid|id)(=|$)"
 
 
 def canonical_url(url: Column | str) -> Column:
@@ -40,14 +41,25 @@ def canonical_url(url: Column | str) -> Column:
     - tracking parameters removed (:data:`TRACKING_PARAM_RE`)
     - surviving query parameters SORTED so parameter order can't split a
       dup group
+
+    Malformed or NULL URLs canonicalize to NULL (``try_parse_url`` — the
+    plain ``parse_url`` RAISES under ANSI mode, so one bad URL in a 100 TB
+    crawl would kill the whole job; a NULL group the caller can drop or
+    quarantine is the operator-grade behavior). A pathless URL keeps an
+    empty path (``coalesce`` — concat would otherwise null the entire
+    canonical form).
     """
     url = F.col(url) if isinstance(url, str) else url
     host = F.regexp_replace(
-        F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", ""
+        F.lower(F.try_parse_url(url, F.lit("HOST"))), r"^www\.", ""
     )
-    path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), r"/$", "")
+    path = F.regexp_replace(
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), r"/$", ""
+    )
     params = F.filter(
-        F.split(F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
+        F.split(
+            F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit("")), "&"
+        ),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
     )
     canon_q = F.array_join(F.array_sort(params), "&")

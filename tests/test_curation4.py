@@ -132,3 +132,24 @@ def test_canonical_url_idempotent_and_collapses_equivalents(spark):
     for r in out:
         assert r.c_messy == r.c_base, (r.i, r.c_messy, r.c_base)
         assert r.c_c_messy == r.c_messy, (r.i, "not idempotent")
+
+
+def test_canonical_url_edge_cases(spark):
+    """Operator-grade edges: malformed/NULL URLs canonicalize to NULL
+    (try_parse_url — plain parse_url would RAISE under ANSI and kill the
+    job on one bad crawl row), pathless URLs keep an empty path instead
+    of nulling the concat, root-slash equals bare host, and value-less
+    trackers are stripped."""
+    rows = [
+        (1, "https://ex.com?a=1", "https://ex.com?a=1"),
+        (2, "https://ex.com", "https://ex.com"),
+        (3, "https://ex.com/", "https://ex.com"),
+        (4, "not a url", None),
+        (5, None, None),
+        (6, "https://ex.com/p?utm_source", "https://ex.com/p"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in rows], "i long, url string"
+    )
+    got = {r.i: r.c for r in df.select("i", canonical_url("url").alias("c")).collect()}
+    assert got == {i: c for i, _, c in rows}
