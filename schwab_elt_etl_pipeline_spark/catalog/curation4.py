@@ -28,16 +28,18 @@ from schwab_elt_etl_pipeline_spark.sources import load_table
 # Deterministic messy-URL synthesis from `documents` (the catalog's media
 # convention): four spelling variants of the same logical page — mixed-case
 # www host + default port, tracking params in shuffled positions, a
-# dropped row-id echo param behind a trailing slash, a fragment. After
+# click-id tracker behind a trailing slash, a fragment. After
 # canonicalization, variants collapse onto 'https://<source>.example.com
-# /docs/<doc_id % 50>' plus the surviving page param.
+# /docs/<doc_id % 50>' plus the surviving page param. (The click-id
+# variant uses fbclid, a true tracker — generic ?id= is deliberately NOT
+# stripped by the operator because real sites key distinct pages on it.)
 _URL_EXPR = """
     concat(
       'https://WWW.', source, '.Example.COM:443/docs/', cast(doc_id % 50 as string),
       CASE cast(doc_id % 4 as int)
         WHEN 0 THEN concat('?utm_source=feed&page=', cast(doc_id % 7 as string), '&utm_campaign=x')
         WHEN 1 THEN concat('?page=', cast(doc_id % 7 as string), '&ref=tw')
-        WHEN 2 THEN concat('/?id=', cast(doc_id as string))
+        WHEN 2 THEN concat('/?fbclid=', cast(doc_id as string))
         ELSE concat('?page=', cast(doc_id % 7 as string), '#sec', cast(doc_id % 3 as string))
       END)"""
 

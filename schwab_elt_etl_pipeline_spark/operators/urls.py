@@ -23,9 +23,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # one alternation, applied per query-parameter: the industry-standard
-# tracking families plus bare row-id echoes that never identify a page
-# ((=|$) so a value-less tracker like '?utm_source' is stripped too)
-TRACKING_PARAM_RE = r"^(utm_[^=]*|ref|fbclid|gclid|msclkid|id)(=|$)"
+# tracking families ((=|$) so a value-less tracker like '?utm_source' is
+# stripped too). Deliberately NOT stripped: generic content-keying params
+# like 'id' or 'page' — many real sites key distinct pages on ?id=, so
+# stripping them would be wrongful dedup (data loss), not hygiene.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|ref|fbclid|gclid|msclkid)(=|$)"
 
 
 def canonical_url(url: Column | str) -> Column:
@@ -50,11 +52,15 @@ def canonical_url(url: Column | str) -> Column:
     canonical form).
     """
     url = F.col(url) if isinstance(url, str) else url
+    # (www\.)+ and /+$: strip ALL leading www labels / trailing slashes in
+    # one pass — a single-strip rule would make the canonical form a
+    # non-fixpoint ('www.www.x' or 'a//'), so re-canonicalizing an already
+    # canonical URL could land on a DIFFERENT index key
     host = F.regexp_replace(
-        F.lower(F.try_parse_url(url, F.lit("HOST"))), r"^www\.", ""
+        F.lower(F.try_parse_url(url, F.lit("HOST"))), r"^(www\.)+", ""
     )
     path = F.regexp_replace(
-        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), r"/$", ""
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), r"/+$", ""
     )
     params = F.filter(
         F.split(
@@ -83,12 +89,19 @@ def url_dup_groups(
     Output: (canonical_url, n_docs, first_doc). One groupBy shuffle on the
     canonical string; at 100 TB this partitions by URL hash with no skew
     beyond genuinely mega-duplicated pages (which AQE splits).
+
+    Malformed URLs (NULL canonical) are EXCLUDED from the groups: a crowd
+    of distinct unparseable URLs is not a dup group, and returning it as
+    one row with a real keeper id would make a keep-first consumer delete
+    unrelated documents. Quarantine malformed rows upstream if they need
+    accounting.
     """
     return (
         docs.select(
             canonical_url(url_col).alias("canonical_url"),
             F.col(id_col).alias("_id"),
         )
+        .where(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -656,18 +656,28 @@ def update_url_index(
     min-id rule, so drained index ≡ ``url_dup_groups`` keepers (pinned in
     tests/test_streaming_corpus.py).
 
-    Output: (doc_id, canonical_url, first_doc, is_dup) for every batch row.
-    At 100 TB the index is
-    ``cluster_by=("canonical_url",)`` so footer stats prune the probe to
-    the touched URL ranges.
+    Output: (doc_id, canonical_url, first_doc, is_dup) for EVERY batch row
+    — including malformed-URL docs, which surface with a NULL canonical
+    and NULL keeper, is_dup false (they join no group and enter no index;
+    the quarantine row keeps the verdict stream row-complete instead of
+    silently dropping them through a null-keyed join). At 100 TB the
+    index is ``cluster_by=("canonical_url",)`` so footer stats prune the
+    probe to the touched URL ranges.
     """
     from schwab_elt_etl_pipeline_spark.operators.urls import canonical_url
 
-    canon = batch.select(
+    all_canon = batch.select(
         F.col(id_col).alias("doc_id"),
         canonical_url(url_col).alias("canonical_url"),
     ).localCheckpoint(eager=True)  # feeds the resolve, the verdicts AND the
     # index append — canonicalize once per batch
+    canon = all_canon.where(F.col("canonical_url").isNotNull())
+    quarantined = all_canon.where(F.col("canonical_url").isNull()).select(
+        "doc_id",
+        "canonical_url",
+        F.lit(None).cast("long").alias("first_doc"),
+        F.lit(False).alias("is_dup"),
+    )
     batch_first = canon.groupBy("canonical_url").agg(
         F.min("doc_id").alias("_batch_first")
     )
@@ -690,7 +700,7 @@ def update_url_index(
         "canonical_url",
         "first_doc",
         (F.col("doc_id") != F.col("first_doc")).alias("is_dup"),
-    )
+    ).unionByName(quarantined)
     if index.exists():
         index.insert_new(merged, keys=["canonical_url"])
     else:

@@ -24,8 +24,12 @@ def test_canonical_url_rules(spark):
         # (raw, canonical)
         ("https://WWW.Ex.COM:443/a/b?utm_source=x&page=2&utm_c=y",
          "https://ex.com/a/b?page=2"),
-        ("http://ex.com/a/b/?id=99",                  # scheme, slash, id
+        ("http://ex.com/a/b/?fbclid=99",              # scheme, slash, clickid
          "https://ex.com/a/b"),
+        ("https://WWW.www.Ex.com/a//",                # multi-www, multi-slash
+         "https://ex.com/a"),
+        ("https://ex.com/watch?id=123",               # ?id= KEYS a page: kept
+         "https://ex.com/watch?id=123"),
         ("https://ex.com/a/b?page=2#frag",            # fragment dropped
          "https://ex.com/a/b?page=2"),
         ("https://ex.com/a/b?z=1&a=2",                # params sorted
@@ -109,15 +113,15 @@ def test_canonical_url_idempotent_and_collapses_equivalents(spark):
         )
         # messy spelling: perturb everything canonicalization must undo
         trackers = rng.sample(
-            ["utm_source=x", "utm_campaign=c", "ref=tw", "gclid=9", "id=77"],
+            ["utm_source=x", "utm_campaign=c", "ref=tw", "gclid=9", "msclkid=7"],
             rng.randint(0, 3),
         )
         params = real + trackers
         rng.shuffle(params)
         messy = (
             f"{rng.choice(['http', 'https'])}://"
-            f"{rng.choice(['www.', 'WWW.', ''])}{host}"
-            f"{rng.choice([':443', ''])}{path}{rng.choice(['/', ''])}"
+            f"{rng.choice(['www.', 'WWW.', 'www.www.', ''])}{host}"
+            f"{rng.choice([':443', ''])}{path}{rng.choice(['/', '//', ''])}"
             + ("?" + "&".join(params) if params else "")
             + rng.choice(["", "#frag"])
         )

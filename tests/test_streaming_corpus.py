@@ -824,6 +824,7 @@ def test_incremental_url_index_matches_batch_operator(spark, dirs):
     rows2 = [
         (11, "https://ex.com/p/?page=1"),                 # same page, later batch
         (12, "https://ex.com/q?page=9"),                  # novel
+        (13, "not a url"),                                # malformed: quarantined
     ]
     schema = "doc_id long, url string"
     out1 = update_url_index(spark.createDataFrame(rows1, schema), index)
@@ -837,6 +838,7 @@ def test_incremental_url_index_matches_batch_operator(spark, dirs):
     assert got[2] == ("https://ex.com/p?page=1", 1, True)   # in-batch collapse
     assert got[11] == ("https://ex.com/p?page=1", 1, True)  # cross-batch probe
     assert got[12] == ("https://ex.com/q?page=9", 12, False)
+    assert got[13] == (None, None, False)  # quarantine row, not dropped
 
     drained = {
         (r.canonical_url, r.first_doc) for r in index.read().collect()
