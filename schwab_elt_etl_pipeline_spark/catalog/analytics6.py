@@ -1169,33 +1169,43 @@ def doremi_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     docs = load_table(spark, sf_dir, "documents")
     srcs = docs.select("source").distinct().localCheckpoint(eager=True)
-    big = doc_bigrams(docs).join(
-        docs.select("doc_id", "source", "lang"), "doc_id"
+    # ONE corpus pass: the (prev, cur, source, lang) count grain is the
+    # Zipf-bounded sufficient statistic for EVERYTHING below — csrc and
+    # rmodel are marginals of it, and SR/MM fold occurrence-level sums
+    # into vocab-level products (sum over occurrences of rc == sum over
+    # bigrams of c*rc — the same integers, reordered), so no later stage
+    # rescans the corpus or fans out per occurrence.
+    grain = (
+        doc_bigrams(docs)
+        .join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("prev", "cur", "source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    csrc = big.groupBy("prev", "cur", "source").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    csrc = grain.groupBy("prev", "cur", "source").agg(F.sum("c").alias("c"))
     ct = csrc.groupBy(F.col("source").alias("s2")).agg(
         F.sum("c").cast(dec).alias("ct")
     )
     rmodel = (
-        big.filter(F.col("lang") == "en")
+        grain.filter(F.col("lang") == "en")
         .groupBy("prev", "cur")
-        .agg(F.count(F.lit(1)).alias("rc"))
+        .agg(F.sum("c").alias("rc"))
     )
     rt = rmodel.agg(F.sum("rc").cast(dec).alias("rt"))
     sr = (
-        big.join(rmodel, ["prev", "cur"])
+        csrc.join(rmodel, ["prev", "cur"])
         .groupBy("source")
-        .agg(F.sum("rc").cast(dec).alias("sr"))
+        .agg(F.sum(F.col("c").cast(dec) * F.col("rc")).cast(dec).alias("sr"))
     )
     mm = (
-        big.join(
-            csrc.select("prev", "cur", F.col("source").alias("s2"), "c"),
+        csrc.join(
+            csrc.select(
+                "prev", "cur", F.col("source").alias("s2"), F.col("c").alias("c2")
+            ),
             ["prev", "cur"],
         )
         .groupBy("source", "s2")
-        .agg(F.sum("c").cast(dec).alias("mm"))
+        .agg(F.sum(F.col("c").cast(dec) * F.col("c2")).cast(dec).alias("mm"))
         .localCheckpoint(eager=True)  # sources x sources; rounds reuse it
     )
     base = (
