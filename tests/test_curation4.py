@@ -157,3 +157,51 @@ def test_canonical_url_edge_cases(spark):
     )
     got = {r.i: r.c for r in df.select("i", canonical_url("url").alias("c")).collect()}
     assert got == {i: c for i, _, c in rows}
+
+
+def _py_intradoc(texts: dict[int, str], k: int) -> dict[int, tuple]:
+    """Pure-Python reference of intradoc_dedup_rebuild."""
+    out = {}
+    for did, text in texts.items():
+        toks = text.strip().lower().split()
+        passages = [
+            " ".join(toks[i : i + k]) for i in range(0, max(len(toks), 1), k)
+        ]
+        seen, kept = set(), []
+        for p in passages:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        out[did] = (len(passages), len(kept), " ".join(kept))
+    return out
+
+
+def test_intradoc_dedup_matches_python_reference_random(spark):
+    """Hypothesis sweep: random small-vocabulary docs (repeats are likely
+    by construction) against the pure-Python first-in-doc-occurrence
+    reference — the operator's rule, not just its happy path."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "cc", "dd"])
+
+    @settings(
+        max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(
+        docs=st.lists(
+            st.lists(word, min_size=0, max_size=30), min_size=1, max_size=6
+        )
+    )
+    def run(docs):
+        texts = {i: " ".join(ws) for i, ws in enumerate(docs)}
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_passages, r.n_kept, r.deduped_text)
+            for r in intradoc_dedup_rebuild(df, passage_tokens=3).collect()
+        }
+        assert got == _py_intradoc(texts, 3)
+
+    run()

@@ -890,3 +890,60 @@ def test_incremental_shard_manifest_matches_batch_operator(spark, dirs):
 
     consolidate_shard_stats(stats)
     assert snap(current_shard_manifest(stats)) == expected  # read-identical
+
+
+def test_shard_ledger_invariant_under_batch_splits(spark, dirs):
+    """Hypothesis sweep: however the same rows are split into epochs, the
+    served manifest equals the batch operator over the union — the
+    associativity claim the ledger's algebra rests on."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from schwab_elt_etl_pipeline_spark.operators.sharding import shard_manifest
+    from schwab_elt_etl_pipeline_spark.streaming.shard_stream import (
+        current_shard_manifest,
+        update_shard_stats,
+    )
+
+    schema = "doc_id long, text string"
+
+    @settings(
+        max_examples=4, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10**6),
+                st.text(alphabet="ab ", max_size=12),
+            ),
+            min_size=1,
+            max_size=20,
+            unique_by=lambda t: t[0],
+        ),
+        cut=st.integers(min_value=0, max_value=20),
+    )
+    def run(rows, cut):
+        root = tempfile.mkdtemp(prefix="shardprop_")
+        try:
+            stats = ParquetTable(spark, root)
+            cut_at = min(cut, len(rows))
+            for ep, part in enumerate((rows[:cut_at], rows[cut_at:])):
+                if part:
+                    update_shard_stats(
+                        spark.createDataFrame(part, schema), stats, epoch=ep
+                    )
+            got = {tuple(r) for r in current_shard_manifest(stats).collect()}
+            want = {
+                tuple(r)
+                for r in shard_manifest(
+                    spark.createDataFrame(rows, schema), shards=8
+                ).collect()
+            }
+            assert got == want
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run()
