@@ -1155,12 +1155,13 @@ def doremi_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonnegative integer (div == floor on both engines), products run in
     DECIMAL(38,0)/HUGEINT like DSIR.
 
-    Scale shape: the corpus is touched ONCE — per-source bigram models,
-    the reference mass SR(s), and the sources x sources mass matrix
-    MM(s, s') = sum over s's bigram occurrences of model-s' counts — after
-    which every round is a sources-sized matrix-vector product with 1-row
-    broadcast totals. The MM build is the one fan-out join (occurrences x
-    models-containing-that-bigram); rounds never rescan the corpus.
+    Scale shape: the corpus is touched ONCE — a (prev, cur, source, lang)
+    count grain is the Zipf-bounded sufficient statistic, from which the
+    per-source models, the reference mass SR(s) = sum_b c(s,b)*rc(b), and
+    the sources x sources mass matrix MM(s, s') = sum_b c(s,b)*c(s',b)
+    all follow as vocab-level joins (no occurrence fan-out anywhere) —
+    after which every round is a sources-sized matrix-vector product with
+    1-row broadcast totals; rounds never rescan the corpus.
     Oracle: the same algebra as chained CTEs (the ``kmeans_lloyd_train``
     pattern). Output: (source, weight, tokens) for a 1e9-token budget.
     """

@@ -892,13 +892,10 @@ def test_incremental_shard_manifest_matches_batch_operator(spark, dirs):
     assert snap(current_shard_manifest(stats)) == expected  # read-identical
 
 
-def test_shard_ledger_invariant_under_batch_splits(spark, dirs):
+def test_shard_ledger_invariant_under_batch_splits(spark):
     """Hypothesis sweep: however the same rows are split into epochs, the
     served manifest equals the batch operator over the union — the
     associativity claim the ledger's algebra rests on."""
-    import shutil
-    import tempfile
-
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
