@@ -944,3 +944,33 @@ def test_shard_ledger_invariant_under_batch_splits(spark):
             shutil.rmtree(root, ignore_errors=True)
 
     run()
+
+
+def test_url_index_compaction_read_identical(spark, dirs):
+    """compact_index over the (epoch-less) URL index: the folded base
+    version serves the same keeper set, and post-compaction probes still
+    resolve dups against it."""
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import (
+        compact_index,
+        update_url_index,
+    )
+
+    _, idx_dir, _ = dirs
+    index = ParquetTable(spark, idx_dir, cluster_by=("canonical_url",))
+    schema = "doc_id long, url string"
+    update_url_index(
+        spark.createDataFrame([(1, "https://ex.com/p?page=1")], schema), index
+    )
+    update_url_index(
+        spark.createDataFrame([(2, "https://ex.com/q?page=2")], schema), index
+    )
+    before = {tuple(r) for r in index.read().collect()}
+    compact_index(index)
+    assert {tuple(r) for r in index.read().collect()} == before
+    out = update_url_index(
+        spark.createDataFrame(
+            [(9, "https://WWW.ex.com/p/?page=1&utm_source=x")], schema
+        ),
+        index,
+    ).collect()
+    assert [(r.doc_id, r.first_doc, r.is_dup) for r in out] == [(9, 1, True)]
