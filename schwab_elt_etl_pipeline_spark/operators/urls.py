@@ -49,9 +49,22 @@ def canonical_url(url: Column | str) -> Column:
     crawl would kill the whole job; a NULL group the caller can drop or
     quarantine is the operator-grade behavior). A pathless URL keeps an
     empty path (``coalesce`` — concat would otherwise null the entire
-    canonical form).
+    canonical form). Scheme-less spellings — ``ex.com/a`` and the
+    protocol-relative ``//ex.com/a``, both ubiquitous in crawl data — get
+    the https scheme defaulted BEFORE parsing rather than being
+    quarantined wholesale (parse_url needs a scheme to find the host).
     """
     url = F.col(url) if isinstance(url, str) else url
+    # anything carrying a scheme (incl. non-web ones like mailto:) parses
+    # AS-IS — non-web schemes then quarantine via a NULL host instead of
+    # masquerading as an https page. The scheme charset includes '.', so
+    # a scheme-less 'host:port/...' spelling is syntactically a scheme and
+    # quarantines too — the RFC 3986 ambiguity, resolved conservatively.
+    url = (
+        F.when(url.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), url)
+        .when(url.startswith("//"), F.concat(F.lit("https:"), url))
+        .otherwise(F.concat(F.lit("https://"), url))
+    )
     # (www\.)+ and /+$: strip ALL leading www labels / trailing slashes in
     # one pass — a single-strip rule would make the canonical form a
     # non-fixpoint ('www.www.x' or 'a//'), so re-canonicalizing an already

@@ -205,3 +205,19 @@ def test_intradoc_dedup_matches_python_reference_random(spark):
         assert got == _py_intradoc(texts, 3)
 
     run()
+
+
+def test_canonical_url_scheme_defaulting(spark):
+    """Scheme-less and protocol-relative spellings (ubiquitous in crawl
+    data) default to https instead of quarantining; non-web schemes
+    (mailto:) quarantine via their NULL host rather than masquerading as
+    pages."""
+    cases = [
+        ("ex.com/a?utm_source=x&p=1", "https://ex.com/a?p=1"),
+        ("//WWW.ex.com/a/", "https://ex.com/a"),
+        ("mailto:x@y.z", None),
+        ("https://ex.com/a?p=1", "https://ex.com/a?p=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url("url")).collect()]
+    assert got == [c for _, c in cases]
