@@ -127,8 +127,8 @@ WITH per AS (
   GROUP BY 1
 )
 SELECT CAST(shard AS INT) AS shard, n_docs, sum_tokens, min_doc, max_doc,
-       CAST((n_docs * 1000000) // GREATEST(SUM(n_docs) OVER (), 1) AS BIGINT) AS docs_share_ppm,
-       CAST((sum_tokens * 1000000) // GREATEST(SUM(sum_tokens) OVER (), 1) AS BIGINT) AS tokens_share_ppm
+       CAST((CAST(n_docs AS HUGEINT) * 1000000) // GREATEST(SUM(n_docs) OVER (), 1) AS BIGINT) AS docs_share_ppm,
+       CAST((CAST(sum_tokens AS HUGEINT) * 1000000) // GREATEST(SUM(sum_tokens) OVER (), 1) AS BIGINT) AS tokens_share_ppm
 FROM per
 """
 

@@ -70,12 +70,18 @@ def manifest_shares(per: DataFrame) -> DataFrame:
         "sum_tokens",
         "min_doc",
         "max_doc",
+        # counters go through DECIMAL(38,0) before the *1e6 — a bigint
+        # multiply silently wraps past ~9.2e12 docs/tokens per shard,
+        # which the 100 TB framing can actually reach; decimal keeps the
+        # ppm shares exact at any corpus size (div folds back to bigint)
         F.expr(
-            "(n_docs * 1000000) div greatest(sum(n_docs) over "
+            "(cast(n_docs as decimal(38,0)) * 1000000) div "
+            "greatest(sum(n_docs) over "
             "(rows between unbounded preceding and unbounded following), 1)"
         ).alias("docs_share_ppm"),
         F.expr(
-            "(sum_tokens * 1000000) div greatest(sum(sum_tokens) over "
+            "(cast(sum_tokens as decimal(38,0)) * 1000000) div "
+            "greatest(sum(sum_tokens) over "
             "(rows between unbounded preceding and unbounded following), 1)"
         ).alias("tokens_share_ppm"),
     )

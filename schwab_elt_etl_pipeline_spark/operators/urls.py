@@ -36,8 +36,12 @@ def canonical_url(url: Column | str) -> Column:
     Rules (each deterministic, all expressed with built-ins):
 
     - scheme normalized to ``https``
-    - host lowercased, leading ``www.`` stripped, port dropped
-      (``parse_url HOST`` already excludes the port)
+    - host lowercased, leading ``www.`` labels stripped (only while at
+      least two labels remain — stripping the registrable domain out of a
+      ``www.com``-style apex would merge unrelated ``www.*`` hosts),
+      DEFAULT ports dropped (80/443 — either is "the default" once the
+      scheme normalizes to https); a non-default port is KEPT, because
+      ``ex.com:8080`` and ``ex.com`` are routinely different services
     - trailing ``/`` stripped from the path
     - fragment dropped (``parse_url QUERY`` already excludes it)
     - tracking parameters removed (:data:`TRACKING_PARAM_RE`)
@@ -55,22 +59,42 @@ def canonical_url(url: Column | str) -> Column:
     quarantined wholesale (parse_url needs a scheme to find the host).
     """
     url = F.col(url) if isinstance(url, str) else url
-    # anything carrying a scheme (incl. non-web ones like mailto:) parses
-    # AS-IS — non-web schemes then quarantine via a NULL host instead of
-    # masquerading as an https page. The scheme charset includes '.', so
-    # a scheme-less 'host:port/...' spelling is syntactically a scheme and
-    # quarantines too — the RFC 3986 ambiguity, resolved conservatively.
+    # ONLY http/https parse as-is. Every other scheme quarantines to NULL
+    # outright — including authority-carrying ones (ftp://, ws://, ...)
+    # that WOULD parse a real host and masquerade as the https page at the
+    # same path, silently cross-protocol-deduping distinct resources. The
+    # scheme charset includes '.', so a scheme-less 'host:port/...'
+    # spelling is syntactically a scheme and quarantines too — the
+    # RFC 3986 ambiguity, resolved conservatively.
     url = (
-        F.when(url.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), url)
+        F.when(url.rlike(r"(?i)^https?:"), url)
+        .when(
+            url.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"),
+            F.lit(None).cast("string"),
+        )
         .when(url.startswith("//"), F.concat(F.lit("https:"), url))
         .otherwise(F.concat(F.lit("https://"), url))
     )
     # (www\.)+ and /+$: strip ALL leading www labels / trailing slashes in
     # one pass — a single-strip rule would make the canonical form a
     # non-fixpoint ('www.www.x' or 'a//'), so re-canonicalizing an already
-    # canonical URL could land on a DIFFERENT index key
+    # canonical URL could land on a DIFFERENT index key. The lookahead
+    # requires a dotted label to SURVIVE the strip, so a host that IS a
+    # www domain ('www.com') keeps its registrable name instead of
+    # degenerating to an invalid single-label host.
     host = F.regexp_replace(
-        F.lower(F.try_parse_url(url, F.lit("HOST"))), r"^(www\.)+", ""
+        F.lower(F.try_parse_url(url, F.lit("HOST"))),
+        r"^(www\.)+(?=[^.]+\.)",
+        "",
+    )
+    # parse_url has no PORT part; the port rides at the tail of AUTHORITY
+    # ([userinfo@]host[:port]). Leading zeros fold into the digits group
+    # so ':080' and ':80' agree; 80/443 drop as https defaults, anything
+    # else is a distinct service and stays in the canonical form.
+    port = F.regexp_extract(
+        F.coalesce(F.try_parse_url(url, F.lit("AUTHORITY")), F.lit("")),
+        r":0*(\d+)$",
+        1,
     )
     path = F.regexp_replace(
         F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), r"/+$", ""
@@ -85,6 +109,10 @@ def canonical_url(url: Column | str) -> Column:
     return F.concat(
         F.lit("https://"),
         host,
+        F.when(
+            (port != "") & ~port.isin("80", "443"),
+            F.concat(F.lit(":"), port),
+        ).otherwise(F.lit("")),
         path,
         F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
             F.lit("")

@@ -36,6 +36,18 @@ def test_canonical_url_rules(spark):
          "https://ex.com/a/b?a=2&z=1"),
         ("https://ex.com/a/b?ref=tw&fbclid=abc&gclid=1",  # all tracking
          "https://ex.com/a/b"),
+        ("https://ex.com:8080/a",                     # non-default port KEPT
+         "https://ex.com:8080/a"),
+        ("http://ex.com:80/a",                        # default ports dropped
+         "https://ex.com/a"),
+        ("https://ex.com:0443/a",                     # zero-padded default
+         "https://ex.com/a"),
+        ("https://u:pw@ex.com/a",                     # userinfo ':' != port
+         "https://ex.com/a"),
+        ("https://www.com/x",                         # www IS the domain:
+         "https://www.com/x"),                        # strip guard holds
+        ("https://www.www.site.org/x",                # multi-www + guard
+         "https://site.org/x"),
     ]
     df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
     got = [r[0] for r in df.select(canonical_url("url")).collect()]
@@ -217,6 +229,12 @@ def test_canonical_url_scheme_defaulting(spark):
         ("//WWW.ex.com/a/", "https://ex.com/a"),
         ("mailto:x@y.z", None),
         ("https://ex.com/a?p=1", "https://ex.com/a?p=1"),
+        # authority-carrying non-web schemes quarantine OUTRIGHT — they
+        # would otherwise parse a real host and cross-protocol-dedup
+        # against the https page at the same path
+        ("ftp://ex.com/f", None),
+        ("ws://ex.com/s", None),
+        ("FTP://ex.com/f", None),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonical_url("url")).collect()]
