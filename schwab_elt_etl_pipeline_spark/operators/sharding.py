@@ -46,6 +46,34 @@ def shard_of_sql(id_expr: str, shards: int) -> str:
     )
 
 
+def keep_ppm(
+    id_col: Column | str, rate_ppm: Column | int, salt: int = 0
+) -> Column:
+    """Deterministic parts-per-million Bernoulli keep decision: keep a row
+    iff ``knuth_mix(id + salt) mod 1e6 < rate_ppm``. The mixture-APPLY
+    primitive (DoReMi et al. compute per-source weights; this enforces
+    them): coordination-free, idempotent on reruns, and exact in
+    expectation — the hash is uniform over [0, 1e6), so a 250000-ppm rate
+    keeps 25% with zero RNG state. ``salt`` decorrelates independent
+    sampling decisions from each other AND from :func:`shard_of` (same
+    mix, different lattice point)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    r = F.lit(rate_ppm) if isinstance(rate_ppm, int) else rate_ppm
+    return (
+        ((c + F.lit(salt)).cast("decimal(38,0)") * F.lit(_KNUTH))
+        % F.lit(_MASK32 + 1)
+        % 1_000_000
+    ) < r.cast("decimal(38,0)")
+
+
+def keep_ppm_sql(id_expr: str, rate_ppm_expr: str, salt: int = 0) -> str:
+    """DuckDB-replayable twin of :func:`keep_ppm` (bit-identical)."""
+    return (
+        f"((CAST({id_expr} AS HUGEINT) + {salt}) * {_KNUTH})"
+        f" % {_MASK32 + 1} % 1000000 < {rate_ppm_expr}"
+    )
+
+
 def token_count(text_col: Column | str) -> Column:
     """Whitespace-token count with the empty-text guard (blank counts 0 —
     an unguarded split of '' yields [''] = 1 in BOTH engines). THE token

@@ -131,6 +131,7 @@ _BNLJ_OK = {
     "ann_pq_index",          # ≤8-row query-vector set (exact-anchor pass)
     "ann_ivfadc_index",      # ≤8-row query-vector set (exact-anchor pass)
     "kmeans_assign_fixed",   # ≤16-row centroid table
+    "semdedup_prune",        # ≤8-row centroid table (cell-assignment E-step)
     "q11_important_suppliers",  # 1-row global-threshold scalar
     "q22_global_avg_anti",   # 1-row global-average scalar
     "dq_expectations_orders",  # crossJoin of two 1-row check aggregates
