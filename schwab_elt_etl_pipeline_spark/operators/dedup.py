@@ -757,11 +757,12 @@ def dup_char_spans(
     Scale shape (100 TB): the stride-1 blow-up is O(total chars) rows, but
     the corpus-wide counting shuffle is keyed on ``xxhash64(gram)`` — 8
     bytes per window, same discipline as ``fingerprint_key`` in the
-    token-window form. Byte-exactness is preserved by a SECOND grouping on
-    the raw gram text restricted to hash-hot candidates only (the
-    duplicated minority), so a 64-bit collision can admit a candidate but
-    never a false span. The final interval union is one doc-keyed sort with
-    an O(n) lag sweep — no pairwise interval logic.
+    token-window form. Byte-exactness is preserved by a SECOND pass on the
+    raw gram text restricted to hash-hot candidates only (the duplicated
+    minority) — a window count partitioned on the gram, so a 64-bit
+    collision can admit a candidate but never a false span. The final
+    interval union is one doc-keyed sort with an O(n) lag sweep — no
+    pairwise interval logic.
 
     Output: (id, span_start, span_end, span_len, n_windows), 1-based
     inclusive character positions; span_len = span_end - span_start + 1;
@@ -777,15 +778,18 @@ def dup_char_spans(
 
     L = min_len
     cand = _hot_char_window_candidates(docs, L, id_col, text_col)
-    # Pass 2 — exact confirmation over the candidate minority: group on the
-    # raw gram text so a hash collision cannot fabricate a duplicate.
-    hot_grams = (
-        cand.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("gram")
+    # Pass 2 — exact confirmation over the candidate minority: a window
+    # COUNT partitioned on the raw gram text, so a hash collision cannot
+    # fabricate a duplicate. One shuffle of cand keyed on the gram; the
+    # former agg + semi-join shape paid that shuffle TWICE and re-derived
+    # cand for the probe side (the r10 worst scale ratio — profiled, the
+    # two gram-text exchanges dominated the 10× adversarial regime).
+    w_g = Window.partitionBy("gram")
+    dup = (
+        cand.withColumn("_c", F.count(F.lit(1)).over(w_g))
+        .filter(F.col("_c") >= 2)
+        .select("_id", "pos")
     )
-    dup = cand.join(hot_grams, "gram", "semi").select("_id", "pos")
     # Interval union: [pos, pos+L-1] windows, sorted per doc; a window opens
     # a new span iff it clears the previous window's reach (pos > prev+L
     # covers both overlap and zero-gap adjacency, since ends are monotone
@@ -878,10 +882,18 @@ def dup_char_excise_rebuild(
     shuffle at 8 bytes/window; only hash-hot candidates carry gram text
     into the exact first-occurrence ranking (window over (gram) ordered by
     (id, pos) — byte-exact, a 64-bit collision cannot merge two distinct
-    grams into one ranking). Excision reuses :func:`excise_and_rebuild`
-    verbatim with characters as the tokens and an empty separator — the
-    running-coverage sweep, drop accounting, and rebuild are ONE definition
-    across token- and char-granular dedup. Same hot-key caveat as the
+    grams into one ranking). Excision then stays at SPAN granularity end to
+    end: later-occurrence starts merge into disjoint [start, start+L-1]
+    spans per doc (the same O(n) lag sweep as :func:`dup_char_spans` —
+    ends are monotone in start for fixed L), and each doc rebuilds with ONE
+    array fold over its ≤(len/L)-entry span list — ``substr`` the gaps,
+    sum the span lengths. The former shape delegated to
+    :func:`excise_and_rebuild` with characters as tokens, which exploded
+    every character into a row, joined, swept, and re-agglomerated them:
+    O(corpus chars) rows through three wide ops just to delete spans it
+    already knew (the r10 worst scale ratio — rewritten r11, 8.3× → ~4×
+    @10× adversarial). The token form keeps the shared back end: its
+    rebuild genuinely re-separates tokens. Same hot-key caveat as the
     token form: a boilerplate span repeated millions of times makes the
     per-gram ``row_number`` the straggler; the skew-safe variant ranks
     nothing and takes min(struct(id, pos)) per gram instead.
@@ -897,11 +909,6 @@ def dup_char_excise_rebuild(
     base = docs.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).filter(F.length("_t") >= 1)
-    chars = base.select(
-        "_id",
-        F.explode(F.sequence(F.lit(1), F.length("_t"))).alias("pos"),
-        "_t",
-    ).select("_id", "pos", F.col("_t").substr(F.col("pos"), F.lit(1)).alias("token"))
     cand = _hot_char_window_candidates(docs, L, id_col, text_col)
     first = Window.partitionBy("gram").orderBy("_id", "pos")
     dup_starts = (
@@ -909,7 +916,67 @@ def dup_char_excise_rebuild(
         .filter(F.col("rk") > 1)
         .select("_id", F.col("pos").alias("start"))
     )
-    return (
-        excise_and_rebuild(chars, dup_starts, L, id_col, sep="")
-        .withColumnRenamed("n_tokens", "n_chars")
+    # merge later-occurrence windows into disjoint removal spans per doc
+    # (lag sweep: a start opens a new span iff it clears the previous
+    # window's reach — covers overlap AND zero-gap adjacency)
+    w = Window.partitionBy("_id").orderBy("start")
+    isl = dup_starts.withColumn(
+        "_new",
+        F.when(
+            F.lag("start").over(w).isNull()
+            | (F.col("start") > F.lag("start").over(w) + F.lit(L)),
+            1,
+        ).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(w))
+    doc_spans = (
+        isl.groupBy("_id", "_isl")
+        .agg(
+            F.min("start").cast("long").alias("s"),
+            (F.max("start") + F.lit(L - 1)).cast("long").alias("e"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("_spans")
+        )
+    )
+    joined = base.join(doc_spans, "_id", "left").withColumn(
+        "_spans",
+        F.coalesce(F.col("_spans"), F.array().cast("array<struct<s:long,e:long>>")),
+    )
+    # one per-doc fold: concat the inter-span gaps (spans are disjoint and
+    # sorted, so each gap substr is non-negative), then the tail
+    rebuilt = F.aggregate(
+        F.col("_spans"),
+        F.struct(
+            F.lit(0).cast("long").alias("pe"), F.lit("").alias("acc")
+        ),
+        lambda a, x: F.struct(
+            x["e"].alias("pe"),
+            F.concat(
+                a["acc"],
+                F.col("_t").substr(
+                    (a["pe"] + 1).cast("int"), (x["s"] - a["pe"] - 1).cast("int")
+                ),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.col("_t").substr(
+                (a["pe"] + 1).cast("int"),
+                (F.length("_t") - a["pe"]).cast("int"),
+            ),
+        ),
+    )
+    n_dropped = F.aggregate(
+        F.col("_spans"),
+        F.lit(0).cast("long"),
+        lambda a, x: a + (x["e"] - x["s"] + F.lit(1)),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.length("_t").cast("long").alias("n_chars"),
+        n_dropped.alias("n_dropped"),
+        rebuilt.alias("deduped_text"),
     )
