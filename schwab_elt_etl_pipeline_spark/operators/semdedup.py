@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from schwab_elt_etl_pipeline_spark.operators.similarity import (
     as_double,
     cosine,
+    dot,
+    l2_norm,
 )
 
 
@@ -85,19 +87,38 @@ def semdedup_prune(
     ~0.95+ (the paper's operating range). The assignment table is
     localCheckpointed before the self-join so the E-step computes once.
     """
-    assigned = assign_cells_fixed(emb, k, id_col, vec_col).localCheckpoint(
-        eager=False
+    # the L2 norm is a per-vector invariant: hoist it out of the pair
+    # stage (sqrt(dot(v,v)) is the identical float either way, so the
+    # rounded pair cosine is bit-identical to the oracle's per-pair form)
+    # — per pair work drops from three 64-element folds to one
+    assigned = (
+        assign_cells_fixed(emb, k, id_col, vec_col)
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .localCheckpoint(eager=False)
     )
     a = assigned.select(
-        "cluster", F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")
+        "cluster",
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_n"),
     )
     b = assigned.select(
-        "cluster", F.col("vec_id").alias("b_id"), F.col("v").alias("b_v")
+        "cluster",
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_n"),
     )
     dups = (
         a.join(b, "cluster")
         .where(F.col("b_id") < F.col("a_id"))
-        .where(F.round(cosine(F.col("a_v"), F.col("b_v")), 6) >= tau)
+        .where(
+            F.round(
+                dot(F.col("a_v"), F.col("b_v"))
+                / (F.col("a_n") * F.col("b_n")),
+                6,
+            )
+            >= tau
+        )
         .groupBy(F.col("a_id").alias("vec_id"))
         .agg(F.min("b_id").alias("dup_of"))
     )

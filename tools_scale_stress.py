@@ -121,6 +121,15 @@ QUERIES = [
     # wave-4 trio; no corpus-wide key at all (two doc-keyed shuffles), so
     # the ratio certifies pure per-document linearity
     "intradoc_dedup",
+    # round-11 wave: pii_scrub certifies the regex stack stays map-only at
+    # 10× corpus. semdedup_prune is deliberately NOT stressed: its pair
+    # work is Σ|cell|², and the jittered replica grows every cell 10×
+    # DEEPER (pair work ~100× by construction — measured 4.8s → 57s),
+    # whereas production growth scales the cell count k with N to keep
+    # cell populations flat (operators/semdedup.py docstring; the paper
+    # runs ~100k clusters at web scale) — this perturbation cannot
+    # represent that, same reasoning as semantic_decontam_select above.
+    "pii_scrub",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
