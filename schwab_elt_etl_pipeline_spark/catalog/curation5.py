@@ -125,7 +125,14 @@ def mixture_sample_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0), coordination-free, idempotent, salted so sampling
     decorrelates from shard assignment). Returns the KEPT membership
     (doc_id, source, rate_ppm) so the hash certifies the exact sample, not
-    just its size. Zero shuffles; linear at any corpus size."""
+    just its size. Zero shuffles; linear at any corpus size.
+
+    Upgrades ``corpus_mix_sample`` (llm_text.py, r7): that query certifies
+    the mixing REPORT (per-source counts) on a mod-1000 truncated hash
+    with literal fractions; this one certifies exact membership at ppm
+    resolution with the exact-decimal shard-hash family and a salt, so
+    independent sampling stages can't correlate with each other or with
+    shard assignment."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", "source", F.expr(_RATE_PPM).alias("rate_ppm")

@@ -18,6 +18,16 @@ class counted on the text as already scrubbed by the classes before it
 dotted phone spelling must not be half-eaten by the IPv4 rule), so counts
 never double-book one span under two classes.
 
+Relationship to ``pii_redact_scrub`` (catalog/curation2.py, r8): that query
+pinned the redact-and-count shape on an email/SSN/phone rule set with
+counts over the RAW text. This module is the operator-grade successor the
+r10 verdict asked for — credit-card and IPv4 classes added, word-boundary
+discipline so glued digits never half-match, and sequential-class counting
+(each class counts the text already scrubbed by its predecessors) so one
+span can never be booked under two classes. Both stay in the catalog: the
+r8 query certifies independent-count semantics, this one the ordered
+pipeline stage.
+
 Reference parity note: the reference pipeline has no PII stage (its rows
 are exchange quotes); this is part of the LLM-training-data family the
 brief adds on top (tools/schwab.py's regex symbol hygiene is the nearest

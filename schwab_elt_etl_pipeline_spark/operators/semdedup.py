@@ -15,6 +15,15 @@ populations flat, the paper uses ~100k clusters at web scale); mega-cells
 from skewed embedding mass are split by AQE skew-join handling on the
 cell-keyed exchange.
 
+Relationship to the r8 semantic-dedup pair (catalog/curation2.py):
+``semantic_dedup_keep`` pins the keep/drop verdict semantics on an id-band
+candidate generator (a demo blocking) and ``semantic_dedup_lsh`` swaps in
+multi-table sign-LSH buckets. This module adds the clustering the PAPER
+actually uses — k-means-style cells — which is also the variant whose
+candidate quality degrades gracefully (cells follow embedding density;
+axis-aligned LSH planes don't). Together the three certify the verdict
+rule once and the candidate generator three ways.
+
 Determinism stack (repo-wide ANN idiom): cosine rounded to 6 with the
 centroid-id tie-break on assignment; the keep rule is keep-first-by-id —
 a member is a duplicate iff a LOWER-id member of the same cell sits within
