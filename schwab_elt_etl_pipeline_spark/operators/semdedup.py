@@ -45,23 +45,13 @@ from schwab_elt_etl_pipeline_spark.operators.similarity import (
 )
 
 
-def assign_cells_fixed(
-    emb: DataFrame,
-    k: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Fixed-seed cell assignment (centroids = the k lowest-id vectors,
-    deterministic in both engines): (vec_id, v, cluster). One broadcast
-    crossJoin against the ≤k-row centroid table + a per-vector argmax —
-    the corpus stays put."""
-    vecs = emb.select(
-        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v")
-    )
-    cents = vecs.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cent_id"),
-        F.col("v").alias("c_vec"),
-    )
+def assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Cell assignment against an explicit centroid table: ``vecs`` is
+    (vec_id, v), ``cents`` is (cent_id, c_vec). One broadcast crossJoin
+    against the ≤k-row centroid table + a per-vector argmax — the corpus
+    stays put. Shared by the batch operator and the incremental index
+    twin (``streaming/corpus.py update_semdedup_index``) so the two
+    cannot drift on the assignment rule."""
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "v",
@@ -73,6 +63,70 @@ def assign_cells_fixed(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("vec_id", "v", F.col("cent_id").alias("cluster"))
+    )
+
+
+def seed_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The fixed-seed centroid rule: the k lowest-id vectors (deterministic
+    in both engines). Output: (cent_id, c_vec)."""
+    return emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cent_id"),
+        as_double(vec_col).alias("c_vec"),
+    )
+
+
+def assign_cells_fixed(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-seed cell assignment (centroids = the k lowest-id vectors,
+    deterministic in both engines): (vec_id, v, cluster)."""
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v")
+    )
+    return assign_cells(vecs, seed_centroids(emb, k, id_col, vec_col))
+
+
+def keep_first_dups(
+    members: DataFrame, pool: DataFrame, tau: float
+) -> DataFrame:
+    """The SemDeDup verdict rule as one shared definition: for each row of
+    ``members``, the smallest LOWER id in ``pool`` sharing its cell with
+    rounded cosine ≥ ``tau``. Both sides carry (vec_id, v, nrm, cluster);
+    output is (vec_id, dup_of) for duplicate members only. ONE cell-keyed
+    equi-join — pair work is bounded by cell populations."""
+    a = members.select(
+        "cluster",
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_n"),
+    )
+    b = pool.select(
+        "cluster",
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_n"),
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("b_id") < F.col("a_id"))
+        .where(
+            F.round(
+                dot(F.col("a_v"), F.col("b_v"))
+                / (F.col("a_n") * F.col("b_n")),
+                6,
+            )
+            >= tau
+        )
+        .groupBy(F.col("a_id").alias("vec_id"))
+        .agg(F.min("b_id").alias("dup_of"))
     )
 
 
@@ -105,32 +159,7 @@ def semdedup_prune(
         .withColumn("nrm", l2_norm(F.col("v")))
         .localCheckpoint(eager=False)
     )
-    a = assigned.select(
-        "cluster",
-        F.col("vec_id").alias("a_id"),
-        F.col("v").alias("a_v"),
-        F.col("nrm").alias("a_n"),
-    )
-    b = assigned.select(
-        "cluster",
-        F.col("vec_id").alias("b_id"),
-        F.col("v").alias("b_v"),
-        F.col("nrm").alias("b_n"),
-    )
-    dups = (
-        a.join(b, "cluster")
-        .where(F.col("b_id") < F.col("a_id"))
-        .where(
-            F.round(
-                dot(F.col("a_v"), F.col("b_v"))
-                / (F.col("a_n") * F.col("b_n")),
-                6,
-            )
-            >= tau
-        )
-        .groupBy(F.col("a_id").alias("vec_id"))
-        .agg(F.min("b_id").alias("dup_of"))
-    )
+    dups = keep_first_dups(assigned, assigned, tau)
     return assigned.join(dups, "vec_id", "left").select(
         "vec_id",
         F.col("cluster").cast("int").alias("cluster"),

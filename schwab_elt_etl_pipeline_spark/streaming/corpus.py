@@ -40,6 +40,11 @@ up incrementally. This module runs the batch curation operators
   batch, resolve keepers against the persistent URL table, ``insert_new``
   on the canonical string (replay-idempotent, drained index ≡ the batch
   ``url_dup_groups`` keepers).
+- ``update_semdedup_index``: incremental SemDeDup cell index — the
+  SEMANTIC member of the family; first batch seeds the fixed centroids,
+  each batch assigns against the persisted cells and probes only its own
+  cells' members for an earlier near-identical vector (O(batch × cell)
+  per trigger), cumulative verdicts ≡ the batch ``semdedup_prune``.
 - ``update_gram_index``: incremental first-occurrence NOVELTY scoring —
   a persistent 8-byte n-gram fingerprint table; each batch's documents are
   scored by how much content they introduce vs the corpus so far, with
@@ -1003,3 +1008,79 @@ def update_gram_index(
     )
     index.insert_new(new_fps, keys=["gh"])
     return out
+
+
+def update_semdedup_index(
+    batch: DataFrame,
+    index: ParquetTable,
+    cents: ParquetTable,
+    k: int = 8,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incrementally maintain the SemDeDup cell index — the SEMANTIC member
+    of the incremental index family, the streaming twin of
+    ``operators/semdedup.py semdedup_prune``. Assignment
+    (``assign_cells``) and the verdict rule (``keep_first_dups``) are the
+    batch operator's own functions, so the two paths cannot drift.
+
+    Per call: (1) the FIRST batch seeds the fixed centroid table (the
+    batch rule: vectors with id < k — the ingest contract delivers the
+    corpus in ascending id order, so the seeds ride the first batch, the
+    same arrival contract every twin in this family documents); later
+    batches read the persisted centroids, so every batch assigns against
+    the IDENTICAL cells. (2) Batch vectors probe the persisted members of
+    their own cell — plus in-batch lower ids — for the smallest earlier
+    member within ``tau`` (O(batch × cell) work per trigger, never
+    O(corpus²)). (3) ALL batch members append idempotently on ``vec_id``
+    — duplicates too, because the batch rule compares each vector against
+    every lower-id cell member, not only keepers.
+
+    Under ascending-id arrival the cumulative verdicts equal
+    ``semdedup_prune`` over the concatenated corpus (pinned in
+    tests/test_streaming_corpus.py); replaying a batch adds nothing and
+    reproduces its verdicts (``insert_new``). At 100 TB the index is
+    ``cluster_by=("cluster",)`` so footer stats prune the probe to the
+    touched cells. Output: (vec_id, cluster, is_dup, dup_of) for every
+    batch row.
+    """
+    from schwab_elt_etl_pipeline_spark.operators.semdedup import (
+        assign_cells,
+        keep_first_dups,
+        seed_centroids,
+    )
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        as_double,
+        l2_norm,
+    )
+
+    if not cents.exists():
+        cents.overwrite_versioned(seed_centroids(batch, k, id_col, vec_col))
+    vecs = batch.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v")
+    )
+    assigned = (
+        assign_cells(vecs, cents.read())
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .localCheckpoint(eager=True)  # probe + verdicts + append share it
+    )
+    pool = (
+        assigned.unionByName(
+            index.read().select("vec_id", "v", "nrm", "cluster")
+        )
+        if index.exists()
+        else assigned
+    )
+    dups = keep_first_dups(assigned, pool, tau)
+    verdicts = assigned.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.when(F.col("dup_of").isNull(), 0).otherwise(1).alias("is_dup"),
+        F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
+    )
+    if index.exists():
+        index.insert_new(assigned, keys=["vec_id"])
+    else:
+        index.overwrite_versioned(assigned)
+    return verdicts

@@ -974,3 +974,42 @@ def test_url_index_compaction_read_identical(spark, dirs):
         index,
     ).collect()
     assert [(r.doc_id, r.first_doc, r.is_dup) for r in out] == [(9, 1, True)]
+
+
+def test_incremental_semdedup_index_matches_batch_operator(spark, dirs):
+    """Ascending-id batches through update_semdedup_index: cumulative
+    verdicts equal the batch semdedup_prune over the union corpus (shared
+    assign_cells / keep_first_dups definitions), and replaying the last
+    batch adds nothing and reproduces its verdicts."""
+    from schwab_elt_etl_pipeline_spark.operators.semdedup import semdedup_prune
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import (
+        update_semdedup_index,
+    )
+
+    _, idx_dir, cents_dir = dirs
+    index = ParquetTable(spark, idx_dir, cluster_by=("cluster",))
+    cents = ParquetTable(spark, cents_dir)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    splits = [emb.filter(f"vec_id < 20"),
+              emb.filter("vec_id >= 20 and vec_id < 60"),
+              emb.filter("vec_id >= 60")]
+    got = {}
+    last = None
+    for b in splits:
+        last = update_semdedup_index(b, index, cents, k=8, tau=0.35)
+        got.update(
+            {r.vec_id: (r.cluster, r.is_dup, r.dup_of) for r in last.collect()}
+        )
+    want = {
+        r.vec_id: (r.cluster, r.is_dup, r.dup_of)
+        for r in semdedup_prune(emb, k=8, tau=0.35).collect()
+    }
+    assert got == want
+    assert any(v[1] == 1 for v in got.values())  # regime has real dups
+    # replay: same verdicts, index unchanged
+    n_before = index.read().count()
+    replay = update_semdedup_index(splits[-1], index, cents, k=8, tau=0.35)
+    assert {
+        r.vec_id: (r.cluster, r.is_dup, r.dup_of) for r in replay.collect()
+    } == {r.vec_id: (r.cluster, r.is_dup, r.dup_of) for r in last.collect()}
+    assert index.read().count() == n_before
