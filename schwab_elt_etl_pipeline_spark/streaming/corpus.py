@@ -1056,7 +1056,15 @@ def update_semdedup_index(
     )
 
     if not cents.exists():
-        cents.overwrite_versioned(seed_centroids(batch, k, id_col, vec_col))
+        seeds = seed_centroids(batch, k, id_col, vec_col)
+        if seeds.limit(1).count() == 0:
+            raise ValueError(
+                "update_semdedup_index: first batch carries no seed vectors "
+                f"(id < {k}); pre-seed the centroid table from the corpus or "
+                "deliver the seed ids in the first batch (ascending-id "
+                "arrival contract)"
+            )
+        cents.overwrite_versioned(seeds)
     vecs = batch.select(
         F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v")
     )

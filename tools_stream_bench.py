@@ -478,6 +478,46 @@ def main() -> None:
     wall = _drain(q)
     record("url_canon_index", n_docs, wall, url_dups.read().count())
 
+    # 16. incremental SemDeDup cell index (the semantic member: assign the
+    # batch against persisted fixed centroids, probe only its own cells'
+    # members, append all). Centroids pre-seeded from the static corpus —
+    # the deployment pattern; file-arrival order then doesn't matter.
+    from schwab_elt_etl_pipeline_spark.operators.semdedup import seed_centroids
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import (
+        update_semdedup_index,
+    )
+
+    vec_base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vspan = vec_base.agg(F.max("vec_id") - F.min("vec_id") + 1).first()[0] or 1
+    vecs_all = vec_base
+    for i in range(1, copies):
+        vecs_all = vecs_all.unionByName(
+            vec_base.withColumn("vec_id", F.col("vec_id") + F.lit(i * vspan))
+        )
+    vecs_dir = f"{root}/vecs_parquet"
+    vecs_all.repartition(shards).write.mode("overwrite").parquet(vecs_dir)
+    n_vecs = spark.read.parquet(vecs_dir).count()
+    sem_idx = ParquetTable(spark, f"{root}/sem_index", cluster_by=("cluster",))
+    sem_cents = ParquetTable(spark, f"{root}/sem_cents")
+    sem_cents.overwrite_versioned(seed_centroids(vec_base, k=8))
+    sem_dups = ParquetTable(spark, f"{root}/sem_dups")
+
+    def _sem_sink(batch: DataFrame, epoch: int) -> None:
+        out = update_semdedup_index(batch, sem_idx, sem_cents, k=8, tau=0.35)
+        sem_dups.insert_new(out.filter(F.col("is_dup") == 1), keys=["vec_id"])
+
+    q = (
+        spark.readStream.schema(vec_base.schema)
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(vecs_dir)
+        .writeStream.foreachBatch(_sem_sink)
+        .option("checkpointLocation", f"{root}/sem_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wall = _drain(q)
+    record("semdedup_index", n_vecs, wall, sem_dups.read().count())
+
     payload = {
         "metric": "streaming throughput (rows/sec, end-to-end incl. checkpoints)",
         "ticks": n_ticks,
