@@ -55,20 +55,29 @@ def brute_force_topk(
 
     Output: (q_id, vec_id, cos) — ``cos`` rounded so the top-k cutoff is
     stable across engines; ties broken by corpus id. Self-matches excluded.
+
+    Norms are per-vector invariants, hoisted OUT of the pair stage
+    (``sqrt(dot(v,v))`` is the identical float wherever computed, so the
+    rounded cosine — and the oracle hash — is unchanged): per pair, one
+    64-element fold instead of three.
     """
     q = queries.select(
         F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec")
-    )
+    ).withColumn("q_n", l2_norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(vec_col).alias("c_vec")
-    )
+    ).withColumn("c_n", l2_norm(F.col("c_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_n") * F.col("c_n")),
+                round_digits,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))

@@ -9,6 +9,8 @@ import tempfile
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full suite is the gate; -m 'not slow' is the fast path
+
 from schwab_elt_etl_pipeline_spark.plans.backfill import backfill_medallion
 from schwab_elt_etl_pipeline_spark.schemas import QUOTES_STREAM
 from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable

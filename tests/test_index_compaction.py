@@ -17,6 +17,8 @@ import tempfile
 from datetime import datetime
 
 import pytest
+
+pytestmark = pytest.mark.slow  # full suite is the gate; -m 'not slow' is the fast path
 from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable

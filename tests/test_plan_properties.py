@@ -9,6 +9,8 @@ performance bug even when results stay correct.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # full suite is the gate; -m 'not slow' is the fast path
 from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.catalog import all_specs

@@ -3,6 +3,10 @@ recall@10 against the exact brute-force baseline."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full suite is the gate; -m 'not slow' is the fast path
+
 from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.catalog.similarity import (

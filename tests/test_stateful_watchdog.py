@@ -3,6 +3,10 @@ micro-batches (SURVEY T4/T5 as an applyInPandasWithState operator)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full suite is the gate; -m 'not slow' is the fast path
+
 import shutil
 import tempfile
 

@@ -9,6 +9,8 @@ import time
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full suite is the gate; -m 'not slow' is the fast path
+
 from schwab_elt_etl_pipeline_spark.plans.chains import flatten_chains
 from schwab_elt_etl_pipeline_spark.schemas import CHAIN_DOC
 from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable

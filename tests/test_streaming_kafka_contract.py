@@ -20,6 +20,10 @@ no engine code changes.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full suite is the gate; -m 'not slow' is the fast path
+
 from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.schemas import QUOTES_STREAM

@@ -10,6 +10,8 @@ import tempfile
 from datetime import datetime
 
 import pytest
+
+pytestmark = pytest.mark.slow  # full suite is the gate; -m 'not slow' is the fast path
 from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.catalog.analytics12 import event_transition_probs

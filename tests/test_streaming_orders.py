@@ -8,6 +8,8 @@ import tempfile
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full suite is the gate; -m 'not slow' is the fast path
+
 from schwab_elt_etl_pipeline_spark.plans.orders_plan import (
     build_transactions,
     normalize_order_graph,

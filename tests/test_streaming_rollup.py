@@ -8,6 +8,8 @@ import shutil
 import tempfile
 
 import pytest
+
+pytestmark = pytest.mark.slow  # full suite is the gate; -m 'not slow' is the fast path
 from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.operators.rollup import rollup_minutes, rollup_read

@@ -7,6 +7,8 @@ import shutil
 import tempfile
 
 import pytest
+
+pytestmark = pytest.mark.slow  # full suite is the gate; -m 'not slow' is the fast path
 from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.operators.scd import scd2_apply, scd2_init

@@ -10,6 +10,8 @@ from decimal import Decimal
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full suite is the gate; -m 'not slow' is the fast path
+
 from schwab_elt_etl_pipeline_spark.schemas import QUOTES_STREAM
 from schwab_elt_etl_pipeline_spark.sources.warehouse import ParquetTable
 from schwab_elt_etl_pipeline_spark.streaming.pipeline import run_streaming_silver

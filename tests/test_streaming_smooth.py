@@ -15,6 +15,8 @@ import tempfile
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full suite is the gate; -m 'not slow' is the fast path
+
 from schwab_elt_etl_pipeline_spark.operators.recurrence import linear_recurrence
 from schwab_elt_etl_pipeline_spark.operators.smooth import ewma
 from schwab_elt_etl_pipeline_spark.streaming.smooth_stream import (
