@@ -784,7 +784,10 @@ def dup_char_spans(
     # former agg + semi-join shape paid that shuffle TWICE and re-derived
     # cand for the probe side (the r10 worst scale ratio — profiled, the
     # two gram-text exchanges dominated the 10× adversarial regime).
-    w_g = Window.partitionBy("gram")
+    # partition by (gh, gram), not gram alone — identical semantics (gh is
+    # a pure function of the gram), but the window sort compares the 8-byte
+    # hash first and touches string bytes only on gh-ties
+    w_g = Window.partitionBy("gh", "gram")
     dup = (
         cand.withColumn("_c", F.count(F.lit(1)).over(w_g))
         .filter(F.col("_c") >= 2)
@@ -910,7 +913,8 @@ def dup_char_excise_rebuild(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).filter(F.length("_t") >= 1)
     cand = _hot_char_window_candidates(docs, L, id_col, text_col)
-    first = Window.partitionBy("gram").orderBy("_id", "pos")
+    # (gh, gram) partitioning: hash-first sort, string bytes only on ties
+    first = Window.partitionBy("gh", "gram").orderBy("_id", "pos")
     dup_starts = (
         cand.withColumn("rk", F.row_number().over(first))
         .filter(F.col("rk") > 1)
