@@ -47,6 +47,9 @@ _NAMES = [
     "url_canonicalize_dedup",
     "intradoc_dedup",
     "shard_manifest_hash",
+    "pii_scrub",
+    "semdedup_prune",
+    "mixture_sample_ppm",
 ]
 
 _HEADER = """# PLANS — executed physical plans of the heaviest headline queries
