@@ -132,3 +132,48 @@ def test_keep_ppm_matches_python_and_salting(spark):
         r.doc_id for r in df.where(keep_ppm("doc_id", 250_000, 101)).collect()
     }
     assert s0 != s1
+
+
+def test_pii_rules_agree_across_java_and_re2(spark):
+    """The portability contract, tested differentially: the SAME pattern
+    strings must produce the SAME counts and scrubbed text under Java
+    regex (Spark executors) and RE2 (the DuckDB oracle) — on randomized
+    adversarial inputs (PII snippets glued to digits/words/punctuation,
+    multiple classes per line, boundary-probing fragments), not just the
+    catalog's synthesized rows."""
+    import random
+
+    import duckdb
+
+    from schwab_elt_etl_pipeline_spark.operators.pii import (
+        pii_count_sql_exprs,
+    )
+
+    rng = random.Random(7)
+    frags = [
+        "a.b+c@ex.co.uk", "x@y.io", "not@an", "@@", "a@b.c",  # email edges
+        "4111-1111-1111-1234", "4111 1111 1111 1234", "94111-1111-1111-1234",
+        "4111-1111-1111-12345", "555-123-4567", "+555.123.4567",
+        "1555-123-4567", "555-123-45678", "10.0.255.7", "1.2.3.4567",
+        "999.999.999.999", "1.2.3", "v1.2.3.4", "word", "42", "-", ".",
+        "email:a@b.cd,", "(555.123.4567)", "ip=8.8.8.8;",
+    ]
+    rows = []
+    for i in range(60):
+        n = rng.randint(1, 6)
+        rows.append((i, " ".join(rng.choice(frags) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_email, r.n_card, r.n_ip, r.n_phone, r.scrubbed_text)
+        for r in pii_scrub(df).collect()
+    }
+    counts, scrubbed = pii_count_sql_exprs("text")
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]), int(r[4]), r[5])
+        for r in con.sql(
+            f"SELECT doc_id, {', '.join(counts)}, {scrubbed} AS s FROM docs"
+        ).fetchall()
+    }
+    assert got == want
