@@ -124,7 +124,7 @@ QUERIES = [
     # round-11 wave: pii_scrub certifies the regex stack stays map-only at
     # 10× corpus. semdedup_prune is deliberately NOT stressed: its pair
     # work is Σ|cell|², and the jittered replica grows every cell 10×
-    # DEEPER (pair work ~100× by construction — measured 4.8s → 57s),
+    # DEEPER (pair work ~100× by construction — measured idle 3.1s → 46s),
     # whereas production growth scales the cell count k with N to keep
     # cell populations flat (operators/semdedup.py docstring; the paper
     # runs ~100k clusters at web scale) — this perturbation cannot
