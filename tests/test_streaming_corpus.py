@@ -1015,3 +1015,35 @@ def test_incremental_semdedup_index_matches_batch_operator(spark, dirs):
         r.vec_id: (r.cluster, r.is_dup, r.dup_of) for r in replay.collect()
     } == {r.vec_id: (r.cluster, r.is_dup, r.dup_of) for r in last.collect()}
     assert index.read().count() == n_before
+
+
+def test_semdedup_index_compaction_read_identical(spark, dirs):
+    """compact_index over the (epoch-less) SemDeDup member index: the
+    folded base version serves the same member set, and post-compaction
+    probes still resolve dups against it."""
+    from schwab_elt_etl_pipeline_spark.streaming.corpus import (
+        compact_index,
+        update_semdedup_index,
+    )
+
+    _, idx_dir, cents_dir = dirs
+    index = ParquetTable(spark, idx_dir, cluster_by=("cluster",))
+    cents = ParquetTable(spark, cents_dir)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    update_semdedup_index(emb.filter("vec_id < 30"), index, cents)
+    update_semdedup_index(
+        emb.filter("vec_id >= 30 and vec_id < 60"), index, cents
+    )
+    before = {(r.vec_id, r.cluster) for r in index.read().collect()}
+    compact_index(index)
+    assert {(r.vec_id, r.cluster) for r in index.read().collect()} == before
+    out = update_semdedup_index(emb.filter("vec_id >= 60"), index, cents)
+    got = {r.vec_id: (r.cluster, r.is_dup, r.dup_of) for r in out.collect()}
+    from schwab_elt_etl_pipeline_spark.operators.semdedup import semdedup_prune
+
+    want = {
+        r.vec_id: (r.cluster, r.is_dup, r.dup_of)
+        for r in semdedup_prune(emb).collect()
+        if r.vec_id >= 60
+    }
+    assert got == want
