@@ -166,11 +166,22 @@ def test_strike_range_falls_back_when_window_empty(spark):
         gold.strike_range(empty, dt.datetime(2024, 6, 17, 6, 30))
 
 
+def _persistent_rdd_ids(spark):
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+
 def test_gold_scope_releases_caches(spark, quotes):
     """gold_scope must leave NO retained RDD blocks after exit, and run_gold
     must not persist at all — the persist-hygiene contract for the streaming
-    hot loop (storage memory may not accumulate across micro-batches)."""
+    hot loop (storage memory may not accumulate across micro-batches).
+
+    The assertion is on the DELTA of persistent RDD ids, not the absolute
+    count: the session is shared across the whole suite and earlier tests
+    may legitimately leak localCheckpoint blocks that clearCache() does not
+    unpersist, so a global ==0 would be order-dependent (it failed under the
+    fast-path deselection ordering while passing in isolation)."""
     spark.catalog.clearCache()
+    baseline = _persistent_rdd_ids(spark)
     opt, optm = silver.run_silver(quotes)
     underlying = silver_underlying(quotes)
     min_time = dt.datetime(2024, 6, 17, 6, 30)
@@ -179,15 +190,15 @@ def test_gold_scope_releases_caches(spark, quotes):
         optm, opt, underlying, min_time=min_time, width=5, opt_range=100
     )
     vert.collect()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert _persistent_rdd_ids(spark) - baseline == set()
 
     with gold.gold_scope(
         optm, opt, underlying, min_time=min_time, width=5, opt_range=100
     ) as (v_all, ts_all):
         n_vert, n_ts = v_all.count(), ts_all.count()
         assert n_vert > 0 and n_ts > 0
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0  # in scope
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0  # released
+        assert len(_persistent_rdd_ids(spark) - baseline) > 0  # in scope
+    assert _persistent_rdd_ids(spark) - baseline == set()  # released
 
     # scope output matches the lazy variant
     assert n_vert == vert.count() and n_ts == vert_ts.count()
