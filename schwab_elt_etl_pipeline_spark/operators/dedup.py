@@ -786,7 +786,14 @@ def dup_char_spans(
     # two gram-text exchanges dominated the 10× adversarial regime).
     # partition by (gh, gram), not gram alone — identical semantics (gh is
     # a pure function of the gram), but the window sort compares the 8-byte
-    # hash first and touches string bytes only on gh-ties
+    # hash first and touches string bytes only on gh-ties. Hot-key caveat
+    # (same as the excise row_number): a boilerplate gram repeated millions
+    # of times lands every occurrence in one window partition — the
+    # straggler is bounded by the hottest gram. The skew-safe variant for a
+    # measured mega-gram is a map-side-combinable
+    # groupBy(gh, gram).count() on a checkpointed cand joined back to it
+    # (counts exchange one row per distinct gram), mirroring the excise
+    # min(struct(id, pos)) escape hatch.
     w_g = Window.partitionBy("gh", "gram")
     dup = (
         cand.withColumn("_c", F.count(F.lit(1)).over(w_g))
@@ -825,19 +832,46 @@ def dup_char_spans(
 
 
 def _hot_char_window_candidates(
-    docs: DataFrame, L: int, id_col: str, text_col: str
+    docs: DataFrame, L: int, id_col: str, text_col: str, via: str = "window"
 ) -> DataFrame:
     """Shared char-granular front end for :func:`dup_char_spans` and
     :func:`dup_char_excise_rebuild`: (_id, pos, gram, gh) for every stride-1
     L-char window whose text occurs >= 2 times corpus-wide. Two-pass
-    discipline, and NO shuffle in it ever carries gram text — pass 1 counts
-    on the 8-byte ``xxhash64`` key (map-side combinable), pass 2 probes with
-    (_id, pos, gh) rows only (24 bytes/window even when ``hot_hashes``
-    outgrows the broadcast threshold and the semi-join becomes a shuffle
-    join), and survivors get their gram RECOMPUTED by joining the hot
-    positions back to the doc text — a shuffle of O(corpus bytes + hot
-    positions), not O(L x corpus) window text. The caller then does exact
-    confirmation over the hash-hot minority."""
+    discipline, and NO shuffle in it ever carries gram text — pass 1 keeps
+    windows whose 8-byte ``xxhash64`` key occurs >= 2 times corpus-wide,
+    over (_id, pos, gh) rows only (24 bytes/window), and survivors get
+    their gram RECOMPUTED by joining the hot positions back to the doc
+    text — a shuffle of O(corpus bytes + hot positions), not O(L x corpus)
+    window text. The caller then does exact confirmation over the hash-hot
+    minority.
+
+    ``via`` picks the hash-prefilter shape — both respect the no-text-in-
+    shuffle discipline, and the winner depends on the CONSUMER (measured at
+    the 10x adversarial replica where every window is duplicated):
+
+    - ``"window"``: ONE count window partitioned on ``gh``. The explode +
+      per-window-hash subtree is computed once and the corpus-size rows
+      cross one 24-byte exchange, at the price of a per-partition sort on
+      the hash. Wins for :func:`dup_char_spans`, which keeps EVERY
+      duplicated occurrence (spans 6.3 s -> 4.0 s @10x; 1.5 s -> 0.9 s
+      @1x).
+    - ``"agg"``: map-side-combinable ``groupBy(gh).count`` + semi-join.
+      The explode subtree is referenced on both semi-join sides (computed
+      twice) and the partial counts pay a near-full-size 16-byte exchange
+      (stride-1 grams rarely repeat within a map partition), BUT the hot-
+      hash set broadcasts whenever it fits, so the probe side streams with
+      NO exchange and NO sort. Wins ahead of
+      :func:`dup_char_excise_rebuild`'s (gh, gram) row_number stage
+      (excise 7.6 s -> 6.0 s @10x), which re-sorts the rows anyway — the
+      window shape's gh sort is pure overlap there.
+
+    Hot-key caveat (same as the callers' (gh, gram) stages): a boilerplate
+    gram repeated millions of times lands every occurrence in one window
+    partition / one semi-join partition; identical exposure in both
+    shapes — the skew-safe escape hatch for a measured mega-gram is the
+    callers' documented min/max-aggregation variants."""
+    from pyspark.sql.window import Window
+
     base = docs.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).filter(F.length("_t") >= L)
@@ -851,13 +885,22 @@ def _hot_char_window_candidates(
         "pos",
         F.xxhash64(F.col("_t").substr(F.col("pos"), F.lit(L))).alias("gh"),
     )
-    hot_hashes = (
-        probes.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("gh")
-    )
-    hot_pos = probes.join(hot_hashes, "gh", "semi")
+    if via == "window":
+        hot_pos = (
+            probes.withColumn(
+                "_c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+            )
+            .filter(F.col("_c") >= 2)
+            .drop("_c")
+        )
+    else:
+        hot_hashes = (
+            probes.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("gh")
+        )
+        hot_pos = probes.join(hot_hashes, "gh", "semi")
     return hot_pos.join(base, "_id").select(
         "_id",
         "pos",
@@ -912,7 +955,10 @@ def dup_char_excise_rebuild(
     base = docs.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).filter(F.length("_t") >= 1)
-    cand = _hot_char_window_candidates(docs, L, id_col, text_col)
+    # via="agg": the row_number stage below re-sorts on (gh, gram) anyway,
+    # so the window front end's gh sort is pure overlap here — measured
+    # 6.0 s vs 7.6 s @10x (see _hot_char_window_candidates docstring)
+    cand = _hot_char_window_candidates(docs, L, id_col, text_col, via="agg")
     # (gh, gram) partitioning: hash-first sort, string bytes only on ties
     first = Window.partitionBy("gh", "gram").orderBy("_id", "pos")
     dup_starts = (
