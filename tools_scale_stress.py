@@ -130,6 +130,12 @@ QUERIES = [
     # runs ~100k clusters at web scale) — this perturbation cannot
     # represent that, same reasoning as semantic_decontam_select above.
     "pii_scrub",
+    # round-12 wave: unicode_scrub certifies the 13-rule regexp cascade
+    # stays map-only (zero shuffles) at 10× corpus; domain_quality_gate
+    # certifies the single domain-keyed shuffle (count-distinct expand +
+    # exact quality sums) and the broadcast blocklist survive the growth
+    "unicode_scrub",
+    "domain_quality_gate",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
