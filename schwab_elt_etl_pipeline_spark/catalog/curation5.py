@@ -101,9 +101,12 @@ WITH q AS MATERIALIZED (
   QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
                              ORDER BY cos DESC, c.cent_id ASC) = 1
 ), p AS (
+  -- zero-norm guard mirrors operators/semdedup.py keep_first_dups:
+  -- directionless vectors are keepers and never evidence
   SELECT a.vec_id, MIN(b.vec_id) AS dup_of
   FROM s a JOIN s b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
-  WHERE ROUND({_SEM_COS.format(a="a.v", b="b.v")}, 6) >= {_SEM_TAU}
+  WHERE list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+    AND ROUND({_SEM_COS.format(a="a.v", b="b.v")}, 6) >= {_SEM_TAU}
   GROUP BY a.vec_id
 )
 SELECT s.vec_id, s.cluster,

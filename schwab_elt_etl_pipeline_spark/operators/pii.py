@@ -49,7 +49,14 @@ PII_RULES: list[tuple[str, str, str]] = [
     # phone ('555.123.4567', 4-digit tail) can never match as an IP, but
     # scrubbing IPs first still documents the intent explicitly
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    # Covered phone spellings (the EXPLICIT contract): the 3-3-4 shape
+    # with '-', '.', or ' ' separators, optionally parenthesized area code
+    # ('555-123-4567', '555.123.4567', '555 123 4567', '(555) 123-4567'),
+    # optionally '+'-prefixed. NOT covered, deliberately: 10 contiguous
+    # digits ('5551234567') — in corpus text that shape is ids/timestamps
+    # far more often than phones, and redacting them would destroy
+    # non-PII content wholesale.
+    ("phone", r"\+?\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
 ]
 
 

@@ -39,7 +39,6 @@ from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.operators.similarity import (
     as_double,
-    cosine,
     dot,
     l2_norm,
 )
@@ -52,11 +51,17 @@ def assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     stays put. Shared by the batch operator and the incremental index
     twin (``streaming/corpus.py update_semdedup_index``) so the two
     cannot drift on the assignment rule."""
+    # zero-safe cosine: under ANSI mode a zero-norm vector would raise
+    # DIVIDE_BY_ZERO; the lazy CASE leaves its cosine NULL instead (NULLs
+    # order last under DESC, so a zero vector falls to the lowest cent_id)
+    den = l2_norm(F.col("v")) * l2_norm(F.col("c_vec"))
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "v",
         "cent_id",
-        F.round(cosine(F.col("v"), F.col("c_vec")), 6).alias("cos"),
+        F.when(
+            den > 0, F.round(dot(F.col("v"), F.col("c_vec")) / den, 6)
+        ).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
     return (
@@ -101,7 +106,17 @@ def keep_first_dups(
     ``members``, the smallest LOWER id in ``pool`` sharing its cell with
     rounded cosine ≥ ``tau``. Both sides carry (vec_id, v, nrm, cluster);
     output is (vec_id, dup_of) for duplicate members only. ONE cell-keyed
-    equi-join — pair work is bounded by cell populations."""
+    equi-join — pair work is bounded by cell populations.
+
+    Zero-norm (all-zero) vectors are EXCLUDED from both sides of the pair
+    stage: a vector with no direction has no cosine — under ANSI mode the
+    0/0 division is a hard DIVIDE_BY_ZERO error that would kill the whole
+    job, so the pair predicate is a lazily-evaluated CASE that never
+    divides when either norm is 0 (a plain conjunct is not enough:
+    Catalyst may reorder predicates). Zero vectors are therefore always
+    keepers and never evidence against another member; their cell
+    assignment lands deterministically (NULL cosine for every centroid —
+    ordered last under DESC — tie broken by lowest cent_id)."""
     a = members.select(
         "cluster",
         F.col("vec_id").alias("a_id"),
@@ -117,13 +132,17 @@ def keep_first_dups(
     return (
         a.join(b, "cluster")
         .where(F.col("b_id") < F.col("a_id"))
+        .where((F.col("a_n") > 0) & (F.col("b_n") > 0))
         .where(
-            F.round(
-                dot(F.col("a_v"), F.col("b_v"))
-                / (F.col("a_n") * F.col("b_n")),
-                6,
-            )
-            >= tau
+            F.when(
+                (F.col("a_n") > 0) & (F.col("b_n") > 0),
+                F.round(
+                    dot(F.col("a_v"), F.col("b_v"))
+                    / (F.col("a_n") * F.col("b_n")),
+                    6,
+                )
+                >= tau,
+            ).otherwise(F.lit(False))
         )
         .groupBy(F.col("a_id").alias("vec_id"))
         .agg(F.min("b_id").alias("dup_of"))

@@ -88,13 +88,36 @@ def canonical_url(url: Column | str) -> Column:
         "",
     )
     # parse_url has no PORT part; the port rides at the tail of AUTHORITY
-    # ([userinfo@]host[:port]). Leading zeros fold into the digits group
-    # so ':080' and ':80' agree; 80/443 drop as https defaults, anything
-    # else is a distinct service and stays in the canonical form.
-    port = F.regexp_extract(
+    # ([userinfo@]host[:port]), AFTER any userinfo (strip to the last '@'
+    # first so 'user:pw@host' is never mistaken for a port). Explicit
+    # port-tail policy (each case decided, none silent):
+    #   - ':80'/':443' (and ':080' etc — leading zeros fold into the
+    #     digits group) drop as https defaults; 'http://h:443' therefore
+    #     folds into 'https://h' — DELIBERATE: once the scheme normalizes
+    #     to https, 443 is "the" default, and http-on-443 in crawl data is
+    #     overwhelmingly just a spelled-out TLS endpoint
+    #   - any other port in [1, 65535] is a distinct service and stays
+    #   - a bare ':' (empty port) means "the default" per RFC 3986 and
+    #     browsers alike: dropped, NOT malformed
+    #   - ':0', ports > 65535, and non-numeric tails (':8a') are
+    #     unroutable/malformed: the URL QUARANTINES to NULL like any other
+    #     parse failure (silently merging 'h:8a/x' with 'h/x' would
+    #     wrongly dedup distinct junk spellings)
+    hostport = F.regexp_replace(
         F.coalesce(F.try_parse_url(url, F.lit("AUTHORITY")), F.lit("")),
-        r":0*(\d+)$",
-        1,
+        r"^.*@",
+        "",
+    )
+    port = F.regexp_extract(hostport, r":0*(\d+)$", 1)
+    port_tail = F.regexp_extract(hostport, r":([^:\]]*)$", 1)
+    has_port_tail = hostport.rlike(r":[^:\]]*$")
+    # try_cast, not cast: under ANSI a 30-digit "port" would otherwise be
+    # a hard overflow error instead of a quarantine
+    pnum = port.try_cast("long")
+    bad_port = (
+        has_port_tail
+        & (port_tail != "")
+        & ~(pnum.isNotNull() & (pnum >= 1) & (pnum <= 65535))
     )
     path = F.regexp_replace(
         F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), r"/+$", ""
@@ -106,17 +129,19 @@ def canonical_url(url: Column | str) -> Column:
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
     )
     canon_q = F.array_join(F.array_sort(params), "&")
-    return F.concat(
-        F.lit("https://"),
-        host,
-        F.when(
-            (port != "") & ~port.isin("80", "443"),
-            F.concat(F.lit(":"), port),
-        ).otherwise(F.lit("")),
-        path,
-        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
-            F.lit("")
-        ),
+    return F.when(bad_port, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.lit("https://"),
+            host,
+            F.when(
+                (port != "") & ~port.isin("80", "443"),
+                F.concat(F.lit(":"), port),
+            ).otherwise(F.lit("")),
+            path,
+            F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
+                F.lit("")
+            ),
+        )
     )
 
 

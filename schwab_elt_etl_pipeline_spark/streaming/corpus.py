@@ -1081,11 +1081,22 @@ def update_semdedup_index(
         else assigned
     )
     dups = keep_first_dups(assigned, pool, tau)
-    verdicts = assigned.join(dups, "vec_id", "left").select(
-        "vec_id",
-        F.col("cluster").cast("int").alias("cluster"),
-        F.when(F.col("dup_of").isNull(), 0).otherwise(1).alias("is_dup"),
-        F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
+    verdicts = (
+        assigned.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.when(F.col("dup_of").isNull(), 0).otherwise(1).alias("is_dup"),
+            F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
+        )
+        # materialize BEFORE the append below: the lazy plan embeds
+        # index.read(), and an action taken after insert_new would re-scan
+        # the directory WITH the just-appended rows. (That re-read happens
+        # to be harmless — the appended rows duplicate `assigned` and the
+        # b_id < a_id min-aggregation absorbs them — but pinning
+        # correctness on that coincidence is fragile; batch-sized, so the
+        # checkpoint is cheap.)
+        .localCheckpoint(eager=True)
     )
     if index.exists():
         index.insert_new(assigned, keys=["vec_id"])

@@ -171,6 +171,36 @@ def test_canonical_url_edge_cases(spark):
     assert got == {i: c for i, _, c in rows}
 
 
+def test_canonical_url_port_policy(spark):
+    """The explicit port-tail decisions (ADVICE r11): defaults drop
+    (including http-on-443, deliberately folded once the scheme
+    normalizes), real ports [1, 65535] stay, a bare ':' means default per
+    RFC 3986, and unroutable tails — port 0, out-of-range, non-numeric,
+    overflow-length digits — QUARANTINE to NULL instead of silently
+    merging with the portless spelling. Userinfo colons are never
+    mistaken for ports; IPv6 brackets don't false-positive the tail."""
+    rows = [
+        (1, "http://ex.com:443/a", "https://ex.com/a"),
+        (2, "https://ex.com:080/x", "https://ex.com/x"),
+        (3, "https://ex.com:8080/x", "https://ex.com:8080/x"),
+        (4, "https://ex.com:65535/x", "https://ex.com:65535/x"),
+        (5, "https://ex.com:/x", "https://ex.com/x"),
+        (6, "https://ex.com:0/x", None),
+        (7, "https://ex.com:00/x", None),
+        (8, "https://ex.com:8a/x", None),
+        (9, "https://ex.com:65536/x", None),
+        (10, "https://ex.com:999999999999999999999/x", None),
+        (11, "https://user:pw@ex.com/x", "https://ex.com/x"),
+        (12, "https://user:pw@ex.com:7000/x", "https://ex.com:7000/x"),
+        (13, "https://user:pw@ex.com:8b/x", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in rows], "i long, url string"
+    )
+    got = {r.i: r.c for r in df.select("i", canonical_url("url").alias("c")).collect()}
+    assert got == {i: c for i, _, c in rows}
+
+
 def _py_intradoc(texts: dict[int, str], k: int) -> dict[int, tuple]:
     """Pure-Python reference of intradoc_dedup_rebuild."""
     out = {}

@@ -24,6 +24,11 @@ def test_pii_scrub_classes_and_order(spark):
         ("from 10.0.255.7 in", 0, 0, 1, 0, "from <IP> in"),
         ("call 555-123-4567", 0, 0, 0, 1, "call <PHONE>"),
         ("call +555.123.4567", 0, 0, 0, 1, "call <PHONE>"),
+        # ADVICE r11: parenthesized and space-separated spellings covered
+        ("call (555) 123-4567", 0, 0, 0, 1, "call <PHONE>"),
+        ("call 555 123 4567 now", 0, 0, 0, 1, "call <PHONE> now"),
+        # 10 contiguous digits are EXPLICITLY out of contract (ids, not PII)
+        ("id 5551234567", 0, 0, 0, 0, "id 5551234567"),
         # ORDER pins: a card is ONE card, not a phone nibble; a dotted
         # phone (4-digit tail) is NOT an IPv4; an IP is not a phone
         ("4111-1111-1111-1234", 0, 1, 0, 0, "<CARD>"),
@@ -105,6 +110,30 @@ def test_semdedup_no_cross_cell_pruning(spark):
     assert got[2] == (1, 0, -1)
     assert got[3] == (1, 1, 2)
     assert got[0][1] == 0 and got[1][1] == 0
+
+
+def test_semdedup_zero_norm_vectors_are_inert(spark):
+    """A zero-norm embedding has no direction, hence no cosine: it must be
+    a keeper itself AND never count as evidence against a later member
+    (without the pair-stage guard, its NaN cosine — which Spark orders
+    above every number — would flag it as a duplicate of every lower-id
+    cell member and flag every higher-id member as its duplicate)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.0, 0.0]),  # zero vector (lands in cell 0 by NaN tie-break)
+        (3, [3.0, 0.0]),  # true dup of 0 — dup_of must be 0, not 2
+        (4, [0.0, 0.0]),  # second zero vector: not a dup of the first
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.is_dup, r.dup_of)
+        for r in semdedup_prune(df, k=2, tau=0.9).collect()
+    }
+    assert got[2] == (0, -1)
+    assert got[4] == (0, -1)
+    assert got[3] == (1, 0)
+    assert got[0] == (0, -1) and got[1] == (0, -1)
 
 
 def test_keep_ppm_matches_python_and_salting(spark):
