@@ -50,6 +50,8 @@ _NAMES = [
     "pii_scrub",
     "semdedup_prune",
     "mixture_sample_ppm",
+    "domain_quality_gate",
+    "unicode_scrub",
 ]
 
 _HEADER = """# PLANS — executed physical plans of the heaviest headline queries
