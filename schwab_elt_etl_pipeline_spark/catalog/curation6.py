@@ -67,12 +67,22 @@ def domain_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling, dup-rate arithmetic, or verdict precedence hash-mismatches."""
     docs = load_table(spark, sf_dir, "documents")
     canon = F.expr(f"({_DOM_URL})")
+    # Two projections, deliberately: the canonical string materializes ONCE
+    # in the inner select, and the domain derives from the COLUMN. Inlining
+    # canonical_url into the domain expression re-expands its whole tree
+    # (every part-parse re-evaluates the injected CASE) — measured 2.1 s vs
+    # 0.7 s for the enrichment at sf0.1. CollapseProject keeps the boundary
+    # because the alias is referenced more than once by non-cheap
+    # expressions.
     enriched = docs.select(
-        registrable_domain(
-            F.try_parse_url(canonical_url(canon), F.lit("HOST"))
-        ).alias("domain"),
         canonical_url(canon).alias("canonical_url"),
         F.least(F.col("n_chars"), F.lit(_Q_SCALE)).alias("q_weight"),
+    ).select(
+        registrable_domain(
+            F.try_parse_url(F.col("canonical_url"), F.lit("HOST"))
+        ).alias("domain"),
+        "canonical_url",
+        "q_weight",
     )
     stats = domain_stats(enriched, quality_scale=_Q_SCALE)
     return domain_quality_gate(

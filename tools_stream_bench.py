@@ -518,6 +518,40 @@ def main() -> None:
     wall = _drain(q)
     record("semdedup_index", n_vecs, wall, sem_dups.read().count())
 
+    # 17. incremental per-domain stats ledger (the wave-6 domain gate's
+    # streaming twin: canonicalize + registrable-domain only the batch,
+    # epoch-keyed additive page-grain deltas; current_domain_stats serves
+    # the exact batch table). Same messy-URL synthesis as the URL leg.
+    from schwab_elt_etl_pipeline_spark.streaming.domain_stream import (
+        current_domain_stats,
+        update_domain_stats,
+    )
+
+    dom_ledger = ParquetTable(spark, f"{root}/dom_ledger")
+
+    def _dom_sink(batch: DataFrame, epoch: int) -> None:
+        media = batch.select(
+            "doc_id",
+            F.expr(_URL_EXPR).alias("url"),
+            F.least(F.length("text"), F.lit(400)).alias("q_weight"),
+        )
+        update_domain_stats(media, dom_ledger, epoch=epoch)
+
+    q = (
+        read_document_stream(spark, docs_dir, max_files_per_trigger=per_trigger)
+        .writeStream.foreachBatch(_dom_sink)
+        .option("checkpointLocation", f"{root}/dom_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wall = _drain(q)
+    record(
+        "domain_stats_ledger",
+        n_docs,
+        wall,
+        current_domain_stats(dom_ledger, quality_scale=400).count(),
+    )
+
     payload = {
         "metric": "streaming throughput (rows/sec, end-to-end incl. checkpoints)",
         "ticks": n_ticks,
