@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
 from schwab_elt_etl_pipeline_spark.operators.domains import (
+    apply_domain_gate,
     blocklist_df,
     domain_quality_gate,
     domain_stats,
@@ -56,6 +57,32 @@ _MAX_DUP = 0.5
 _MIN_QUALITY = 0.05
 
 
+def _dom_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, domain, canonical_url, q_weight) for the injected corpus.
+
+    Two projections, deliberately: the canonical string materializes ONCE
+    in the inner select, and the domain derives from the COLUMN. Inlining
+    canonical_url into the domain expression re-expands its whole tree
+    (every part-parse re-evaluates the injected CASE) — measured 2.1 s vs
+    0.7 s for the enrichment at sf0.1. CollapseProject keeps the boundary
+    because the alias is referenced more than once by non-cheap
+    expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.expr(f"({_DOM_URL})")
+    return docs.select(
+        "doc_id",
+        canonical_url(canon).alias("canonical_url"),
+        F.least(F.col("n_chars"), F.lit(_Q_SCALE)).alias("q_weight"),
+    ).select(
+        "doc_id",
+        registrable_domain(
+            F.try_parse_url(F.col("canonical_url"), F.lit("HOST"))
+        ).alias("domain"),
+        "canonical_url",
+        "q_weight",
+    )
+
+
 def domain_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain quality gate over URL-injected documents:
     canonicalize (``operators/urls.py``), extract the registrable domain
@@ -65,26 +92,9 @@ def domain_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructs canonical page and domain algebraically from the
     synthesis rule, so any drift in www-stripping, multi-part-suffix
     handling, dup-rate arithmetic, or verdict precedence hash-mismatches."""
-    docs = load_table(spark, sf_dir, "documents")
-    canon = F.expr(f"({_DOM_URL})")
-    # Two projections, deliberately: the canonical string materializes ONCE
-    # in the inner select, and the domain derives from the COLUMN. Inlining
-    # canonical_url into the domain expression re-expands its whole tree
-    # (every part-parse re-evaluates the injected CASE) — measured 2.1 s vs
-    # 0.7 s for the enrichment at sf0.1. CollapseProject keeps the boundary
-    # because the alias is referenced more than once by non-cheap
-    # expressions.
-    enriched = docs.select(
-        canonical_url(canon).alias("canonical_url"),
-        F.least(F.col("n_chars"), F.lit(_Q_SCALE)).alias("q_weight"),
-    ).select(
-        registrable_domain(
-            F.try_parse_url(F.col("canonical_url"), F.lit("HOST"))
-        ).alias("domain"),
-        "canonical_url",
-        "q_weight",
+    stats = domain_stats(
+        _dom_enriched(spark, sf_dir), quality_scale=_Q_SCALE
     )
-    stats = domain_stats(enriched, quality_scale=_Q_SCALE)
     return domain_quality_gate(
         stats,
         blocklist_df(spark, _BLOCKLIST),
@@ -94,10 +104,26 @@ def domain_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_gate_purge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate's APPLY step over the same injected corpus: keep only
+    documents whose domain verdict is ``keep`` (drops the blocked ad
+    domain and the mirror farm wholesale). One broadcast semi-join on the
+    14-row verdict table — the corpus never shuffles for the purge. The
+    exact-membership output (doc_id, domain) makes the oracle certify the
+    surviving set itself, mixture-sample style, not just its size."""
+    return apply_domain_gate(
+        _dom_enriched(spark, sf_dir).select("doc_id", "domain"),
+        domain_quality_gate_q(spark, sf_dir),
+    ).select("doc_id", "domain")
+
+
 _BLOCK_VALUES = ", ".join(f"('{d}', '{r}')" for d, r in _BLOCKLIST)
 
-DOMAIN_GATE_SQL = f"""
-WITH d AS (
+# shared CTE body: per-doc (domain, page, weight) -> per-domain stats ->
+# verdicts; both the gate query and its APPLY twin compose from it so the
+# two oracles cannot drift
+_DOM_CTE = f"""
+d AS (
   SELECT doc_id,
          CASE CAST(doc_id % 5 AS INT)
            WHEN 0 THEN source || 'press.com'
@@ -126,16 +152,30 @@ WITH d AS (
            AS dup_rate,
          CAST(SUM(w) AS DOUBLE) / ({_Q_SCALE} * COUNT(*)) AS mean_quality
   FROM d GROUP BY domain
-)
-SELECT s.domain, s.n_docs, s.n_pages, s.dup_rate, s.mean_quality,
-       CASE WHEN b.domain IS NOT NULL THEN 'blocked'
-            WHEN s.n_docs < {_MIN_DOCS} THEN 'small'
-            WHEN s.dup_rate > {_MAX_DUP} THEN 'dup_farm'
-            WHEN s.mean_quality < {_MIN_QUALITY} THEN 'low_quality'
-            ELSE 'keep' END AS verdict,
-       CASE WHEN b.domain IS NOT NULL THEN b.reason END AS block_reason
-FROM s LEFT JOIN (VALUES {_BLOCK_VALUES}) b(domain, reason)
-       ON s.domain = b.domain
+), gate AS (
+  SELECT s.domain, s.n_docs, s.n_pages, s.dup_rate, s.mean_quality,
+         CASE WHEN b.domain IS NOT NULL THEN 'blocked'
+              WHEN s.n_docs < {_MIN_DOCS} THEN 'small'
+              WHEN s.dup_rate > {_MAX_DUP} THEN 'dup_farm'
+              WHEN s.mean_quality < {_MIN_QUALITY} THEN 'low_quality'
+              ELSE 'keep' END AS verdict,
+         CASE WHEN b.domain IS NOT NULL THEN b.reason END AS block_reason
+  FROM s LEFT JOIN (VALUES {_BLOCK_VALUES}) b(domain, reason)
+         ON s.domain = b.domain
+)"""
+
+DOMAIN_GATE_SQL = f"""
+WITH {_DOM_CTE}
+SELECT domain, n_docs, n_pages, dup_rate, mean_quality, verdict,
+       block_reason
+FROM gate
+"""
+
+DOMAIN_PURGE_SQL = f"""
+WITH {_DOM_CTE}
+SELECT d.doc_id, d.domain
+FROM d JOIN gate USING (domain)
+WHERE gate.verdict = 'keep'
 """
 
 
@@ -199,6 +239,13 @@ SPECS = [
         doc="per-registrable-domain quality gate: canonical-URL dup rate + "
             "exact-integer quality mean in one domain-keyed shuffle, "
             "broadcast blocklist verdicts",
+    ),
+    QuerySpec(
+        "domain_gate_purge",
+        domain_gate_purge_q,
+        DOMAIN_PURGE_SQL,
+        doc="the domain gate's APPLY step: broadcast semi-join purge of "
+            "blocked/dup-farm/low-quality domains; exact-membership oracle",
     ),
     QuerySpec(
         "unicode_scrub",

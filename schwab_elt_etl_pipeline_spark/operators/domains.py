@@ -150,6 +150,21 @@ def domain_quality_gate(
     )
 
 
+def apply_domain_gate(
+    docs: DataFrame,
+    verdicts: DataFrame,
+    domain_col: str = "domain",
+    keep: tuple[str, ...] = ("keep",),
+) -> DataFrame:
+    """The gate's APPLY step: keep only documents whose domain verdict is
+    in ``keep`` (the stage that actually drops spam farms and mirrors from
+    the corpus, C4-style). One broadcast semi-join — the verdict table has
+    one row per domain, orders of magnitude smaller than the corpus, so
+    the corpus never shuffles for the purge."""
+    keepers = verdicts.where(F.col("verdict").isin(*keep)).select(domain_col)
+    return docs.join(F.broadcast(keepers), domain_col, "semi")
+
+
 def blocklist_df(
     spark: SparkSession, entries: list[tuple[str, str]]
 ) -> DataFrame:

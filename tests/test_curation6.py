@@ -100,6 +100,29 @@ def test_domain_gate_verdict_precedence(spark):
     assert got["good.example"] == ("keep", None)
 
 
+def test_apply_domain_gate_purges_by_verdict(spark):
+    from schwab_elt_etl_pipeline_spark.operators.domains import (
+        apply_domain_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good.example"), (2, "spam.example"), (3, "good.example"),
+         (4, "mirror.example")],
+        "doc_id long, domain string",
+    )
+    verdicts = spark.createDataFrame(
+        [("good.example", "keep"), ("spam.example", "blocked"),
+         ("mirror.example", "dup_farm")],
+        "domain string, verdict string",
+    )
+    kept = {r.doc_id for r in apply_domain_gate(docs, verdicts).collect()}
+    assert kept == {1, 3}
+    # the purge is a broadcast semi-join — the corpus never shuffles
+    plan = apply_domain_gate(docs, verdicts)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
 def test_domain_gate_blocklist_is_broadcast(spark):
     stats = spark.createDataFrame(
         [("a.com", 10, 10, 0.0, 0.9)],
