@@ -237,6 +237,49 @@ def test_unicode_scrub_zero_shuffles(spark):
     assert "Exchange" not in plan
 
 
+def test_unicode_scrub_property_sweep_vs_re2(spark):
+    """Hypothesis sweep of the Java-vs-RE2 portability claim: randomized
+    strings over an alphabet salted with every rule's trigger characters
+    (mojibake fragments, zero-widths, controls, exotic spaces, curly
+    punctuation, space runs — including PARTIAL mojibake sequences, which
+    must fall through to the char-level folds identically in both
+    engines)."""
+    import duckdb
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    atom = st.sampled_from(
+        [
+            "a", " ", "  ", "â€™", "â€œ", "â€“", "Ã©", "Â ",
+            # partial mojibake: the lead bytes WITHOUT their tails
+            "â€", "â", "Ã", "Â",
+            "​", "⁠", "﻿", "\x01", "\x9d", "\t",
+            " ", "　", "’", "“", "—", "…",
+        ]
+    )
+    con = duckdb.connect()
+    counts, clean = norm_sql_exprs("t")
+    cols = ",\n".join(counts)
+    names = [f"n_{n}" for n, _, _ in NORM_RULES] + ["clean_text"]
+
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(parts=st.lists(atom, min_size=0, max_size=24))
+    def run(parts):
+        text = "".join(parts)
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        got = unicode_scrub(df).collect()[0].asDict()
+        oracle = con.execute(
+            f"SELECT {cols}, {clean} AS clean_text FROM (SELECT ? AS t)",
+            [text],
+        ).fetchone()
+        assert [got[c] for c in names] == list(oracle), repr(text)
+
+    run()
+
+
 def test_nfc_pandas_matches_duckdb(spark):
     """The documented NFC slow path (Arrow-batched pandas UDF over
     unicodedata) agrees with DuckDB's ICU-backed nfc_normalize."""
