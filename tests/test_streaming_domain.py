@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.operators.domains import (
@@ -87,6 +88,7 @@ def test_incremental_domain_stats_match_batch_operator(spark):
     assert _snap(current_domain_stats(ledger, quality_scale=50)) == expected
 
 
+@pytest.mark.slow
 def test_domain_ledger_invariant_under_batch_splits(spark):
     """However the same rows split into epochs, the served stats equal the
     batch operator over the union — the ledger's associativity claim."""
