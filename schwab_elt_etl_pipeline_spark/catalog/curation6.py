@@ -1,4 +1,4 @@
-"""Curation wave 6: domain-level quality gating + unicode scrub.
+"""Curation wave 6: domain-level quality gating, HTML strip, unicode scrub.
 
 Round-12 additions (verification-bandwidth discipline, ≤8 new queries):
 the per-registrable-domain gate (C4/RefinedWeb's domain stage — the one
@@ -20,6 +20,8 @@ from schwab_elt_etl_pipeline_spark.operators.domains import (
     registrable_domain,
 )
 from schwab_elt_etl_pipeline_spark.operators.textnorm import (
+    html_sql_exprs,
+    html_strip,
     norm_sql_exprs,
     unicode_scrub,
 )
@@ -204,6 +206,48 @@ _NORM_TEXT = (
 )
 
 
+# HTML injection: docs cycle through tag wrapping with a script payload,
+# attribute-carrying tags with entities, comments + the common entity set,
+# or bare text. The artifacts are ASCII, so the expression is plainly
+# portable in both dialects.
+_HTML_TEXT = """
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN '<p>' || text ||
+                  '</p><script>var x = 1;</script><style>.a{x:1}</style>'
+      WHEN 1 THEN '<div class="a">' || text || ' &amp; more &lt;tags&gt;</div>'
+      WHEN 2 THEN '<!-- note --><b>' || text ||
+                  '</b>&nbsp;end &#39;q&#39; &quot;z&quot;'
+      ELSE text
+    END"""
+
+
+def html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML removal over tag-injected documents: script/style payloads
+    dropped wholesale, comments dropped, tags folded to spaces, the common
+    entity set unescaped (&amp; strictly last, so '&amp;lt;' stays the
+    literal '&lt;'), space runs collapsed — with per-rule counts, rules
+    owned by ``operators/textnorm.py`` which also emits the oracle's SQL
+    (the PII/unicode discipline). Zero shuffles. The stage that runs
+    BEFORE ``unicode_scrub`` on raw crawl text."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select("doc_id", F.expr(f"({_HTML_TEXT})").alias("text"))
+    return html_strip(dirty, "text", keep_cols=("doc_id",))
+
+
+def _html_sql() -> str:
+    counts, clean = html_sql_exprs(f"({_HTML_TEXT})")
+    cols = ",\n       ".join(counts)
+    return f"""
+SELECT doc_id,
+       {cols},
+       {clean} AS clean_text
+FROM documents
+"""
+
+
+HTML_STRIP_SQL = _html_sql()
+
+
 def unicode_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode repair over artifact-injected documents: mojibake fixes,
     zero-width/control strips, space/quote/dash folds, space-run collapse
@@ -246,6 +290,14 @@ SPECS = [
         DOMAIN_PURGE_SQL,
         doc="the domain gate's APPLY step: broadcast semi-join purge of "
             "blocked/dup-farm/low-quality domains; exact-membership oracle",
+    ),
+    QuerySpec(
+        "html_strip",
+        html_strip_q,
+        HTML_STRIP_SQL,
+        doc="HTML removal (script/style/comment drop, tag fold, common "
+            "entities with &amp; last) with per-rule counts; operator "
+            "emits the oracle's SQL fragments",
     ),
     QuerySpec(
         "unicode_scrub",

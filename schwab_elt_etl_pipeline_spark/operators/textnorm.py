@@ -69,6 +69,70 @@ NORM_RULES: list[tuple[str, str, str]] = [
 ]
 
 
+# HTML strip — the stage BEFORE unicode repair in a web pipeline: drop
+# script/style payloads wholesale (their text is not corpus text), drop
+# comments, replace tags with a space (a tag boundary is usually a word
+# boundary), unescape the common entities (&amp; strictly LAST, so
+# '&amp;lt;' correctly becomes the literal '&lt;' and not '<'), fold NBSP
+# entities to plain spaces, and collapse the space runs the removals
+# leave. Lazy quantifiers and inline (?is) flags are in the Java/RE2
+# shared core. Known, documented limitation of the regex (non-parsing)
+# approach: a lone '<' in prose eats to the next '>' like any tag.
+HTML_RULES: list[tuple[str, str, str]] = [
+    ("script", r"(?is)<script[^>]*>.*?</script>", " "),
+    ("style", r"(?is)<style[^>]*>.*?</style>", " "),
+    ("comment", r"(?s)<!--.*?-->", " "),
+    ("tag", r"(?s)<[^>]*>", " "),
+    ("ent_lt", "&lt;", "<"),
+    ("ent_gt", "&gt;", ">"),
+    ("ent_quot", "&quot;", '"'),
+    ("ent_apos", "&#39;", "'"),
+    ("ent_nbsp", "&nbsp;", " "),
+    ("ent_amp", "&amp;", "&"),
+    ("space_runs", "  +", " "),
+]
+
+
+def _cascade(
+    df: DataFrame,
+    rules: list[tuple[str, str, str]],
+    text_col: str,
+    keep_cols: tuple[str, ...],
+) -> DataFrame:
+    """Ordered count-then-rewrite cascade (each rule counts the text its
+    predecessors already rewrote — one span never books under two rules)."""
+    cur: Column = F.col(text_col)
+    cols: list[Column] = [F.col(c) for c in keep_cols]
+    for name, pat, rep in rules:
+        cols.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, rep)
+    cols.append(cur.alias("clean_text"))
+    return df.select(*cols)
+
+
+def _cascade_sql(
+    text_expr: str, rules: list[tuple[str, str, str]]
+) -> tuple[list[str], str]:
+    """DuckDB twin of :func:`_cascade` as composable SQL fragments:
+    (per-rule ``LEN(regexp_extract_all(...)) AS n_<rule>`` exprs, the
+    fully-rewritten text expr). Patterns/replacements are emitted with
+    single quotes doubled (standard SQL strings don't process backslashes,
+    so the regex escapes pass through verbatim)."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    counts: list[str] = []
+    cur = text_expr
+    for name, pat, rep in rules:
+        counts.append(
+            f"CAST(LEN(regexp_extract_all({cur}, '{q(pat)}')) AS INT)"
+            f" AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{q(pat)}', '{q(rep)}', 'g')"
+    return counts, cur
+
+
 def unicode_scrub(
     df: DataFrame,
     text_col: str = "text",
@@ -82,34 +146,29 @@ def unicode_scrub(
     ordering), exactly mirroring :func:`norm_sql_exprs` so the oracle
     can't drift.
     """
-    cur: Column = F.col(text_col)
-    cols: list[Column] = [F.col(c) for c in keep_cols]
-    for name, pat, rep in NORM_RULES:
-        cols.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
-        cur = F.regexp_replace(cur, pat, rep)
-    cols.append(cur.alias("clean_text"))
-    return df.select(*cols)
+    return _cascade(df, NORM_RULES, text_col, keep_cols)
+
+
+def html_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """HTML removed + per-rule counts (:data:`HTML_RULES`); run this
+    BEFORE :func:`unicode_scrub` on raw crawl text. Same zero-shuffle
+    cascade shape and the same emitted-oracle discipline
+    (:func:`html_sql_exprs`)."""
+    return _cascade(df, HTML_RULES, text_col, keep_cols)
 
 
 def norm_sql_exprs(text_expr: str) -> tuple[list[str], str]:
-    """DuckDB twin of :func:`unicode_scrub` as composable SQL fragments:
-    (per-rule ``LEN(regexp_extract_all(...)) AS n_<rule>`` exprs, the
-    fully-normalized text expr). Patterns/replacements are emitted with
-    single quotes doubled (standard SQL strings don't process backslashes,
-    so the regex escapes pass through verbatim)."""
+    """DuckDB twin of :func:`unicode_scrub` — see :func:`_cascade_sql`."""
+    return _cascade_sql(text_expr, NORM_RULES)
 
-    def q(s: str) -> str:
-        return s.replace("'", "''")
 
-    counts: list[str] = []
-    cur = text_expr
-    for name, pat, rep in NORM_RULES:
-        counts.append(
-            f"CAST(LEN(regexp_extract_all({cur}, '{q(pat)}')) AS INT)"
-            f" AS n_{name}"
-        )
-        cur = f"regexp_replace({cur}, '{q(pat)}', '{q(rep)}', 'g')"
-    return counts, cur
+def html_sql_exprs(text_expr: str) -> tuple[list[str], str]:
+    """DuckDB twin of :func:`html_strip` — see :func:`_cascade_sql`."""
+    return _cascade_sql(text_expr, HTML_RULES)
 
 
 def nfc_normalize_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:

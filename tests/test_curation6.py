@@ -280,6 +280,69 @@ def test_unicode_scrub_property_sweep_vs_re2(spark):
     run()
 
 
+def test_html_strip_rules(spark):
+    from schwab_elt_etl_pipeline_spark.operators.textnorm import html_strip
+
+    cases = {
+        # script/style payloads drop WHOLESALE (their text is not corpus
+        # text — a tag-only strip would leak 'var a = ...' into the doc)
+        # (removals fold to ' ' — boundary spaces are kept: trimming is a
+        # downstream decision, and the run collapse only merges runs)
+        "<script>var a='<p>';</script>keep<style>.x{}</style>": " keep ",
+        "<SCRIPT\nsrc='x'>a</SCRIPT>up": " up",  # case + multiline
+        "<!-- c -->a<b>bold</b>": " a bold ",
+        # &amp; unescapes LAST: '&amp;lt;' is the literal '&lt;', not '<'
+        "a &amp;lt; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f":
+            'a &lt; b <c> "d" \'e\' f',
+        "": "",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.clean_text for r in html_strip(df).collect()}
+    for i, (src, want) in enumerate(cases.items()):
+        assert got[i] == want, (repr(src), repr(got[i]), repr(want))
+
+
+def test_html_strip_matches_duckdb_re2(spark):
+    """Differential Java-vs-RE2 sweep for the HTML rules (lazy quantifiers
+    and inline (?is) flags are the portability risk here)."""
+    import duckdb
+
+    from schwab_elt_etl_pipeline_spark.operators.textnorm import (
+        HTML_RULES,
+        html_sql_exprs,
+        html_strip,
+    )
+
+    samples = [
+        (0, "plain"),
+        (1, "<p>Hello <b>world</b></p>"),
+        (2, "<SCRIPT type='x'>var a = '<p>';</SCRIPT>keep<style>.a{}</style>"),
+        (3, "<!-- n --><div class='x'>a &amp; b &lt;t&gt;&nbsp;e</div>"),
+        (4, "lone < bracket > eats"),
+        (5, "<a\nhref='x'>multi\nline</a>"),
+        (6, None),
+        (7, "unclosed <script>never ends"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in html_strip(df).collect()}
+    con = duckdb.connect()
+    counts, clean = html_sql_exprs("text")
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", samples)
+    cols = ",\n".join(counts)
+    oracle = {
+        r[0]: r
+        for r in con.execute(
+            f"SELECT doc_id, {cols}, {clean} AS clean_text FROM t"
+        ).fetchall()
+    }
+    names = [f"n_{n}" for n, _, _ in HTML_RULES] + ["clean_text"]
+    for i, _ in samples:
+        assert [got[i][c] for c in names] == list(oracle[i][1:]), i
+
+
 def test_nfc_pandas_matches_duckdb(spark):
     """The documented NFC slow path (Arrow-batched pandas UDF over
     unicodedata) agrees with DuckDB's ICU-backed nfc_normalize."""

@@ -52,6 +52,7 @@ _NAMES = [
     "mixture_sample_ppm",
     "domain_quality_gate",
     "unicode_scrub",
+    "html_strip",
 ]
 
 _HEADER = """# PLANS — executed physical plans of the heaviest headline queries

@@ -136,6 +136,7 @@ QUERIES = [
     # exact quality sums) and the broadcast blocklist survive the growth
     "unicode_scrub",
     "domain_quality_gate",
+    "html_strip",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
