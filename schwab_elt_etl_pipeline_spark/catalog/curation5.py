@@ -92,8 +92,11 @@ SEMDEDUP_SQL = f"""
 WITH q AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), c0 AS (
+  -- zero-norm seeds excluded, mirroring operators/semdedup.py
+  -- seed_centroids: a directionless seed sorts differently in the two
+  -- engines (NULL-last vs NaN-first) so it must never be a centroid
   SELECT CAST(vec_id AS INT) AS cent_id, v AS c_vec FROM q
-  WHERE vec_id < {_SEM_K}
+  WHERE vec_id < {_SEM_K} AND list_dot_product(v, v) > 0
 ), s AS MATERIALIZED (
   SELECT q.vec_id, q.v, c.cent_id AS cluster,
          ROUND({_SEM_COS.format(a="q.v", b="c.c_vec")}, 6) AS cos

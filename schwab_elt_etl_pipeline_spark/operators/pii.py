@@ -49,14 +49,24 @@ PII_RULES: list[tuple[str, str, str]] = [
     # phone ('555.123.4567', 4-digit tail) can never match as an IP, but
     # scrubbing IPs first still documents the intent explicitly
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    # Covered phone spellings (the EXPLICIT contract): the 3-3-4 shape
-    # with '-', '.', or ' ' separators, optionally parenthesized area code
-    # ('555-123-4567', '555.123.4567', '555 123 4567', '(555) 123-4567'),
-    # optionally '+'-prefixed. NOT covered, deliberately: 10 contiguous
-    # digits ('5551234567') — in corpus text that shape is ids/timestamps
-    # far more often than phones, and redacting them would destroy
-    # non-PII content wholesale.
-    ("phone", r"\+?\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    # Covered phone spellings (the EXPLICIT contract, ADVICE r12): a bare
+    # 3-3-4 triple matches only with CONSISTENT '-' or '.' separators
+    # ('555-123-4567', '555.123.4567'); space/mixed separators match only
+    # behind a strong phone signal — a '(ddd)' area code or a '+' prefix
+    # ('(555) 123-4567', '(555) 123 4567', '+555 123 4567'). NOT covered,
+    # deliberately: 10 contiguous digits ('5551234567') AND bare
+    # space-separated triples ('555 123 4567', '512 768 1024') — in corpus
+    # text those shapes are ids/timestamps/numeric tables far more often
+    # than phones, and redacting them destroys non-PII content wholesale.
+    # Enumerated alternation, not a backreference (RE2 has none).
+    (
+        "phone",
+        r"(?:\+\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"
+        r"|\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}"
+        r"|\b\d{3}-\d{3}-\d{4}"
+        r"|\b\d{3}\.\d{3}\.\d{4})\b",
+        "<PHONE>",
+    ),
 ]
 
 

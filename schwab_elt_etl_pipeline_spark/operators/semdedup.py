@@ -90,11 +90,15 @@ def seed_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The fixed-seed centroid rule: the k lowest-id vectors (deterministic
-    in both engines). Output: (cent_id, c_vec)."""
+    in both engines), excluding zero-norm vectors — a directionless seed
+    has no cosine, and the engines disagree on where its NULL/NaN score
+    sorts (Spark's try_divide NULL orders last under DESC; DuckDB's 0/0
+    NaN orders first), so it must never become a centroid.
+    Output: (cent_id, c_vec)."""
     return emb.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("cent_id"),
         as_double(vec_col).alias("c_vec"),
-    )
+    ).where(dot(F.col("c_vec"), F.col("c_vec")) > 0)
 
 
 def assign_cells_fixed(

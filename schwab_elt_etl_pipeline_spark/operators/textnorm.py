@@ -81,6 +81,12 @@ NORM_RULES: list[tuple[str, str, str]] = [
 HTML_RULES: list[tuple[str, str, str]] = [
     ("script", r"(?is)<script[^>]*>.*?</script>", " "),
     ("style", r"(?is)<style[^>]*>.*?</style>", " "),
+    # UNCLOSED script/style (truncated HTML is common in crawl data,
+    # ADVICE r12): these run after the paired rules, so any <script>/
+    # <style> still standing has no closer — drop its payload to end of
+    # text rather than leak raw JS/CSS into clean_text.
+    ("script_tail", r"(?is)<script[^>]*>.*$", " "),
+    ("style_tail", r"(?is)<style[^>]*>.*$", " "),
     ("comment", r"(?s)<!--.*?-->", " "),
     ("tag", r"(?s)<[^>]*>", " "),
     ("ent_lt", "&lt;", "<"),

@@ -48,18 +48,34 @@ __all__ = [
     "domain_stream",
 ]
 
+#: Ledger epoch reserved for the consolidated base row. Streaming epochs
+#: are always >= 0, so delta inserts can never key-collide with the base
+#: (``insert_new`` uses null-safe key equality — a NULL/NULL collision
+#: would silently drop deltas for already-seen pages).
+CONSOLIDATED_EPOCH = -1
+
 
 def update_domain_stats(
     batch: DataFrame,
     ledger: ParquetTable,
-    epoch: int | None = None,
+    epoch: int,
     url_col: str = "url",
     quality_weight_col: str = "q_weight",
 ) -> None:
     """Merge one micro-batch's per-(domain, page) deltas into the ledger
     (epoch-keyed ``insert_new`` — replays insert nothing). Rows whose URL
     quarantines to NULL are dropped, mirroring the batch path's
-    canonicalize-then-gate order."""
+    canonicalize-then-gate order.
+
+    ``epoch`` is required and must be >= 0: negative epochs are reserved
+    for the consolidated base (:data:`CONSOLIDATED_EPOCH`), and an
+    unkeyed delta would collide with it under the sink's null-safe key
+    equality, silently discarding counts for already-seen pages."""
+    if epoch < 0:
+        raise ValueError(
+            f"epoch must be >= 0 (got {epoch}); negative epochs are "
+            "reserved for the consolidated base row"
+        )
     delta = (
         batch.select(
             canonical_url(url_col).alias("canonical_url"),
@@ -123,10 +139,11 @@ def current_domain_stats(
 def consolidate_domain_stats(
     ledger: ParquetTable, keep_versions: int = 2
 ) -> int:
-    """Collapse the ledger to ONE NULL-epoch base row per (domain, page)
-    (read-identical — the fold is the same associative algebra the serve
-    path applies). Usual caveat: consolidate only past the streaming
-    checkpoint, or a replayed uncommitted epoch re-inserts its delta."""
+    """Collapse the ledger to ONE base row per (domain, page) at the
+    reserved :data:`CONSOLIDATED_EPOCH` (read-identical — the fold is the
+    same associative algebra the serve path applies). Usual caveat:
+    consolidate only past the streaming checkpoint, or a replayed
+    uncommitted epoch re-inserts its delta."""
     cur = (
         ledger.read()
         .groupBy("domain", "canonical_url")
@@ -134,7 +151,7 @@ def consolidate_domain_stats(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("q_sum").cast("long").alias("q_sum"),
         )
-        .withColumn("_epoch", F.lit(None).cast("long"))
+        .withColumn("_epoch", F.lit(CONSOLIDATED_EPOCH).cast("long"))
     )
     version = ledger.overwrite_versioned(cur)
     ledger.vacuum(keep_last=keep_versions)

@@ -24,9 +24,16 @@ def test_pii_scrub_classes_and_order(spark):
         ("from 10.0.255.7 in", 0, 0, 1, 0, "from <IP> in"),
         ("call 555-123-4567", 0, 0, 0, 1, "call <PHONE>"),
         ("call +555.123.4567", 0, 0, 0, 1, "call <PHONE>"),
-        # ADVICE r11: parenthesized and space-separated spellings covered
+        # ADVICE r11: parenthesized spelling covered; ADVICE r12: space
+        # separators only behind a '(ddd)' or '+' phone signal
         ("call (555) 123-4567", 0, 0, 0, 1, "call <PHONE>"),
-        ("call 555 123 4567 now", 0, 0, 0, 1, "call <PHONE> now"),
+        ("call (555) 123 4567 now", 0, 0, 0, 1, "call <PHONE> now"),
+        ("call +555 123 4567 now", 0, 0, 0, 1, "call <PHONE> now"),
+        # bare space triples are numeric prose, NOT phones (ADVICE r12)
+        ("call 555 123 4567 now", 0, 0, 0, 0, "call 555 123 4567 now"),
+        ("sizes 512 768 1024 end", 0, 0, 0, 0, "sizes 512 768 1024 end"),
+        # bare mixed separators fail the consistency contract
+        ("x 555-123.4567 y", 0, 0, 0, 0, "x 555-123.4567 y"),
         # 10 contiguous digits are EXPLICITLY out of contract (ids, not PII)
         ("id 5551234567", 0, 0, 0, 0, "id 5551234567"),
         # ORDER pins: a card is ONE card, not a phone nibble; a dotted
@@ -134,6 +141,48 @@ def test_semdedup_zero_norm_vectors_are_inert(spark):
     assert got[4] == (0, -1)
     assert got[3] == (1, 0)
     assert got[0] == (0, -1) and got[1] == (0, -1)
+
+
+def test_semdedup_zero_norm_seed_never_becomes_centroid(spark):
+    """Regression (ADVICE r12): a zero-norm vector with id < k must be
+    excluded from the seed centroids — its assignment-stage cosine is NULL
+    in Spark (orders LAST under DESC) but NaN in DuckDB's float division
+    (orders FIRST), so keeping it as a centroid diverges the engines.
+    Differential: Spark operator vs the catalog's DuckDB oracle SQL."""
+    import duckdb
+    import pandas as pd
+
+    from schwab_elt_etl_pipeline_spark.catalog.curation5 import SEMDEDUP_SQL
+    from schwab_elt_etl_pipeline_spark.operators.semdedup import seed_centroids
+
+    rows = [
+        (0, [0.0, 0.0]),  # zero-norm SEED — must not become a centroid
+        (1, [0.0, 1.0]),
+        (2, [1.0, 0.0]),
+        (3, [0.0, 2.0]),  # dup of 1 in whichever cell both land in
+        (4, [0.0, 0.0]),  # zero vector member: keeper, never evidence
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert [r.cent_id for r in seed_centroids(df, k=2).collect()] == [1]
+
+    got = sorted(
+        (r.vec_id, r.cluster, r.is_dup, r.dup_of)
+        for r in semdedup_prune(df, k=2, tau=0.9).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "embeddings", pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    sql = SEMDEDUP_SQL.replace("vec_id < 8", "vec_id < 2").replace(
+        ">= 0.35", ">= 0.9"
+    )
+    want = sorted(
+        (int(a), int(b), int(c), int(d)) for a, b, c, d in con.sql(sql).fetchall()
+    )
+    assert got == want
+    by_id = {v: (c, d, o) for v, c, d, o in got}
+    assert by_id[3] == (1, 1, 1)  # 3 dups 1 inside the single surviving cell
+    assert by_id[0][1] == 0 and by_id[4][1] == 0  # zero vectors are keepers
 
 
 def test_keep_ppm_matches_python_and_salting(spark):

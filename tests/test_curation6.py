@@ -294,6 +294,12 @@ def test_html_strip_rules(spark):
         # &amp; unescapes LAST: '&amp;lt;' is the literal '&lt;', not '<'
         "a &amp;lt; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f":
             'a &lt; b <c> "d" \'e\' f',
+        # UNCLOSED script/style (ADVICE r12): truncated crawl HTML must
+        # not leak raw JS/CSS into clean_text — the tail rules drop the
+        # payload to end of text
+        "unclosed <script>var leak = 1;": "unclosed ",
+        "keep <STYLE media='x'>.a{color:red": "keep ",
+        "a<script>x</script>b<script>tail forever": "a b ",
         "": "",
     }
     df = spark.createDataFrame(
