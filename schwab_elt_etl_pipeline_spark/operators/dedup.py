@@ -846,24 +846,26 @@ def _hot_char_window_candidates(
     minority.
 
     ``via`` picks the hash-prefilter shape — both respect the no-text-in-
-    shuffle discipline, and the winner depends on the CONSUMER (measured at
-    the 10x adversarial replica where every window is duplicated):
+    shuffle discipline:
 
-    - ``"window"``: ONE count window partitioned on ``gh``. The explode +
-      per-window-hash subtree is computed once and the corpus-size rows
-      cross one 24-byte exchange, at the price of a per-partition sort on
-      the hash. Wins for :func:`dup_char_spans`, which keeps EVERY
-      duplicated occurrence (spans 6.3 s -> 4.0 s @10x; 1.5 s -> 0.9 s
-      @1x).
+    - ``"window"`` (default, BOTH callers since r13): ONE count window
+      partitioned on ``gh``. The explode + per-window-hash subtree is
+      computed once and the corpus-size rows cross one 24-byte exchange,
+      at the price of a per-partition sort on the hash. Interleaved idle
+      10x measurements: spans front 6.3 s -> 4.0 s (r12), excise front
+      ~9.5-14 s (agg) -> ~3-5 s (window) (r13).
     - ``"agg"``: map-side-combinable ``groupBy(gh).count`` + semi-join.
       The explode subtree is referenced on both semi-join sides (computed
       twice) and the partial counts pay a near-full-size 16-byte exchange
       (stride-1 grams rarely repeat within a map partition), BUT the hot-
-      hash set broadcasts whenever it fits, so the probe side streams with
-      NO exchange and NO sort. Wins ahead of
-      :func:`dup_char_excise_rebuild`'s (gh, gram) row_number stage
-      (excise 7.6 s -> 6.0 s @10x), which re-sorts the rows anyway — the
-      window shape's gh sort is pure overlap there.
+      hash set broadcasts whenever it fits, so the probe side streams
+      with NO exchange and NO sort. Kept as the escape hatch for inputs
+      where the hot-hash set is a small fraction of the corpus (real web
+      data, vs the adversarial replica where every window is hot) — there
+      the broadcast semi-join prunes before any exchange. The r12
+      measurement that favored it for the excise consumer (6.0 s vs
+      7.6 s) did not reproduce on the r13 regen; re-measure per corpus
+      shape if in doubt.
 
     Hot-key caveat (same as the callers' (gh, gram) stages): a boilerplate
     gram repeated millions of times lands every occurrence in one window
@@ -926,9 +928,11 @@ def dup_char_excise_rebuild(
 
     Shape: the shared two-pass front end keeps the corpus-wide count
     shuffle at 8 bytes/window; only hash-hot candidates carry gram text
-    into the exact first-occurrence ranking (window over (gram) ordered by
-    (id, pos) — byte-exact, a 64-bit collision cannot merge two distinct
-    grams into one ranking). Excision then stays at SPAN granularity end to
+    into the exact first-occurrence selection (UNORDERED window min of
+    struct(id, pos) per (gh, gram) — byte-exact, a 64-bit collision cannot
+    merge two distinct grams, and the partition-only sort skips the
+    (id, pos) order a row_number would pay). Excision then stays at SPAN
+    granularity end to
     end: later-occurrence starts merge into disjoint [start, start+L-1]
     spans per doc (the same O(n) lag sweep as :func:`dup_char_spans` —
     ends are monotone in start for fixed L), and each doc rebuilds with ONE
@@ -938,11 +942,13 @@ def dup_char_excise_rebuild(
     every character into a row, joined, swept, and re-agglomerated them:
     O(corpus chars) rows through three wide ops just to delete spans it
     already knew (the r10 worst scale ratio — rewritten r11, 8.3× → ~4×
-    @10× adversarial). The token form keeps the shared back end: its
-    rebuild genuinely re-separates tokens. Same hot-key caveat as the
-    token form: a boilerplate span repeated millions of times makes the
-    per-gram ``row_number`` the straggler; the skew-safe variant ranks
-    nothing and takes min(struct(id, pos)) per gram instead.
+    @10× adversarial; the r13 window-front + unordered-min rewrite took
+    the 10× stage time from ~12 s to ~4 s). The token form keeps the
+    shared back end: its rebuild genuinely re-separates tokens. Same
+    hot-key caveat as the token form: a boilerplate gram repeated millions
+    of times lands every occurrence in one window partition; the
+    skew-safe escape hatch is the same min(struct) as a map-side-
+    combinable groupBy(gh, gram) aggregation joined back to ``cand``.
 
     Output: (id, n_chars, n_dropped, deduped_text) — counts in characters.
     Docs shorter than L pass through whole; empty docs yield no rows (no
@@ -955,15 +961,24 @@ def dup_char_excise_rebuild(
     base = docs.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).filter(F.length("_t") >= 1)
-    # via="agg": the row_number stage below re-sorts on (gh, gram) anyway,
-    # so the window front end's gh sort is pure overlap here — measured
-    # 6.0 s vs 7.6 s @10x (see _hot_char_window_candidates docstring)
-    cand = _hot_char_window_candidates(docs, L, id_col, text_col, via="agg")
-    # (gh, gram) partitioning: hash-first sort, string bytes only on ties
-    first = Window.partitionBy("gh", "gram").orderBy("_id", "pos")
+    # via="window" + UNORDERED min(struct) window (re-measured r13, idle
+    # 10x adversarial): the former agg front + (gh, gram) row_number read
+    # 11.3-12.7 s; this shape reads 3.5-4.8 s. Two wins compound: the
+    # window front end computes the explode subtree once and ships one
+    # 24-byte exchange (the agg form references it on both semi-join
+    # sides), and the unordered window needs only the partition-key sort —
+    # no (_id, pos) order — to take min(struct(_id, pos)) per exact gram.
+    cand = _hot_char_window_candidates(docs, L, id_col, text_col, via="window")
+    # first occurrence = lexicographic min of (_id, pos) per byte-exact
+    # gram — identical verdicts to rank-and-keep-first, without the
+    # order-by. (gh, gram) partitioning: hash-first sort, string bytes
+    # only on gh-ties.
+    w_first = Window.partitionBy("gh", "gram")
     dup_starts = (
-        cand.withColumn("rk", F.row_number().over(first))
-        .filter(F.col("rk") > 1)
+        cand.withColumn("_f", F.min(F.struct("_id", "pos")).over(w_first))
+        .filter(
+            (F.col("_id") != F.col("_f._id")) | (F.col("pos") != F.col("_f.pos"))
+        )
         .select("_id", F.col("pos").alias("start"))
     )
     # merge later-occurrence windows into disjoint removal spans per doc
