@@ -28,7 +28,9 @@ applied on BOTH paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -61,6 +63,7 @@ def update_domain_stats(
     epoch: int,
     url_col: str = "url",
     quality_weight_col: str = "q_weight",
+    domain_expr: Callable[[Column], Column] = registrable_domain,
 ) -> None:
     """Merge one micro-batch's per-(domain, page) deltas into the ledger
     (epoch-keyed ``insert_new`` — replays insert nothing). Rows whose URL
@@ -70,7 +73,13 @@ def update_domain_stats(
     ``epoch`` is required and must be >= 0: negative epochs are reserved
     for the consolidated base (:data:`CONSOLIDATED_EPOCH`), and an
     unkeyed delta would collide with it under the sink's null-safe key
-    equality, silently discarding counts for already-seen pages."""
+    equality, silently discarding counts for already-seen pages.
+
+    ``domain_expr`` is the registrable-domain KERNEL (host Column ->
+    domain Column) — the heuristic core by default, or
+    ``operators/psl.py registrable_domain_psl`` for real public-suffix
+    semantics; pass the SAME kernel the batch ``domain_stats`` caller
+    uses or the stream ≡ batch identity breaks on multi-label suffixes."""
     if epoch < 0:
         raise ValueError(
             f"epoch must be >= 0 (got {epoch}); negative epochs are "
@@ -84,7 +93,7 @@ def update_domain_stats(
         .where(F.col("canonical_url").isNotNull())
         .withColumn(
             "domain",
-            registrable_domain(
+            domain_expr(
                 F.try_parse_url(F.col("canonical_url"), F.lit("HOST"))
             ),
         )
@@ -165,6 +174,7 @@ def domain_stream(
     url_col: str = "url",
     quality_weight_col: str = "q_weight",
     trigger_seconds: int | None = None,
+    domain_expr: Callable[[Column], Column] = registrable_domain,
 ) -> StreamingQuery:
     """Maintain the per-domain stats ledger incrementally over a document
     stream."""
@@ -176,6 +186,7 @@ def domain_stream(
             epoch=epoch,
             url_col=url_col,
             quality_weight_col=quality_weight_col,
+            domain_expr=domain_expr,
         )
 
     return start_foreach_batch(

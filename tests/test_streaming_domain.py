@@ -88,6 +88,54 @@ def test_incremental_domain_stats_match_batch_operator(spark):
     assert _snap(current_domain_stats(ledger, quality_scale=50)) == expected
 
 
+def test_ledger_with_psl_kernel_matches_batch(spark):
+    """The pluggable domain kernel: ledger maintained with the PSL
+    registrable-domain (operators/psl.py) serves the same table as the
+    batch operator using the same kernel — on hosts where the heuristic
+    would bucket differently (user.github.io private suffix, *.ck)."""
+    from schwab_elt_etl_pipeline_spark.operators.psl import (
+        registrable_domain_psl,
+    )
+
+    rows = [
+        (0, "https://alice.github.io/p1", 10),
+        (1, "https://www.alice.github.io/p1/", 20),  # same canonical page
+        (2, "https://bob.github.io/p2", 30),
+        (3, "https://shop.example.ck/x", 5),
+        (4, "https://www.example.co.uk/y", 7),
+    ]
+    root = tempfile.mkdtemp(prefix="dompsl_")
+    ledger = ParquetTable(spark, root)
+    update_domain_stats(
+        spark.createDataFrame(rows[:3], SCHEMA), ledger, epoch=0,
+        domain_expr=registrable_domain_psl,
+    )
+    update_domain_stats(
+        spark.createDataFrame(rows[3:], SCHEMA), ledger, epoch=1,
+        domain_expr=registrable_domain_psl,
+    )
+    batch = (
+        spark.createDataFrame(rows, SCHEMA)
+        .select(canonical_url("url").alias("canonical_url"), "q_weight")
+        .where(F.col("canonical_url").isNotNull())
+        .select(
+            registrable_domain_psl(
+                F.try_parse_url(F.col("canonical_url"), F.lit("HOST"))
+            ).alias("domain"),
+            "canonical_url",
+            "q_weight",
+        )
+    )
+    expected = _snap(domain_stats(batch, quality_scale=10))
+    got = _snap(current_domain_stats(ledger, quality_scale=10))
+    assert got == expected
+    doms = {r[0] for r in got}
+    # PSL semantics visible in the ledger: per-USER github.io domains, the
+    # wildcard *.ck taking three labels
+    assert {"alice.github.io", "bob.github.io", "shop.example.ck"} <= doms
+    assert "github.io" not in doms
+
+
 def test_post_consolidation_deltas_for_seen_pages_still_count(spark):
     """Regression (ADVICE r12): the consolidated base must not key-collide
     with later deltas for already-seen (domain, page) keys — a NULL-epoch

@@ -137,6 +137,12 @@ QUERIES = [
     "unicode_scrub",
     "domain_quality_gate",
     "html_strip",
+    # round-13 wave: the composed raw-crawl chain — certifies that the
+    # regex cascades stay map-only, the domain shuffle stays linear, and
+    # the banded-LSH near-dup stage (candidate mass grows with true-dup
+    # mass, linear under the copy-tag perturbation) never goes quadratic
+    # through the composition
+    "web_curation_e2e",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).
