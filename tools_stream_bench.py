@@ -611,7 +611,15 @@ def write_streambench_md(payload: dict) -> None:
         "`seasonal_baseline` re-derives the exact per-cell median/MAD",
         "baseline from its bounded counts statistic EVERY batch and",
         "insert_new-guards both sinks, so its rate prices the full",
-        "maintain-and-flag loop, not just ingestion.",
+        "maintain-and-flag loop, not just ingestion. `semdedup_index` probes",
+        "the ACCUMULATED cell index per batch (O(batch x cell) pair work +",
+        "an insert_new-guarded sink), so it is the slowest leg by design;",
+        "its input is fixed at 4 key-shifted copies of the sf0.1 embeddings",
+        "(8,000 vecs, 32 shards, 8 files/trigger). Rate history: r11 447,",
+        "r12 301, r13 idle A/B 525-630 docs/s — an interleaved matched-input",
+        "A/B of the r12 try_divide/norm-hoist commit vs its parent (3 runs",
+        "each, identical 5,721-row outputs) read medians 549 vs 576, i.e.",
+        "the r12 dip was driver-host load during that regen, not code.",
         "",
         "```json",
         json.dumps(payload),
