@@ -458,8 +458,10 @@ def kmeans_lloyd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from schwab_elt_etl_pipeline_spark.operators.similarity import (
         as_double,
-        cosine,
+        centroid_fold,
+        l2_norm,
         label_centroid_cells,
+        nearest_centroid_struct,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -476,21 +478,21 @@ def kmeans_lloyd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     cells = None
+    # E-step as a pure projection (guide §2.4): the ≤k-row centroid table
+    # folds to ONE broadcast array row and the argmax is a per-row fold —
+    # no k× fan-out, no per-vector argmax window shuffle; the hoisted norms
+    # evaluate the identical dot/(vn*cn) tree, so the rounded cosine and
+    # the winning cluster are bit-identical to the former window form.
+    best = nearest_centroid_struct(F.col("v"), F.col("_vn"), zero_safe=False)
     for _ in range(_KM_ITERS):
         cent_df = spark.createDataFrame(
             cent_rows, "cent_id int, c_vec array<double>"
         )
-        scored = vecs.crossJoin(F.broadcast(cent_df)).select(
-            "vec_id",
-            "v",
-            "cent_id",
-            F.round(cosine(F.col("v"), F.col("c_vec")), 6).alias("cos"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
         assigned = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "v", F.col("cent_id").alias("cluster"))
+            vecs.withColumn("_vn", l2_norm(F.col("v")))
+            .crossJoin(F.broadcast(centroid_fold(cent_df)))
+            .withColumn("_best", best)
+            .select("vec_id", "v", F.col("_best")["cid"].alias("cluster"))
         )
         cells = label_centroid_cells(assigned, label_col="cluster", vec_col="v")
         by_cluster: dict[int, dict[int, float]] = {}

@@ -36,7 +36,7 @@ from schwab_elt_etl_pipeline_spark.operators.rollup import (
     rollup_minutes,
     rollup_read,
 )
-from schwab_elt_etl_pipeline_spark.operators.similarity import as_double, cosine
+from schwab_elt_etl_pipeline_spark.operators.similarity import as_double
 from schwab_elt_etl_pipeline_spark.sources import load_table
 
 # Shared DuckDB fragments (identical tokenization to operators/dedup.py's
@@ -326,24 +326,33 @@ def kmeans_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     with vec_id < 8): the E-step of k-means / the cell-routing step of IVF,
     as a broadcast cross join + per-vector argmax. Unlike the trained-IVF
     query (rows-only), fixed centroids make the step SQL-expressible."""
+    from schwab_elt_etl_pipeline_spark.operators.similarity import (
+        centroid_fold,
+        l2_norm,
+        nearest_centroid_struct,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), as_double("embedding").alias("c_vec")
     )
-    scored = (
+    # ONE-row centroid-array broadcast + per-row argmax fold: no k× fan-out,
+    # no per-vector argmax window shuffle (guide §2.4); the hoisted norms
+    # evaluate the identical dot/(qn*cn) expression tree, so the rounded
+    # cosine — and the winner — is bit-identical to the window form.
+    best = nearest_centroid_struct(
+        F.col("q_vec"), F.col("_qn"), zero_safe=False
+    )
+    return (
         emb.select(F.col("vec_id"), as_double("embedding").alias("q_vec"))
-        .crossJoin(F.broadcast(cents))
+        .withColumn("_qn", l2_norm(F.col("q_vec")))
+        .crossJoin(F.broadcast(centroid_fold(cents)))
+        .withColumn("_best", best)
         .select(
             "vec_id",
-            "cent_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+            F.col("_best")["cid"].alias("cluster"),
+            F.col("_best")["s"].alias("cos"),
         )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("cent_id").alias("cluster"), "cos")
     )
 
 

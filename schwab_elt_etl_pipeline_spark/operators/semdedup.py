@@ -34,52 +34,43 @@ hash identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from schwab_elt_etl_pipeline_spark.operators.similarity import (
     as_double,
+    centroid_fold,
     dot,
     l2_norm,
+    nearest_centroid_struct,
 )
 
 
 def assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Cell assignment against an explicit centroid table: ``vecs`` is
-    (vec_id, v), ``cents`` is (cent_id, c_vec). One broadcast crossJoin
-    against the ≤k-row centroid table + a per-vector argmax — the corpus
-    stays put. Shared by the batch operator and the incremental index
-    twin (``streaming/corpus.py update_semdedup_index``) so the two
-    cannot drift on the assignment rule."""
-    # zero-safe cosine: under ANSI mode a zero-norm vector would raise
-    # DIVIDE_BY_ZERO; try_divide leaves its cosine NULL instead (NULLs
-    # order last under DESC, so a zero vector falls to the lowest cent_id).
-    # try_divide, NOT a CASE guard: wrapping the higher-order `aggregate`
-    # fold in a conditional knocked the pair predicate out of codegen and
-    # cost ~1.6x on the sibling pair stage (measured; see keep_first_dups).
-    # Norms are per-side invariants and HOIST out of the k-wide pair stage
-    # (computed once per vector / per centroid, not once per pair);
-    # sqrt(dot(x,x)) is the identical float either way, so the rounded
-    # cosine stays bit-identical to the oracle's per-pair form.
-    vn = vecs.withColumn("_vn", l2_norm(F.col("v")))
-    cn = cents.withColumn("_cn", l2_norm(F.col("c_vec")))
-    scored = vn.crossJoin(F.broadcast(cn)).select(
-        "vec_id",
-        "v",
-        "cent_id",
-        F.round(
-            F.try_divide(
-                dot(F.col("v"), F.col("c_vec")),
-                F.col("_vn") * F.col("_cn"),
-            ),
-            6,
-        ).alias("cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    (vec_id, v), ``cents`` is (cent_id, c_vec). The centroid table folds to
+    ONE broadcast array row (``centroid_fold``) and the argmax is a per-row
+    fold (``nearest_centroid_struct``) — a pure projection: no k× fan-out,
+    no per-vector window shuffle, the corpus genuinely never moves (the
+    former shape broadcast the centroids but still exchanged the scored
+    corpus on vec_id for the argmax window). Shared by the batch operator
+    and the incremental index twin (``streaming/corpus.py
+    update_semdedup_index``) so the two cannot drift on the assignment
+    rule.
+
+    Zero-safety (r12 discipline, unchanged semantics): try_divide leaves a
+    zero-norm cosine NULL, the fold's -2.0 sentinel reproduces "NULLs last
+    under DESC, tie to the lowest cent_id"; the norms stay hoisted per
+    side, so every rounded cosine is bit-identical to the window form. An
+    empty centroid table yields no rows (the former empty-crossJoin
+    contract), hence the NULL-struct filter."""
+    best = nearest_centroid_struct(F.col("v"), F.col("_vn"), zero_safe=True)
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", F.col("cent_id").alias("cluster"))
+        vecs.withColumn("_vn", l2_norm(F.col("v")))
+        .crossJoin(F.broadcast(centroid_fold(cents)))
+        .withColumn("_best", best)
+        .filter(F.col("_best").isNotNull())
+        .select("vec_id", "v", F.col("_best")["cid"].alias("cluster"))
     )
 
 

@@ -221,6 +221,63 @@ def bucketed_ann_topk(
     )
 
 
+def centroid_fold(
+    cents: DataFrame, id_col: str = "cent_id", vec_col: str = "c_vec"
+) -> DataFrame:
+    """Collapse a (cent_id, c_vec) centroid table into ONE row carrying the
+    whole set as ``_cents`` = array<struct<cid, cv, cn>> with the L2 norm
+    hoisted per centroid. Broadcast next to :func:`nearest_centroid_struct`,
+    this turns a k-means/IVF E-step into a pure projection: no k× row
+    fan-out, no per-vector window, and the corpus never shuffles for an
+    assignment (guide §2.4 — remove shuffles outright). ``cid`` keeps the
+    caller's id type so output schemas are unchanged."""
+    return cents.agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cv"),
+                l2_norm(F.col(vec_col)).alias("cn"),
+            )
+        ).alias("_cents")
+    )
+
+
+def nearest_centroid_struct(
+    v: Column, vn: Column, zero_safe: bool = False
+) -> Column:
+    """Per-row nearest-centroid argmax over a broadcast ``_cents`` array
+    (:func:`centroid_fold`): struct(s = round(cosine, 6), nid = -cid,
+    cid) of the winner — highest rounded cosine, ties to the LOWEST cid
+    (via the nid field; struct comparison is total because cid is unique,
+    so the fold is independent of collect_list order). ``vn`` must be the
+    caller-hoisted per-row L2 norm: Spark does not hoist invariant
+    subexpressions out of HOF lambdas, so an inline norm would re-fold per
+    centroid. The cosine is the same dot/(vn*cn) expression tree the
+    window form evaluated, hence bit-identical rounded values.
+
+    ``zero_safe=True`` is the SemDeDup discipline: try_divide leaves a
+    zero-norm cosine NULL, coalesced to a -2.0 sentinel (< any real
+    cosine ≥ -1) so a directionless vector loses to every real score and
+    an all-NULL row falls to the lowest cid — exactly the former
+    "NULLs last under DESC, tie lowest cent_id" window order. An EMPTY
+    centroid set folds to a NULL struct (array_max of []), which callers
+    filter to preserve the former empty-join contract."""
+
+    def _score(c: Column) -> Column:
+        num = dot(v, c["cv"])
+        den = vn * c["cn"]
+        cosr = F.round(
+            F.try_divide(num, den) if zero_safe else num / den, 6
+        )
+        if zero_safe:
+            cosr = F.coalesce(cosr, F.lit(-2.0))
+        return F.struct(
+            cosr.alias("s"), (-c["cid"]).alias("nid"), c["cid"].alias("cid")
+        )
+
+    return F.array_max(F.transform(F.col("_cents"), _score))
+
+
 def label_centroid_cells(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
