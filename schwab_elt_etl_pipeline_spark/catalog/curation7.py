@@ -203,7 +203,13 @@ def web_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         registrable_domain_psl(
             F.try_parse_url(F.col("canonical_url"), F.lit("HOST"))
         ).alias("domain"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ second load-bearing boundary (measured r13-opt: dom_kept leg 5.75 s
+    # -> 4.20 s at sf0.1): (a) `enriched` feeds BOTH the domain-stats
+    # broadcast side and the purge corpus side — without the pin the
+    # gate join + URL/PSL projection compute twice; (b) CollapseProject
+    # would inline the canonical_url regex chain into every slice of the
+    # PSL CASE chain (the lone-`text` lesson above, URL flavored).
     stats = domain_stats(enriched, quality_scale=_E2E_Q_SCALE)
     verdicts = domain_quality_gate(
         stats,
