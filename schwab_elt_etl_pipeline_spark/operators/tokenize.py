@@ -12,12 +12,16 @@ encoders apply per character pair, expressed relationally so the whole
 corpus tokenizes as one declarative plan:
 
 - tokens explode once to (doc_id, pos, tok) rows;
-- each merge rule is one window pass partitioned by doc_id: mark eligible
-  positions (``tok=a`` and next ``=b``), resolve overlaps greedily
-  left-to-right (within a maximal run of eligible positions, merge the
-  1st, 3rd, ... — for a ≠ b runs are length-1 and this is a no-op; for
-  a = b it reproduces exact greedy semantics on token repeats), rewrite
-  the merged token, drop the absorbed right-hand rows, renumber;
+- each merge rule is two window passes partitioned by doc_id (attach the
+  next-token adjacency ``nxt`` via lead — eligibility ``tok=a AND nxt=b``
+  is then a projection — and mark absorbed right-hand rows via lag),
+  resolving overlaps greedily left-to-right (within a maximal run of
+  eligible positions, merge the 1st, 3rd, ... — for a ≠ b runs are
+  length-1 and the run machinery drops out of the plan; for a = b it
+  reproduces exact greedy semantics on token repeats). Survivors KEEP
+  their original pos (r13 optimization, guide §2.4): every consumer
+  orders by pos, none reads absolute values, so the former dense
+  renumbering (a third window pass per rule) was pure cost;
 - every window in every pass partitions by doc_id, so Catalyst plans ONE
   shuffle for the whole cascade and re-sorts within partitions per pass.
 
@@ -45,15 +49,30 @@ def explode_tokens(
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
 
 
+def with_next(toks: DataFrame) -> DataFrame:
+    """Attach ``nxt`` = the next surviving token in pos order (NULL on the
+    last row of each doc). Computed lazily where adjacency is needed (pair
+    counting, merge eligibility); deliberately NOT carried through pass
+    outputs — an A/B showed the extra string column flowing through every
+    window buffer and checkpoint cost more than recomputing the lead."""
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    return toks.withColumn("nxt", F.lead("tok").over(wd))
+
+
 def merge_pass(
     toks: DataFrame, a: str, b: str, joined: str | None = None
 ) -> DataFrame:
-    """One merge rule ``(a, b) -> joined`` over (doc_id, pos, tok) rows,
-    greedy left-to-right within overlap runs."""
+    """One merge rule ``(a, b) -> joined`` over (doc_id, pos, tok[, nxt])
+    rows, greedy left-to-right within overlap runs. Output rows keep their
+    original (now possibly gapped) pos — consumers order by pos, none
+    reads absolute values, and dropping the dense renumbering saves a
+    whole window pass per rule (r13, guide §2.4)."""
     joined = joined if joined is not None else f"{a}_{b}"
+    if "nxt" not in toks.columns:
+        toks = with_next(toks)
     wd = Window.partitionBy("doc_id").orderBy("pos")
-    elig = (F.col("tok") == a) & (F.lead("tok").over(wd) == b)
-    step = toks.withColumn("elig", elig)
+    # eligibility is a projection over the adjacency column — no extra window
+    step = toks.withColumn("elig", (F.col("tok") == a) & (F.col("nxt") == b))
     if a == b:
         # overlap runs (eligible at consecutive positions) only exist when
         # the rule is a repeat (a = b): resolve greedily left-to-right by
@@ -75,20 +94,17 @@ def merge_pass(
     else:
         # a ≠ b: two eligible positions can never be adjacent (that would
         # need tok[i]=a, tok[i+1]=b=a) — every eligible position merges,
-        # and three window passes per rule disappear from the plan
+        # and the run machinery disappears from the plan
         step = step.withColumn("merged", F.col("elig"))
     step = step.withColumn(
         "absorbed", F.coalesce(F.lag("merged").over(wd), F.lit(False))
     )
-    return (
-        step.filter(~F.col("absorbed"))
-        .select(
-            "doc_id",
-            F.row_number().over(wd).alias("pos"),
-            F.when(F.col("merged"), F.lit(joined)).otherwise(F.col("tok")).alias(
-                "tok"
-            ),
-        )
+    return step.filter(~F.col("absorbed")).select(
+        "doc_id",
+        "pos",
+        F.when(F.col("merged"), F.lit(joined)).otherwise(F.col("tok")).alias(
+            "tok"
+        ),
     )
 
 
@@ -102,15 +118,15 @@ def apply_pair_merges(
 
 
 def pair_counts(toks: DataFrame) -> DataFrame:
-    """Corpus-wide adjacent-pair frequencies over (doc_id, pos, tok) rows:
-    (lhs, rhs, freq), overlapping occurrences counted (``a a a`` yields
-    (a, a) twice — the classic BPE counting convention). Map-side
+    """Corpus-wide adjacent-pair frequencies over (doc_id, pos, tok[, nxt])
+    rows: (lhs, rhs, freq), overlapping occurrences counted (``a a a``
+    yields (a, a) twice — the classic BPE counting convention). Map-side
     combinable: one (lhs, rhs) shuffle of partial counts."""
-    wd = Window.partitionBy("doc_id").orderBy("pos")
+    if "nxt" not in toks.columns:
+        toks = with_next(toks)
     return (
-        toks.withColumn("_nxt", F.lead("tok").over(wd))
-        .filter(F.col("_nxt").isNotNull())
-        .groupBy(F.col("tok").alias("lhs"), F.col("_nxt").alias("rhs"))
+        toks.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("lhs"), F.col("nxt").alias("rhs"))
         .agg(F.count(F.lit(1)).alias("freq"))
     )
 

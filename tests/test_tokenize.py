@@ -77,10 +77,13 @@ def test_merged_token_does_not_rematch(spark):
     assert merged == ["a_a a_a"]
 
 
-def test_positions_renumber_contiguously(spark):
+def test_positions_stay_strictly_increasing(spark):
+    # survivors keep their ORIGINAL (gapped) pos — r13 dropped the dense
+    # renumbering window because no consumer reads absolute positions;
+    # the contract is strict monotonicity in document order
     toks = merge_pass(_tokenize(spark, ["x a b y a b z"]), "a", "b")
     rows = toks.orderBy("pos").collect()
-    assert [r.pos for r in rows] == [1, 2, 3, 4, 5]
+    assert [r.pos for r in rows] == sorted({r.pos for r in rows})
     assert [r.tok for r in rows] == ["x", "a_b", "y", "a_b", "z"]
 
 
