@@ -1183,7 +1183,14 @@ def doremi_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    csrc = grain.groupBy("prev", "cur", "source").agg(F.sum("c").alias("c"))
+    # csrc feeds BOTH sides of the mm self-join, sr, and ct (per round):
+    # pin it once instead of re-aggregating grain at every use (r13,
+    # guide §5 "caching is worth it when a DataFrame is reused")
+    csrc = (
+        grain.groupBy("prev", "cur", "source")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     ct = csrc.groupBy(F.col("source").alias("s2")).agg(
         F.sum("c").cast(dec).alias("ct")
     )
