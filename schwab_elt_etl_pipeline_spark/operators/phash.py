@@ -107,18 +107,37 @@ def phash64(cells: DataFrame) -> DataFrame:
     Exactness: the same integer products as the uv-major loop, summed in
     a different order — int64 addition is associative/commutative and
     |coeff| <= 64 * 255 * 16384^2 ~ 4.4e12, far inside int64, so every
-    coefficient is the identical int64 the HOF form produced."""
-    coeffs = cells.groupBy("id").agg(
+    coefficient is the identical int64 the HOF form produced.
+
+    Plan-size discipline: the 16 cosine factors CT[u,x] (u=0..7) and
+    CT[v,y] (v=0..7) are projected ONCE per cell row BELOW the aggregate,
+    so each aggregate column is a plain 3-column product sum instead of
+    re-inlining the 64-literal basis array twice per coefficient (126
+    copies -> 16; the query is re-built and re-analyzed per invocation,
+    and that constant per-invocation analysis cost dominated the whole
+    image query at sf0.1). Aggregate-over-Project is not collapsed by the
+    optimizer, so the factoring survives into the physical plan."""
+    factors = cells.select(
+        "id",
+        "px",
         *[
-            F.sum(
-                F.col("px")
-                * F.expr(
-                    f"element_at({_CT_ARR}, cast({uv // 8} * 8 + cell % 8 + 1 as int))"
-                )
-                * F.expr(
-                    f"element_at({_CT_ARR}, cast({uv % 8} * 8 + cell div 8 + 1 as int))"
-                )
-            ).alias(f"_c{uv}")
+            F.expr(
+                f"element_at({_CT_ARR}, cast({u} * 8 + cell % 8 + 1 as int))"
+            ).alias(f"_cu{u}")
+            for u in range(8)
+        ],
+        *[
+            F.expr(
+                f"element_at({_CT_ARR}, cast({v} * 8 + cell div 8 + 1 as int))"
+            ).alias(f"_cv{v}")
+            for v in range(8)
+        ],
+    )
+    coeffs = factors.groupBy("id").agg(
+        *[
+            F.sum(F.col("px") * F.col(f"_cu{uv // 8}") * F.col(f"_cv{uv % 8}")).alias(
+                f"_c{uv}"
+            )
             for uv in range(1, 64)
         ]
     )
