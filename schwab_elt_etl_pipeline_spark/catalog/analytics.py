@@ -25,6 +25,21 @@ def _dec(c: str) -> F.Column:
     return F.col(c).cast(_DEC)
 
 
+def _cents(c: str) -> F.Column:
+    """Exact integer money units for a 2-decimal monetary DOUBLE column.
+
+    ``round(x * 100)`` reconstructs the same integer the decimal cast
+    ``CAST(x AS DECIMAL(p,2)) * 100`` produces for every stored value (the
+    doubles are parquet-encoded 2-decimal amounts, so x*100 lands within
+    ~1e-11 of an integer — pinned exhaustively over every row of every SF in
+    tests/test_decimal_longsum.py). Lets the hot aggregation path run as
+    whole-stage-codegen'd LONG sums instead of BigDecimal-backed
+    decimal(28+,·) sums, with the decimal conversion deferred to the tiny
+    per-partition merge (see q1) — same exact values, same final doubles.
+    """
+    return F.round(F.col(c) * 100).cast("long")
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate with exact decimal sums (A3/A4).
 
@@ -33,34 +48,60 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     round the overflow differently.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    price12 = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc_f = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
-    tax_f = F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)")
-    disc_price = price12 * disc_f
-    charge = price12 * disc_f * tax_f
-    return (
+    # r13: the hot aggregation runs over exact integer-scaled LONGs (cents,
+    # quantity*1e4, discount/tax hundredths) instead of decimal values —
+    # BigDecimal-backed decimal(28,4)/(30,6) sum buffers dominated the stage.
+    # Decimals enter only at the per-partition merge: the first aggregate
+    # sums longs per (group, input partition), the second sums the few
+    # partial rows as decimals — the identical exact integers, so the same
+    # decimal totals and the same output doubles (value-equality pinned over
+    # every SF by tests/test_decimal_longsum.py; guide §1.2 per-task work).
+    # Overflow bound: |cents*f2*t2| <= 1.1e7*100*108 ~ 1.2e11 per row, so a
+    # partition stays inside int64 up to ~7.6e7 rows — a 128 MB-1 GB
+    # partition holds ~1e7 lineitem rows, >=7x margin at any cluster scale.
+    cents = _cents("l_extendedprice")
+    q4 = F.round(F.col("l_quantity") * 10000).cast("long")
+    f2 = F.lit(100) - _cents("l_discount")
+    t2 = F.lit(100) + _cents("l_tax")
+    part = (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
         # NOTE: no repartition before the agg — partial aggregation collapses
         # 600k rows to 4 groups pre-shuffle, so a row-spreading exchange costs
-        # more than the single-task decimal math it would parallelize
+        # more than the single-task math it would parallelize
         # (measured 1.8s -> 5-7s with an RR repartition here)
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
         .agg(
-            F.sum(_dec("l_quantity")).alias("_sq"),
-            F.sum(_dec("l_extendedprice")).alias("_sbp"),
-            F.sum(disc_price).alias("_sdp"),
-            F.sum(charge).alias("_sc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(q4).alias("_pq"),
+            F.sum(cents).alias("_pbp"),
+            F.sum(cents * f2).alias("_pdp"),
+            F.sum(cents * f2 * t2).alias("_pc"),
+            F.count(F.lit(1)).alias("_pn"),
+        )
+    )
+    return (
+        part.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("_pq").cast("decimal(28,0)")).alias("_sq"),
+            F.sum(F.col("_pbp").cast("decimal(28,0)")).alias("_sbp"),
+            F.sum(F.col("_pdp").cast("decimal(28,0)")).alias("_sdp"),
+            F.sum(F.col("_pc").cast("decimal(28,0)")).alias("_sc"),
+            F.sum("_pn").alias("count_order"),
         )
         .select(
             "l_returnflag",
             "l_linestatus",
-            F.col("_sq").cast("double").alias("sum_qty"),
-            F.col("_sbp").cast("double").alias("sum_base_price"),
-            F.col("_sdp").cast("double").alias("sum_disc_price"),
-            F.col("_sc").cast("double").alias("sum_charge"),
-            (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
-            (F.col("_sbp").cast("double") / F.col("count_order")).alias("avg_price"),
+            (F.col("_sq").cast("decimal(38,4)") / 10000).cast("double").alias("sum_qty"),
+            (F.col("_sbp").cast("decimal(38,4)") / 100).cast("double").alias("sum_base_price"),
+            (F.col("_sdp").cast("decimal(38,4)") / 10000).cast("double").alias("sum_disc_price"),
+            (F.col("_sc").cast("decimal(38,6)") / 1000000).cast("double").alias("sum_charge"),
+            (
+                (F.col("_sq").cast("decimal(38,4)") / 10000).cast("double")
+                / F.col("count_order")
+            ).alias("avg_qty"),
+            (
+                (F.col("_sbp").cast("decimal(38,4)") / 100).cast("double")
+                / F.col("count_order")
+            ).alias("avg_price"),
             "count_order",
         )
     )
@@ -138,7 +179,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    # r13: long-unit revenue partials (see q1). cents*f2 is the exact
+    # scale-4 value of the oracle's (18,4)x(18,4) product (2-decimal inputs;
+    # equivalence pinned in tests/test_decimal_longsum.py); <= 1.1e9 per
+    # row, so int64 holds ~8e9 rows per partition — unbounded in practice.
+    rev4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     dims = F.broadcast(
         nation.join(region, nation.n_regionkey == region.r_regionkey).select(
             "n_nationkey", "n_name"
@@ -160,9 +205,18 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "n_name")
     return (
         li.join(F.broadcast(ord_region), li.l_orderkey == ord_region.o_orderkey)
+        .groupBy("n_name", F.spark_partition_id().alias("_pid"))
+        .agg(F.sum(rev4).alias("_pr"), F.count(F.lit(1)).alias("_pn"))
         .groupBy("n_name")
-        .agg(F.sum(revenue).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
-        .select("n_name", F.col("_rev").cast("double").alias("revenue"), "n_items")
+        .agg(
+            F.sum(F.col("_pr").cast("decimal(28,0)")).alias("_rev"),
+            F.sum("_pn").alias("n_items"),
+        )
+        .select(
+            "n_name",
+            (F.col("_rev").cast("decimal(38,4)") / 10000).cast("double").alias("revenue"),
+            "n_items",
+        )
     )
 
 
