@@ -23,7 +23,7 @@ from schwab_elt_etl_pipeline_spark.operators.sharding import (
     keep_ppm,
     keep_ppm_sql,
 )
-from schwab_elt_etl_pipeline_spark.sources import load_table
+from schwab_elt_etl_pipeline_spark.sources import load_table, spread_scan
 
 # Deterministic PII injection into `documents` (the catalog's messy-input
 # convention, like curation4's _URL_EXPR): every doc gains an email; docs
@@ -84,7 +84,9 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     τ=0.35 sits in the synthetic embeddings' observed tail (real corpora
     run ~0.95); the oracle replays assignment AND prune exactly, so the
     hash certifies both."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread the single-row-group scan so the E-step fold and the
+    # within-cell pair stage run on every core (no-op on real inputs)
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     return semdedup_prune(emb, k=_SEM_K, tau=_SEM_TAU)
 
 

@@ -107,13 +107,26 @@ def assign_cells_fixed(
 
 
 def keep_first_dups(
-    members: DataFrame, pool: DataFrame, tau: float
+    members: DataFrame, pool: DataFrame, tau: float, slices: int = 1
 ) -> DataFrame:
     """The SemDeDup verdict rule as one shared definition: for each row of
     ``members``, the smallest LOWER id in ``pool`` sharing its cell with
     rounded cosine ≥ ``tau``. Both sides carry (vec_id, v, nrm, cluster);
     output is (vec_id, dup_of) for duplicate members only. ONE cell-keyed
     equi-join — pair work is bounded by cell populations.
+
+    ``slices`` > 1 salts the cell key (guide §2.5 hot-key salting): each
+    ``members`` row lands in one of ``slices`` deterministic sub-buckets of
+    its cell and ``pool`` is replicated across all of them, so a cell's
+    Σ|cell|² pair work spreads over ``slices`` exchange keys instead of one.
+    Results are identical (every same-cell pair still meets exactly once).
+    Callers size it from k vs the cluster's parallelism (see
+    ``semdedup_prune``): with few cells the byte-based AQE coalescer sees a
+    tiny exchange and funnels the CPU-dense pair stage onto one task; with
+    cell count >= parallelism (the real-corpus regime, k ~ sqrt(N)) the salt
+    degenerates to 1 and the plan is byte-for-byte the unsalted one — the
+    exchange stays ENSURE_REQUIREMENTS so AQE's skew-join splitting of
+    mega-cells keeps working at scale.
 
     Zero-norm (all-zero) vectors are EXCLUDED from both sides of the pair
     stage: a vector with no direction has no cosine — under ANSI mode the
@@ -141,8 +154,15 @@ def keep_first_dups(
         F.col("v").alias("b_v"),
         F.col("nrm").alias("b_n"),
     )
+    keys = ["cluster"]
+    if slices > 1:
+        a = a.withColumn("_sl", F.pmod(F.hash("a_id"), F.lit(slices)))
+        b = b.withColumn(
+            "_sl", F.explode(F.sequence(F.lit(0), F.lit(slices - 1)))
+        )
+        keys = ["cluster", "_sl"]
     return (
-        a.join(b, "cluster")
+        a.join(b, keys)
         .where(F.col("b_id") < F.col("a_id"))
         .where(
             F.round(
@@ -188,7 +208,13 @@ def semdedup_prune(
         .withColumn("nrm", l2_norm(F.col("v")))
         .localCheckpoint(eager=False)
     )
-    dups = keep_first_dups(assigned, assigned, tau)
+    # salt the cell key only when there are too few cells to feed every
+    # core (k << parallelism — the degenerate small-k case); at the paper's
+    # operating point (k ~ sqrt(N) >= cluster parallelism) this is 1 and
+    # the pair join is the plain unsalted cell join
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    slices = max(1, -(-2 * par // max(k, 1)))
+    dups = keep_first_dups(assigned, assigned, tau, slices=slices)
     return assigned.join(dups, "vec_id", "left").select(
         "vec_id",
         F.col("cluster").cast("int").alias("cluster"),

@@ -12,6 +12,7 @@ from schwab_elt_etl_pipeline_spark.sources.tables import (
     load_table,
     read_bronze_quotes,
     register_views,
+    spread_scan,
 )
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "RestJsonDataSource",
     "conform_to_schema",
     "load_table",
+    "spread_scan",
     "read_bronze_quotes",
     "register_rest_datasource",
     "register_views",

@@ -51,6 +51,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan up to the session's default parallelism
+    — but ONLY when the scan cannot already feed every core (guide §2.5:
+    input skew from one small/unsplittable file; our single-row-group test
+    parquet files cap every scan at 1 task no matter the split size).
+
+    Scale-adaptive by construction: on a real cluster the input is many
+    files/row-groups, ``getNumPartitions() >= defaultParallelism`` holds, and
+    NO extra exchange is inserted — so this is not a local-only tuning knob
+    but a guard for exactly the degenerate-input case. Use it where the
+    per-row downstream work is heavy (vector folds, pair joins); for cheap
+    scan→agg paths the added exchange loses (see q1's inline note).
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register each table as a temp view (for ``spark.sql`` pipelines)."""
     for name in names:
