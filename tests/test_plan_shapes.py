@@ -38,11 +38,21 @@ def test_region_filter_pushed_to_scan(spark, sf_dir):
     assert region_scans and any("= ASIA" in l for l in region_scans)
 
 
-def test_q1_single_exchange_and_pruned_scan(spark, sf_dir):
-    """Scan-filter-aggregate: one exchange (partial agg combines map-side),
-    and the scan reads only the 7 referenced columns."""
+def test_q1_two_tiny_exchanges_and_pruned_scan(spark, sf_dir):
+    """Scan-filter-aggregate, r13 long-sum form: the hot aggregate sums
+    integer-scaled longs per (group, input partition) — partial agg still
+    combines map-side, so the first exchange carries <= |groups|x|partitions|
+    partial rows — and a second tiny exchange merges the partials as
+    decimals (value-equality pinned by tests/test_decimal_longsum.py).
+    Exactly two exchanges, neither carrying raw rows, and the scan reads
+    only the 7 referenced columns."""
     plan = plan_of(spark, sf_dir, "q1_pricing_summary")
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange") == 2
+    # both exchanges sit ABOVE a HashAggregate (partial-agg outputs), never
+    # directly above the scan/filter — i.e. no raw-row shuffle
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_pid" in line or "l_returnflag" in line
     (scan,) = scan_lines(plan)
     assert "l_shipdate" in scan and "l_comment" not in scan and "l_partkey" not in scan
 
