@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -43,7 +44,14 @@ from pyspark.sql import functions as F
 # engines' plans — the same literal-lookup trick as operators/recurrence.py.
 CT = [round(math.cos((2 * x + 1) * u * math.pi / 16) * 16384) for u in range(8) for x in range(8)]
 
-_CT_ARR = "array(" + ",".join(f"{c}L" for c in CT) + ")"
+# The basis enters the Spark plan as ONE ArrayType Literal node (numpy lit),
+# not a CreateArray of 64 Literal children: PySpark re-analyzes the whole
+# logical tree on every DataFrame transformation, and 16 x 64 literal nodes
+# made that driver-side analysis the dominant cost of the image query at
+# sf0.1 (constant, data-size-independent). Same values, same evaluation.
+# (Function, not module constant: F.lit needs an active SparkContext.)
+def _ct_lit() -> F.Column:
+    return F.lit(np.asarray(CT, dtype=np.int64))
 
 
 def luma_cells(
@@ -112,46 +120,47 @@ def phash64(cells: DataFrame) -> DataFrame:
     Plan-size discipline: the 16 cosine factors CT[u,x] (u=0..7) and
     CT[v,y] (v=0..7) are projected ONCE per cell row BELOW the aggregate,
     so each aggregate column is a plain 3-column product sum instead of
-    re-inlining the 64-literal basis array twice per coefficient (126
-    copies -> 16; the query is re-built and re-analyzed per invocation,
-    and that constant per-invocation analysis cost dominated the whole
-    image query at sf0.1). Aggregate-over-Project is not collapsed by the
-    optimizer, so the factoring survives into the physical plan."""
+    re-inlining the basis array twice per coefficient (126 copies -> 16;
+    the query is re-built and re-analyzed per invocation, and that
+    constant per-invocation analysis cost dominated the whole image query
+    at sf0.1) — and each factor references the basis as ONE ArrayType
+    Literal node (``_CT_LIT``), not a 64-child CreateArray, so every
+    re-analysis pass walks 16 nodes instead of ~1k. Aggregate-over-Project
+    is not collapsed by the optimizer, so the factoring survives into the
+    physical plan."""
+    ct = _ct_lit()
     factors = cells.select(
         "id",
         "px",
         *[
-            F.expr(
-                f"element_at({_CT_ARR}, cast({u} * 8 + cell % 8 + 1 as int))"
-            ).alias(f"_cu{u}")
+            F.element_at(ct, F.expr(f"cast({u} * 8 + cell % 8 + 1 as int)")).alias(
+                f"_cu{u}"
+            )
             for u in range(8)
         ],
         *[
-            F.expr(
-                f"element_at({_CT_ARR}, cast({v} * 8 + cell div 8 + 1 as int))"
-            ).alias(f"_cv{v}")
+            F.element_at(ct, F.expr(f"cast({v} * 8 + cell div 8 + 1 as int)")).alias(
+                f"_cv{v}"
+            )
             for v in range(8)
         ],
     )
+    # Single-string expressions throughout: each F.expr / selectExpr is ONE
+    # py4j round-trip parsed on the JVM, where the equivalent Column-API
+    # construction (63 x sum(col*col*col).alias, 63 x coalesce(...) array
+    # entries) cost ~1.3 s of driver-side chatter per invocation — the
+    # dominant term of the whole image query at sf0.1 (measured; constant,
+    # data-size-independent).
     coeffs = factors.groupBy("id").agg(
         *[
-            F.sum(F.col("px") * F.col(f"_cu{uv // 8}") * F.col(f"_cv{uv % 8}")).alias(
-                f"_c{uv}"
-            )
+            F.expr(f"sum(px * _cu{uv // 8} * _cv{uv % 8}) AS _c{uv}")
             for uv in range(1, 64)
         ]
     )
+    ac = "array(" + ",".join(f"coalesce(_c{uv}, 0L)" for uv in range(1, 64)) + ")"
     return (
-        coeffs.select(
-            "id",
-            F.array(
-                *[
-                    F.coalesce(F.col(f"_c{uv}"), F.lit(0).cast("long"))
-                    for uv in range(1, 64)
-                ]
-            ).alias("ac"),
-        )
-        .withColumn("sac", F.aggregate("ac", F.lit(0).cast("long"), lambda a, c: a + c))
+        coeffs.selectExpr("id", f"{ac} AS ac")
+        .selectExpr("id", "ac", "aggregate(ac, 0L, (a, c) -> a + c) AS sac")
         .select("id", F.expr(_BITS_EXPR).alias("phash"))
     )
 
