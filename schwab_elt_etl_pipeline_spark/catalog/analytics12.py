@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from schwab_elt_etl_pipeline_spark.catalog import QuerySpec
-from schwab_elt_etl_pipeline_spark.sources import load_table, spread_scan
+from schwab_elt_etl_pipeline_spark.sources import load_table
 
 _MIN_PAIR_SUPPORT = 5
 _ACF_LAGS = 3
@@ -465,9 +465,7 @@ def kmeans_lloyd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # spread the single-row-group scan before the per-row E-step folds
-    # (no-op on real inputs; the centroid collect below stays on the raw scan)
-    vecs = spread_scan(emb).select(
+    vecs = emb.select(
         "vec_id", as_double("embedding").alias("v")
     ).localCheckpoint(eager=False)
     cent_rows = [

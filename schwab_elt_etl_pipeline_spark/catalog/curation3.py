@@ -30,7 +30,7 @@ from schwab_elt_etl_pipeline_spark.operators.tokenize import (
     rebuild_docs,
     train_merges,
 )
-from schwab_elt_etl_pipeline_spark.sources import load_table, spread_scan
+from schwab_elt_etl_pipeline_spark.sources import load_table
 
 # Ordered merge rules — the "trained tokenizer". Chosen from the corpus's
 # most frequent adjacent pairs; fixed literals so the query is reproducible
@@ -238,9 +238,7 @@ def embedding_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors. Reasons are a fixed priority cascade (near_dup > outlier >
     keep), mirroring ``corpus_curation_e2e`` on the text side.
     """
-    # spread the single-row-group scan: the band pair join, centroid
-    # explode and prototype scoring are per-row heavy (no-op on real inputs)
-    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     verdicts = semantic_dedup_verdicts(emb, band=20, threshold=0.3)
     labeled = emb.select("vec_id", "label", as_double("embedding").alias("v"))
     kept = labeled.join(
