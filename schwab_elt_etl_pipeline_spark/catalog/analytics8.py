@@ -173,19 +173,51 @@ def w_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     yield NULL z and no flag.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = (
+    # Sliding decimal sums as PREFIX DIFFERENCES (r13, guide §1.2 per-task
+    # work): Spark's sliding row frame re-evaluates its buffer per row
+    # (O(frame) decimal updates each), while the running unbounded-preceding
+    # frame is maintained incrementally (O(1)) and ``lag`` is a plain offset
+    # lookup. sum[-19..0] == P_i - P_(i-20) EXACTLY — decimal +/- is exact
+    # integer arithmetic at scale 6/12, so the difference of prefix sums is
+    # bit-identical to the frame sum (no float reassociation anywhere). The
+    # non-null prefix count reproduces SUM's all-NULL-frame => NULL contract.
+    # Both window nodes share one (user_id) exchange and one sort.
+    w_run = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
-        .rowsBetween(-19, 0)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    w_row = Window.partitionBy("user_id").orderBy("ts", "event_id")
     vdec = F.col("value").cast("decimal(18,6)")
-    s1 = F.sum(vdec).over(w)
-    s2 = F.sum(vdec * vdec).over(w)
-    n = F.count(F.lit(1)).over(w)
-    m = s1.cast("double") / n
-    var = s2.cast("double") / n - m * m
+    pre = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum(vdec).over(w_run).alias("_p1"),
+        F.sum(vdec * vdec).over(w_run).alias("_p2"),
+        F.count(vdec).over(w_run).alias("_cnn"),
+        F.row_number().over(w_row).alias("_rn"),
+    )
+    lag1 = F.coalesce(
+        F.lag("_p1", 20).over(w_row), F.lit(0).cast("decimal(28,6)")
+    )
+    lag2 = F.coalesce(
+        F.lag("_p2", 20).over(w_row), F.lit(0).cast("decimal(38,12)")
+    )
+    lagc = F.coalesce(F.lag("_cnn", 20).over(w_row), F.lit(0).cast("long"))
+    sized = pre.select(
+        "user_id",
+        "value",
+        "event_id",
+        F.when(F.col("_cnn") - lagc > 0, F.col("_p1") - lag1).alias("_s1"),
+        F.when(F.col("_cnn") - lagc > 0, F.col("_p2") - lag2).alias("_s2"),
+        F.least(F.col("_rn"), F.lit(20)).alias("_n"),
+    )
+    m = F.col("_s1").cast("double") / F.col("_n")
+    var = F.col("_s2").cast("double") / F.col("_n") - m * m
     z = F.when(var > 0, F.round((F.col("value") - m) / F.sqrt(var), 6))
-    return ev.select(
+    return sized.select(
         "user_id",
         "event_id",
         "value",
