@@ -769,7 +769,12 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from schwab_elt_etl_pipeline_spark.operators.text import fingerprint
 
-    fp = train.withColumn("_fp", fingerprint("text")).withColumn(
+    # The fingerprint window runs over the (doc_id, _fp) PROXY only (r13,
+    # guide §8 "shuffle keys and metadata instead of payloads"): the former
+    # form carried the text column through the _fp exchange and sort; only
+    # 16 bytes/doc cross now, and the downstream join consumes just
+    # (doc_id, keep_id). Same single window, identical values.
+    fp = train.select("doc_id", fingerprint("text").alias("_fp")).withColumn(
         "keep_id", F.min("doc_id").over(Window.partitionBy("_fp"))
     )
 
@@ -1095,11 +1100,20 @@ def _training_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    surv1 = (
-        docs.withColumn("_fp", fingerprint("text"))
-        .withColumn("keep_id", F.min("doc_id").over(Window.partitionBy("_fp")))
-        .filter(F.col("doc_id") == F.col("keep_id"))
-        .select("doc_id", "source", "text")
+    # First-winner ids via a PROXY aggregate + doc_id-keyed semi-join (r13,
+    # guide §8): the former fingerprint window shuffled the full text rows
+    # by _fp; here only (doc_id, _fp) pairs cross the fingerprint exchange
+    # and the corpus is pruned on its existing doc_id partitioning (the
+    # repartition above), so the text never shuffles at all. min-per-group
+    # == min-over-partition exactly (doc_id unique).
+    keep_ids = (
+        docs.select("doc_id", fingerprint("text").alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv1 = docs.join(keep_ids, "doc_id", "left_semi").select(
+        "doc_id", "source", "text"
     )
     rebuilt = passage_dedup_rebuild(surv1, passage_tokens=_PASSAGE).select(
         "doc_id", "deduped_text"
@@ -1109,7 +1123,7 @@ def _training_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"),
         quality_logit().alias("logit"),
-    )
+    ).localCheckpoint(eager=False)
     thr = scored.agg(F.expr("percentile(logit, 0.2)").alias("thr"))
     return scored.crossJoin(F.broadcast(thr)).filter(
         F.col("logit") >= F.col("thr")
