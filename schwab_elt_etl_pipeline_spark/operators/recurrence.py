@@ -192,7 +192,12 @@ def linear_recurrence(
     )
     s = [F.sum(u[r]).over(w_chunk) for r in range(n)]
     pow_j = F.element_at(apow, (F.col(_J) + 1).cast("int"))
-    ranked = ranked.withColumn(_LOCAL, F.array(*_matvec(pow_j, s, n, n)))
+    # the ranked+local subtree (exchange + sort + two windows over the full
+    # data) feeds BOTH the per-row output and the chunk summaries; pin it so
+    # the data-side work runs once (r13 back-to-back A/B: 2.00 -> 1.40 s)
+    ranked = ranked.withColumn(
+        _LOCAL, F.array(*_matvec(pow_j, s, n, n))
+    ).localCheckpoint(eager=False)
 
     # Chunk summaries -> per-entity affine fold (carry = end + A^cnt @ carry)
     # -> each chunk's incoming carry, emitted in chunk order.

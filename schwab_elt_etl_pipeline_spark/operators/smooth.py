@@ -115,7 +115,10 @@ def ewma(
     local = F.pow(F.lit(decay), F.col(_J)) * F.sum(
         b_i * F.pow(F.lit(decay), -F.col(_J))
     ).over(w_chunk)
-    ranked = ranked.withColumn(_LOCAL, local)
+    # the ranked+local subtree (exchange + sort + two windows over the full
+    # data) feeds BOTH the per-row output and the chunk summaries; pin it so
+    # the data-side work runs once (r13 A/B on the matrix twin: -30%)
+    ranked = ranked.withColumn(_LOCAL, local).localCheckpoint(eager=False)
 
     # Chunk summaries -> per-entity affine fold -> each chunk's incoming
     # carry. A chunk missing observations entirely still decays: A counts
