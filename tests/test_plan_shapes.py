@@ -83,14 +83,23 @@ def test_flagship_whole_stage_codegen_spans(spark, sf_dir):
     assert "*(1)" in plan
 
 
-def test_outlier_windows_not_duplicated(spark, sf_dir):
-    """The W1/W2 outlier flag must evaluate exactly 4 sliding aggregates
-    (2 sums + 2 counts) — embedding window Columns per reference would
-    silently double them (no CSE across window expressions)."""
+def test_outlier_windows_prefix_form(spark, sf_dir):
+    """The W1/W2 outlier flag computes its frames as PREFIX DIFFERENCES
+    (r13): running sums/counts + lag/lead offsets, never an O(frame)-per-row
+    sliding buffer — and everything rides ONE user_id exchange. (The pre-r13
+    pin asserted the 4 sliding aggregates were not duplicated; the sliding
+    frames themselves are gone now, which this pin makes deliberate.)"""
     plan = plan_of(spark, sf_dir, "flagship_vertical_analytics")
-    w12 = [l for l in plan.splitlines() if "RowFrame, -5, -1" in l]
-    assert w12, "trailing window vanished from the plan"
-    assert all(l.count("RowFrame, -5, -1") <= 2 for l in w12)
+    assert "RowFrame, -5, -1" not in plan, "sliding frame crept back in"
+    assert "RowFrame, -10, 0" not in plan, "rolling sliding frame came back"
+    # running prefix frames + the lag/lead offset frames of the rewrite
+    assert "unboundedpreceding$(), currentrow$()" in plan
+    assert "RowFrame, -6, -6" in plan and "RowFrame, 5, 5" in plan
+    # the gapfill diamond's two branch repartitions are the ONLY user_id
+    # exchanges — the added lag/lead/running frames reuse them, none extra
+    exch = [l for l in plan.splitlines()
+            if "Exchange hashpartitioning(user_id" in l]
+    assert len(exch) <= 2, exch
 
 
 def test_e2e_tick_dedup_below_decode(spark, sf_dir):
