@@ -143,7 +143,10 @@ def test_new_analytics_broadcast_dims(spark, sf_dir):
 @pytest.mark.parametrize(
     "name,max_exchanges",
     [
-        ("q1_pricing_summary", 1),   # single partial→final aggregate
+        # r13 long-sum rewrite: per-(group, input-partition) long partials
+        # then a decimal merge — TWO tiny exchanges, neither carrying raw
+        # rows (shape pinned in test_plan_shapes.py's q1 exchange test)
+        ("q1_pricing_summary", 2),
         ("a_cube_revenue", 1),       # grouping sets expand map-side
         ("sample_hash_mod", 1),      # sampling predicate below the agg
         ("w_rank_family", 1),        # one window sort
