@@ -54,6 +54,53 @@ def _ct_lit() -> F.Column:
     return F.lit(np.asarray(CT, dtype=np.int64))
 
 
+# Constructed-once Column fragments for phash64, keyed on the owning
+# SparkContext (r14, guide §4.5 "initialise heavyweight state once" applied
+# to the DRIVER): the 63 aggregate sums + 16 basis factors cost ~80 py4j
+# round-trips and JVM parses per build, a pure per-invocation constant
+# (~0.2 s at any SF) that bench best-of-N re-pays every round. Columns are
+# UNRESOLVED plan fragments — caching them caches no data and no results;
+# a new/restarted SparkContext invalidates the cache (the JVM objects die
+# with the context). Reuse of one fragment across many plans is the normal
+# Column contract (each plan analyzes it independently).
+_FRAG: dict[str, object] = {}
+_FRAG_CTX: object = None
+
+
+def _fragments() -> dict:
+    global _FRAG, _FRAG_CTX
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is not _FRAG_CTX or not _FRAG:
+        ct = _ct_lit()
+        _FRAG = {
+            "factors": [
+                F.element_at(ct, F.expr(f"cast({u} * 8 + cell % 8 + 1 as int)")).alias(
+                    f"_cu{u}"
+                )
+                for u in range(8)
+            ]
+            + [
+                F.element_at(ct, F.expr(f"cast({v} * 8 + cell div 8 + 1 as int)")).alias(
+                    f"_cv{v}"
+                )
+                for v in range(8)
+            ],
+            "sums": [
+                F.expr(f"sum(px * _cu{uv // 8} * _cv{uv % 8}) AS _c{uv}")
+                for uv in range(1, 64)
+            ],
+            "ac": F.expr(
+                "array(" + ",".join(f"coalesce(_c{uv}, 0L)" for uv in range(1, 64)) + ")"
+            ).alias("ac"),
+            "sac": F.expr("aggregate(ac, 0L, (a, c) -> a + c)").alias("sac"),
+            "bits": F.expr(_BITS_EXPR).alias("phash"),
+        }
+        _FRAG_CTX = sc
+    return _FRAG
+
+
 def luma_cells(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -128,40 +175,19 @@ def phash64(cells: DataFrame) -> DataFrame:
     re-analysis pass walks 16 nodes instead of ~1k. Aggregate-over-Project
     is not collapsed by the optimizer, so the factoring survives into the
     physical plan."""
-    ct = _ct_lit()
-    factors = cells.select(
-        "id",
-        "px",
-        *[
-            F.element_at(ct, F.expr(f"cast({u} * 8 + cell % 8 + 1 as int)")).alias(
-                f"_cu{u}"
-            )
-            for u in range(8)
-        ],
-        *[
-            F.element_at(ct, F.expr(f"cast({v} * 8 + cell div 8 + 1 as int)")).alias(
-                f"_cv{v}"
-            )
-            for v in range(8)
-        ],
-    )
-    # Single-string expressions throughout: each F.expr / selectExpr is ONE
-    # py4j round-trip parsed on the JVM, where the equivalent Column-API
-    # construction (63 x sum(col*col*col).alias, 63 x coalesce(...) array
-    # entries) cost ~1.3 s of driver-side chatter per invocation — the
-    # dominant term of the whole image query at sf0.1 (measured; constant,
-    # data-size-independent).
-    coeffs = factors.groupBy("id").agg(
-        *[
-            F.expr(f"sum(px * _cu{uv // 8} * _cv{uv % 8}) AS _c{uv}")
-            for uv in range(1, 64)
-        ]
-    )
-    ac = "array(" + ",".join(f"coalesce(_c{uv}, 0L)" for uv in range(1, 64)) + ")"
+    # Single-string expressions, constructed ONCE per SparkContext
+    # (``_fragments``): each F.expr / selectExpr is ONE py4j round-trip
+    # parsed on the JVM — the equivalent Column-API construction (63 x
+    # sum(col*col*col).alias, 63 x coalesce(...) array entries) cost ~1.3 s
+    # of driver-side chatter per invocation, and re-parsing even the string
+    # forms re-paid ~0.2 s per build (constant, data-size-independent).
+    frag = _fragments()
+    factors = cells.select("id", "px", *frag["factors"])
+    coeffs = factors.groupBy("id").agg(*frag["sums"])
     return (
-        coeffs.selectExpr("id", f"{ac} AS ac")
-        .selectExpr("id", "ac", "aggregate(ac, 0L, (a, c) -> a + c) AS sac")
-        .select("id", F.expr(_BITS_EXPR).alias("phash"))
+        coeffs.select("id", frag["ac"])
+        .select("id", "ac", frag["sac"])
+        .select("id", frag["bits"])
     )
 
 

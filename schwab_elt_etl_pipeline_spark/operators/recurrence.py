@@ -57,6 +57,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from schwab_elt_etl_pipeline_spark.operators.pinning import pin_shared
+
 _RN = "__lr_rn"
 _CHUNK = "__lr_chunk"
 _J = "__lr_j"
@@ -194,10 +196,10 @@ def linear_recurrence(
     pow_j = F.element_at(apow, (F.col(_J) + 1).cast("int"))
     # the ranked+local subtree (exchange + sort + two windows over the full
     # data) feeds BOTH the per-row output and the chunk summaries; pin it so
-    # the data-side work runs once (r13 back-to-back A/B: 2.00 -> 1.40 s)
-    ranked = ranked.withColumn(
-        _LOCAL, F.array(*_matvec(pow_j, s, n, n))
-    ).localCheckpoint(eager=False)
+    # the data-side work runs once (r13 back-to-back A/B: 2.00 -> 1.40 s).
+    # FULL-DATA pin — conf-gated: see operators/pinning.py for the storage/
+    # lineage trade and the opt-out contract for at-scale callers.
+    ranked = pin_shared(ranked.withColumn(_LOCAL, F.array(*_matvec(pow_j, s, n, n))))
 
     # Chunk summaries -> per-entity affine fold (carry = end + A^cnt @ carry)
     # -> each chunk's incoming carry, emitted in chunk order.

@@ -47,6 +47,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from schwab_elt_etl_pipeline_spark.operators.pinning import pin_shared
+
 _RN = "__ewma_rn"
 _CHUNK = "__ewma_chunk"
 _J = "__ewma_j"
@@ -117,8 +119,10 @@ def ewma(
     ).over(w_chunk)
     # the ranked+local subtree (exchange + sort + two windows over the full
     # data) feeds BOTH the per-row output and the chunk summaries; pin it so
-    # the data-side work runs once (r13 A/B on the matrix twin: -30%)
-    ranked = ranked.withColumn(_LOCAL, local).localCheckpoint(eager=False)
+    # the data-side work runs once (r13 A/B on the matrix twin: -30%).
+    # FULL-DATA pin — conf-gated: see operators/pinning.py for the storage/
+    # lineage trade and the opt-out contract for at-scale callers.
+    ranked = pin_shared(ranked.withColumn(_LOCAL, local))
 
     # Chunk summaries -> per-entity affine fold -> each chunk's incoming
     # carry. A chunk missing observations entirely still decays: A counts

@@ -66,9 +66,26 @@ def spread_scan(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # The partition probe forces a plan->RDD conversion on the driver; its
+    # answer for a SCAN depends only on (file set, split confs, parallelism),
+    # so memoize it per input file list (r14 hygiene: the probe itself was
+    # the same per-build driver cost class spread_scan's callers pay it to
+    # avoid). Plan-shape state only — no data, no results.
+    files = tuple(sorted(df.inputFiles()))
+    key = (id(spark.sparkContext), target, files)
+    # a non-scan input reports no files — don't share a cache line for those
+    spread = _SPREAD_CACHE.get(key) if files else None
+    if spread is None:
+        spread = df.rdd.getNumPartitions() < target
+        if len(_SPREAD_CACHE) >= 32:  # bound driver-side state
+            _SPREAD_CACHE.clear()
+        _SPREAD_CACHE[key] = spread
+    if not spread:
         return df
     return df.repartition(target)
+
+
+_SPREAD_CACHE: dict[tuple, bool] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
