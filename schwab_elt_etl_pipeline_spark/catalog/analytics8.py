@@ -182,6 +182,15 @@ def w_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identical to the frame sum (no float reassociation anywhere). The
     # non-null prefix count reproduces SUM's all-NULL-frame => NULL contract.
     # Both window nodes share one (user_id) exchange and one sort.
+    # MAGNITUDE/ROW-COUNT BOUND (r13 advice): unlike the 20-row frame sums,
+    # the prefixes accumulate over the WHOLE partition — _p2 is
+    # decimal(38,12) (26 integer digits), so exactness requires
+    # SUM(value^2) over a user's full history < 1e26: |value| <= 1e6
+    # supports 1e14 rows/user, |value| <= 1e9 supports 1e8 rows/user (the
+    # bench data is |value| < 1e4). Past the bound, non-ANSI mode NULLs the
+    # prefix silently where the sliding form would not — run with
+    # spark.sql.ansi.enabled=true to surface overflow as an error instead
+    # (pinned in tests/test_prefix_windows.py::test_prefix_overflow_ansi).
     w_run = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -48,40 +48,16 @@ def flagship_vertical_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly, entity=["user_id"], ts="h", values=["value"], step="interval 1 hour"
     )
     base = Window.partitionBy("user_id").orderBy("h")
-    w_run = base.rowsBetween(Window.unboundedPreceding, 0)
-    w_all = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_pre = base.rowsBetween(-5, -1)
+    w_fol = base.rowsBetween(1, 5)
     vdec = F.col("value").cast("decimal(18,6)")
-    # Sliding sums/counts as PREFIX DIFFERENCES over the densified grid
-    # (r13, the w_rolling_zscore rewrite): Spark re-evaluates a sliding
-    # frame's buffer per row, while running frames are incremental and
-    # lag/lead are single-pass offset lookups. Decimal +/- is exact, so
-    # sum[-5,-1] == P(i-1) - P(i-6) bit-for-bit; the non-null-count guard
-    # reproduces SUM's all-NULL-frame => NULL (and keeps the avg's NULL/0
-    # shape identical). Forward frames difference against lead(), falling
-    # back to the partition total for the tail (count() is never NULL, so
-    # a missing lead row is the ONLY way _cf falls back). All frames ride
-    # the one user_id exchange and sort.
-    pre = dense.select(
+    # materialize the 4 sliding aggregates once, flag from attribute refs
+    # (window Columns embedded in the condition would be re-planted per
+    # reference — Spark does not CSE duplicate window expressions)
+    flagged = dense.select(
         "user_id", "h", "value",
-        F.sum(vdec).over(w_run).alias("_P"),
-        F.count("value").over(w_run).alias("_C"),
-        F.sum(vdec).over(w_all).alias("_Pt"),
-        F.count("value").over(w_all).alias("_Ct"),
-    )
-    z6 = F.lit(0).cast("decimal(28,6)")
-    p_lag1 = F.coalesce(F.lag("_P", 1).over(base), z6)
-    p_lag6 = F.coalesce(F.lag("_P", 6).over(base), z6)
-    c_lag1 = F.coalesce(F.lag("_C", 1).over(base), F.lit(0))
-    c_lag6 = F.coalesce(F.lag("_C", 6).over(base), F.lit(0))
-    p_lead5 = F.coalesce(F.lead("_P", 5).over(base), F.coalesce("_Pt", z6))
-    c_lead5 = F.coalesce(F.lead("_C", 5).over(base), F.col("_Ct"))
-    cp = c_lag1 - c_lag6
-    cf = c_lead5 - F.col("_C")
-    flagged = pre.select(
-        "user_id", "h", "value",
-        F.when(cp > 0, p_lag1 - p_lag6).alias("_sp"), cp.alias("_cp"),
-        F.when(cf > 0, p_lead5 - F.coalesce("_P", z6)).alias("_sf"),
-        cf.alias("_cf"),
+        F.sum(vdec).over(w_pre).alias("_sp"), F.count("value").over(w_pre).alias("_cp"),
+        F.sum(vdec).over(w_fol).alias("_sf"), F.count("value").over(w_fol).alias("_cf"),
     )
     avg_pre = F.col("_sp").cast("double") / F.col("_cp")
     avg_fol = F.col("_sf").cast("double") / F.col("_cf")
@@ -96,25 +72,11 @@ def flagship_vertical_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o", clamp(F.col("value"), 0.0, 100.0))
         .drop("_sp", "_cp", "_sf", "_cf")
     )
-    # same prefix-difference form for the 11-row rolling average, computed
-    # on the POST-FILTER sequence (the frame is over surviving rows)
-    w_run2 = Window.partitionBy("user_id").orderBy("h").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    base2 = Window.partitionBy("user_id").orderBy("h")
-    pre2 = clean.select(
-        "user_id", "h", "o",
-        F.sum(F.col("o").cast("decimal(18,6)")).over(w_run2).alias("_R"),
-        F.count("o").over(w_run2).alias("_D"),
-    )
-    r_lag = F.coalesce(F.lag("_R", 11).over(base2), z6)
-    d_lag = F.coalesce(F.lag("_D", 11).over(base2), F.lit(0))
-    dr = F.col("_D") - d_lag
-    rolled = pre2.select(
-        "user_id", "h", "o",
-        (
-            F.when(dr > 0, F.coalesce("_R", z6) - r_lag).cast("double") / dr
-        ).alias("avg_r"),
+    w_roll = Window.partitionBy("user_id").orderBy("h").rowsBetween(-10, 0)
+    rolled = clean.withColumn(
+        "avg_r",
+        F.sum(F.col("o").cast("decimal(18,6)")).over(w_roll).cast("double")
+        / F.count("o").over(w_roll),
     )
     return rolled.groupBy("user_id", "h").agg(
         F.max("o").alias("o"), F.max("avg_r").alias("avg_r")

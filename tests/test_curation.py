@@ -108,6 +108,7 @@ def test_bucket_ts_rejects_non_nesting_grain(spark):
         bucket_ts("ts", 90)
 
 
+@pytest.mark.slow  # r13 verdict #2 re-tier: >=9 s property/reference test; close-gate full suite still runs it
 def test_pii_redaction_is_complete_property(spark):
     """Completeness: after redaction, NO pattern matches remain — for
     adversarial inputs (pattern fragments, overlaps, unicode, adjacency),

@@ -3,6 +3,8 @@ clamp bounds, key uniqueness, anti-join monotonicity."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -211,6 +213,7 @@ def test_gapfill_locf_off_grid_observations(spark):
         unique_by=lambda t: t[0],
     ),
 )
+@pytest.mark.slow  # r13 verdict #2 re-tier: >=9 s property/reference test; close-gate full suite still runs it
 def test_merge_full_matches_reference_model(spark, tgt_keys, src):
     """merge_full vs a dict-based reference MERGE: update on match, delete on
     tombstone, insert on no-match (tombstoned non-matches dropped)."""

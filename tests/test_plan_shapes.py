@@ -83,23 +83,18 @@ def test_flagship_whole_stage_codegen_spans(spark, sf_dir):
     assert "*(1)" in plan
 
 
-def test_outlier_windows_prefix_form(spark, sf_dir):
-    """The W1/W2 outlier flag computes its frames as PREFIX DIFFERENCES
-    (r13): running sums/counts + lag/lead offsets, never an O(frame)-per-row
-    sliding buffer — and everything rides ONE user_id exchange. (The pre-r13
-    pin asserted the 4 sliding aggregates were not duplicated; the sliding
-    frames themselves are gone now, which this pin makes deliberate.)"""
+def test_outlier_windows_not_duplicated(spark, sf_dir):
+    """The W1/W2 outlier flag must evaluate exactly 4 sliding aggregates
+    (2 sums + 2 counts) — embedding window Columns per reference would
+    silently double them (no CSE across window expressions). (r14: the r13
+    prefix-difference form was REVERTED after measured A/Bs — at 5/11-row
+    frames the sliding buffer beats prefix+lag/lead at BOTH 1x and the 10x
+    replica; w_rolling_zscore keeps the rewrite, its frame is 20 rows and
+    the driver measured 1.99x. This restores the pre-r13 pin.)"""
     plan = plan_of(spark, sf_dir, "flagship_vertical_analytics")
-    assert "RowFrame, -5, -1" not in plan, "sliding frame crept back in"
-    assert "RowFrame, -10, 0" not in plan, "rolling sliding frame came back"
-    # running prefix frames + the lag/lead offset frames of the rewrite
-    assert "unboundedpreceding$(), currentrow$()" in plan
-    assert "RowFrame, -6, -6" in plan and "RowFrame, 5, 5" in plan
-    # the gapfill diamond's two branch repartitions are the ONLY user_id
-    # exchanges — the added lag/lead/running frames reuse them, none extra
-    exch = [l for l in plan.splitlines()
-            if "Exchange hashpartitioning(user_id" in l]
-    assert len(exch) <= 2, exch
+    w12 = [l for l in plan.splitlines() if "RowFrame, -5, -1" in l]
+    assert w12, "trailing window vanished from the plan"
+    assert all(l.count("RowFrame, -5, -1") <= 2 for l in w12)
 
 
 def test_e2e_tick_dedup_below_decode(spark, sf_dir):
@@ -199,7 +194,28 @@ def test_sequence_packing_partitions_by_shard(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
-@pytest.mark.parametrize("spec", list(SPECS.values()), ids=lambda s: s.name)
+# Same fast/slow tier as test_catalog_oracle (r13 verdict #2): executedPlan()
+# materializes every eager checkpoint in the build, so for the iterative
+# trainers this "plan" test pays the full many-job build (~10-30 s each at
+# local[4]). The slow tier still runs in the close-gate full suite.
+_SLOW_PLAN = {
+    "ann_ivfadc_index",
+    "ann_pq_index",
+    "ann_pq_adc",
+    "ann_ivfadc",
+    "leakage_safe_split",
+}
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        pytest.param(
+            s, id=s.name, marks=[pytest.mark.slow] if s.name in _SLOW_PLAN else []
+        )
+        for s in SPECS.values()
+    ],
+)
 def test_no_scale_killer_nodes(spark, sf_dir, spec):
     """No catalog plan may contain a CartesianProduct (non-broadcast
     cartesian: quadratic shuffle at scale) or BatchEvalPython (row-at-a-time

@@ -87,69 +87,66 @@ def test_zscore_prefix_rewrite_matches_sliding_oracle_on_nulls(
     assert res.ok, res.detail
 
 
-def test_flagship_prefix_rewrite_equals_sliding_form_on_nulls(
-    spark, tmp_path
-):
-    """The shipped prefix-difference flagship must be BIT-IDENTICAL to the
-    pre-r13 sliding-frame form on NULL-heavy inputs. (The DuckDB oracle
-    itself diverges from BOTH forms on such inputs — a pre-existing edge
-    outside the committed fixtures, which contain no NULL values — so the
-    old Spark form is the reference here, not the oracle.)"""
+# (r14) The flagship prefix-difference equivalence test was removed along
+# with the rewrite it pinned: measured A/Bs showed the prefix+lag/lead form
+# LOSES to the plain sliding buffer at the flagship's 5/11-row frames, at
+# both 1x and the 10x replica, so domain.py reverted to the sliding form
+# (which needs no equivalence pin — it IS the oracle's form).
+# w_rolling_zscore keeps its rewrite (20-row frame, driver-measured 1.99x);
+# the tests below still pin it on adversarial NULLs and on the documented
+# overflow bound.
+
+
+def test_prefix_overflow_ansi(spark, tmp_path):
+    """The documented exactness bound of the prefix rewrite (r13 advice):
+    the squared-value prefix _p2 is decimal(38,12) accumulated over the
+    WHOLE partition, so a user whose SUM(value^2) exceeds 1e26 overflows it
+    where the old 20-row sliding sum could not. Contract: within the
+    documented magnitude bound the query is exact (first case); past it,
+    ANSI mode surfaces the overflow as an ERROR rather than the silent
+    NULL z-scores non-ANSI mode would produce (second case)."""
+    import datetime as dt2
+
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
-    from schwab_elt_etl_pipeline_spark.catalog.domain import (
-        flagship_vertical_analytics,
-    )
-    from schwab_elt_etl_pipeline_spark.functions.scalars import clamp
-    from schwab_elt_etl_pipeline_spark.operators.gapfill import gapfill_locf
-    from schwab_elt_etl_pipeline_spark.sources import load_table
+    from schwab_elt_etl_pipeline_spark.catalog import all_specs
 
-    sf_dir = _synthetic_events(spark, tmp_path)
+    spec = next(s for s in all_specs() if s.name == "w_rolling_zscore")
+    base = dt2.datetime(2024, 3, 1)
 
-    # the pre-r13 sliding-frame implementation, verbatim
-    ev = load_table(spark, sf_dir, "events").repartition(4, "user_id")
-    hourly = (
-        ev.withColumn("h", F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz"))
-        .groupBy("user_id", "h")
-        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
-    )
-    dense = gapfill_locf(
-        hourly, entity=["user_id"], ts="h", values=["value"], step="interval 1 hour"
-    )
-    base = Window.partitionBy("user_id").orderBy("h")
-    w_pre, w_fol = base.rowsBetween(-5, -1), base.rowsBetween(1, 5)
-    vdec = F.col("value").cast("decimal(18,6)")
-    flagged = dense.select(
-        "user_id", "h", "value",
-        F.sum(vdec).over(w_pre).alias("_sp"), F.count("value").over(w_pre).alias("_cp"),
-        F.sum(vdec).over(w_fol).alias("_sf"), F.count("value").over(w_fol).alias("_cf"),
-    )
-    avg_pre = F.col("_sp").cast("double") / F.col("_cp")
-    avg_fol = F.col("_sf").cast("double") / F.col("_cf")
-    oi = F.when(
-        (((avg_pre - F.col("value")) > 50) & ((avg_fol - F.col("value")) > 50))
-        | (((F.col("value") - avg_pre) > 50) & ((F.col("value") - avg_fol) > 50)),
-        1,
-    ).otherwise(0)
-    clean = (
-        flagged.withColumn("OI", oi)
-        .filter(F.col("OI") != 1)
-        .withColumn("o", clamp(F.col("value"), 0.0, 100.0))
-        .drop("_sp", "_cp", "_sf", "_cf")
-    )
-    w_roll = Window.partitionBy("user_id").orderBy("h").rowsBetween(-10, 0)
-    rolled = clean.withColumn(
-        "avg_r",
-        F.sum(F.col("o").cast("decimal(18,6)")).over(w_roll).cast("double")
-        / F.count("o").over(w_roll),
-    )
-    reference = rolled.groupBy("user_id", "h").agg(
-        F.max("o").alias("o"), F.max("avg_r").alias("avg_r")
-    )
+    def write_events(value: float, n: int, path):
+        df = spark.range(n).select(
+            (F.col("id") + 1).alias("event_id"),
+            (F.lit(base) + F.make_interval(hours=F.col("id"))).cast(
+                "timestamp_ntz"
+            ).alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit("click").alias("event_type"),
+            (F.lit(value) + F.col("id")).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(path / "events.parquet"))
+        return str(path)
 
-    new = flagship_vertical_analytics(spark, sf_dir)
-    cols = ["user_id", "h", "o", "avg_r"]
-    old_rows = sorted(map(tuple, reference.select(*cols).collect()))
-    new_rows = sorted(map(tuple, new.select(*cols).collect()))
-    assert old_rows == new_rows
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        # within the bound: 2,000 rows of |value| ~ 1e6 -> SUM(v^2) ~ 2e15,
+        # 11 orders inside the 1e26 budget; ANSI runs clean, values sane
+        ok_dir = write_events(1.0e6, 2_000, tmp_path)
+        rows = spec.build(spark, ok_dir).collect()
+        assert len(rows) == 2_000
+        assert all(r.roll_mean is not None for r in rows)
+
+        # past the bound: 12,000 rows of value ~ 1e11 -> SUM(v^2) ~ 1.2e26
+        # overflows decimal(38,12); ANSI must raise, not NULL the scores
+        bad_dir = write_events(1.0e11, 12_000, tmp_path)
+        with pytest.raises(Exception) as exc:
+            spec.build(spark, bad_dir).collect()
+        msg = str(exc.value)
+        assert (
+            "NUMERIC_VALUE_OUT_OF_RANGE" in msg
+            or "overflow" in msg.lower()
+            or "Arithmetic" in msg
+        ), msg
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")

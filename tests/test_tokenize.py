@@ -323,6 +323,7 @@ def test_unigram_em_iteration_actually_flips(spark):
         max_size=6,
     )
 )
+@pytest.mark.slow  # r13 verdict #2 re-tier: >=9 s property/reference test; close-gate full suite still runs it
 def test_unigram_em_two_rounds_match_sequential_reference(spark, words):
     from schwab_elt_etl_pipeline_spark.operators.tokenize import unigram_em_round
 
@@ -412,6 +413,7 @@ def test_wordpiece_unseen_char_is_whole_word_unk(spark):
         st.text(alphabet="abc", min_size=1, max_size=9), min_size=1, max_size=12
     )
 )
+@pytest.mark.slow  # r13 verdict #2 re-tier: >=9 s property/reference test; close-gate full suite still runs it
 def test_wordpiece_matches_python_reference(spark, words):
     """Spark greedy walk == the sequential Python reference over the
     corpus-seeded ##-vocabulary, for every word."""

@@ -143,6 +143,14 @@ QUERIES = [
     # mass, linear under the copy-tag perturbation) never goes quadratic
     # through the composition
     "web_curation_e2e",
+    # round-14 additions (r13 verdict #3: turn the r13 plan-shape at-scale
+    # claims into measured ratios): the flagship prefix-difference windows
+    # run over the user-grid (10× MORE users, same grid length — the window
+    # term the rewrite targets grows linearly), and corpus_curation's
+    # fingerprint-proxy dedup keeps document text out of its exchange (the
+    # byte cut is invisible at 1× and priced here)
+    "flagship_vertical_analytics",
+    "corpus_curation_e2e",
 ]
 
 #: Tables those queries scan (everything else is derived or dimensional).

@@ -621,6 +621,23 @@ def write_streambench_md(payload: dict) -> None:
         "each, identical 5,721-row outputs) read medians 549 vs 576, i.e.",
         "the r12 dip was driver-host load during that regen, not code.",
         "",
+        "**Why `rows out` drifts a little across regens** (r13 advice item):",
+        "the incremental-index legs are deterministic GIVEN a micro-batch",
+        "slicing, but the slicing itself is not pinned across regens: the",
+        "file source orders shards by modification time with ties broken by",
+        "listing order over freshly-UUID-named part files, so each regen",
+        "deals the same rows into different 8-file batches. Stages whose",
+        "state accumulates per batch are arrival-order-sensitive by design —",
+        "which vector seeds a semdedup cell, which borderline gram crosses",
+        "the LM count threshold at a batch cut, whether a candle's last row",
+        "lands before or after the watermark advances — so their output",
+        "SETS shift by a handful of rows (e.g. semdedup_index 5,694 vs",
+        "5,732 across regens) while any FIXED input+slicing reproduces",
+        "exactly (the 6-run matched-input A/B above: identical 5,721-row",
+        "outputs every run). Batch analytics are unaffected — this is the",
+        "standard contract of order-sensitive streaming state, not a",
+        "correctness gap in the operators.",
+        "",
         "```json",
         json.dumps(payload),
         "```",
